@@ -1,0 +1,304 @@
+"""Count-job aggregations (SURVEY.md §2.4 A1–A19), Spark-native.
+
+The reference computes these with in-mapper streaming aggregation per SURT
+domain + reduce-side typed-key merge (/root/reference/crawlstats.py:728-910).
+In Spark each collapses to a declarative groupBy: Catalyst plans a partial
+HashAggregate (map-side combine, the equivalent data reduction of the
+reference's SurtDomainCount flush) → Exchange on the group key → final
+HashAggregate, all inside whole-stage codegen. No UDFs anywhere on this path.
+
+Scale notes (100 TB / 10^10 rows):
+  - every aggregate here shuffles once, on its own key, after map-side
+    partial aggregation has collapsed per-partition duplicates — the shuffle
+    volume is bounded by the key cardinality (hosts/domains/tlds/mimes),
+    not the row count;
+  - countDistinct(url) within groupBy(host/domain/...) expands to a
+    two-phase plan (partial distinct on (key, url), then count) — exact, and
+    still one logical shuffle per level;
+  - hierarchical rollups (host → domain → tld) reuse the host-level
+    aggregate as input so each level's shuffle shrinks by the fan-in.
+
+Semantics: "page" = status==200 fetch that is not a robots.txt record
+(crawlstats.py:553-563); "fetch" = any record; "url" counts are unique URLs.
+The reference's unique counts are file-scoped (crawlstats.py:732-738);
+Spark's are globally exact — strictly more correct (SURVEY.md §2.4 note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ROBOTS_RE = "/robotstxt/"
+
+
+def with_flags(pages: DataFrame) -> DataFrame:
+    """Annotate fetch rows with the reference's routing predicates
+    (crawlstats.py:534, 553-563): robots.txt records and successful pages."""
+    is_robots = F.col("warc_filename").rlike(ROBOTS_RE)
+    return pages.withColumn("is_robotstxt", is_robots).withColumn(
+        "is_page", (F.col("status") == 200) & ~is_robots
+    )
+
+
+def page_rows(pages: DataFrame) -> DataFrame:
+    """Rows contributing to content statistics (F1+F2)."""
+    return with_flags(pages).filter(F.col("is_page"))
+
+
+def crawl_size(pages: DataFrame) -> DataFrame:
+    """A8: global per-crawl totals — the reference's ``size`` records
+    (crawlstats.py:757-763, 810-828), exact flavor."""
+    return (
+        with_flags(pages)
+        .groupBy("crawl")
+        .agg(
+            F.count("*").alias("fetches"),
+            F.sum(F.col("is_page").cast("long")).alias("pages"),
+            F.countDistinct(F.when(F.col("is_page"), F.col("url"))).alias("urls"),
+            F.countDistinct(F.when(F.col("is_page"), F.col("digest"))).alias(
+                "digests"
+            ),
+            F.countDistinct(F.when(F.col("is_page"), F.col("host"))).alias("hosts"),
+            F.countDistinct(F.when(F.col("is_page"), F.col("domain"))).alias(
+                "domains"
+            ),
+        )
+        .orderBy("crawl")
+    )
+
+
+def dim_counts(pages: DataFrame, dim, out: str | None = None) -> DataFrame:
+    """A2/A3 generic: per (crawl, dim) twin counts [pages, urls]
+    (crawlstats.py:540-546, 564-595 — the MultiCount(2) family)."""
+    df = page_rows(pages)
+    key = F.col(dim) if isinstance(dim, str) else dim
+    name = out or (dim if isinstance(dim, str) else "key")
+    return (
+        df.select("crawl", key.alias(name), "url")
+        .groupBy("crawl", name)
+        .agg(F.count("*").alias("pages"), F.countDistinct("url").alias("urls"))
+        .orderBy("crawl", name)
+    )
+
+
+def host_counts(pages: DataFrame) -> DataFrame:
+    """A3: per-host (pages, urls) — crawlstats.py:489-499."""
+    return dim_counts(pages, "host")
+
+
+def domain_counts(pages: DataFrame) -> DataFrame:
+    """A4: per-domain (pages, urls, hosts) — crawlstats.py:502, 522-526.
+    Built on the host-level aggregate so the domain shuffle sees only
+    host-cardinality rows."""
+    per_host = (
+        page_rows(pages)
+        .groupBy("crawl", "domain", "host")
+        .agg(F.count("*").alias("pages"), F.countDistinct("url").alias("urls"))
+    )
+    return (
+        per_host.groupBy("crawl", "domain")
+        .agg(
+            F.sum("pages").alias("pages"),
+            F.sum("urls").alias("urls"),
+            F.count("*").alias("hosts"),
+        )
+        .orderBy("crawl", "domain")
+    )
+
+
+def tld_counts(pages: DataFrame) -> DataFrame:
+    """A5: per-TLD (pages, urls, hosts, domains) — crawlstats.py:503, 525-528.
+
+    Note on ``urls``: the reference sums *per-host unique-URL* counts into the
+    TLD MultiCount (no cross-host dedup), so we do the same — a URL is unique
+    per host by construction anyway (the host is part of the URL).
+    """
+    per_domain = (
+        page_rows(pages)
+        .groupBy("crawl", "tld", "domain")
+        .agg(
+            F.count("*").alias("pages"),
+            F.countDistinct("url").alias("urls"),
+            F.countDistinct("host").alias("hosts"),
+        )
+    )
+    return (
+        per_domain.groupBy("crawl", "tld")
+        .agg(
+            F.sum("pages").alias("pages"),
+            F.sum("urls").alias("urls"),
+            F.sum("hosts").alias("hosts"),
+            F.count("*").alias("domains"),
+        )
+        .orderBy("crawl", "tld")
+    )
+
+
+def surt_domain_counts(pages: DataFrame) -> DataFrame:
+    """A6: per-SURT-domain (pages, urls, hosts) — crawlstats.py:628-629."""
+    return (
+        page_rows(pages)
+        .groupBy("crawl", "surt_domain")
+        .agg(
+            F.count("*").alias("pages"),
+            F.countDistinct("url").alias("urls"),
+            F.countDistinct("host").alias("hosts"),
+        )
+        .orderBy("crawl", "surt_domain")
+    )
+
+
+def scheme_counts(pages: DataFrame) -> DataFrame:
+    """A3 scheme branch — crawlstats.py:499."""
+    return dim_counts(pages, "scheme")
+
+
+def http_status_histogram(pages: DataFrame) -> DataFrame:
+    """A7: fetch count per (crawl, status), all fetches except robots
+    (crawlstats.py:545-546, 560-563)."""
+    return (
+        with_flags(pages)
+        .filter(~F.col("is_robotstxt"))
+        .groupBy("crawl", "status")
+        .agg(F.count("*").alias("fetches"))
+        .orderBy("crawl", "status")
+    )
+
+
+def robotstxt_status(pages: DataFrame) -> DataFrame:
+    """A7 robots branch: robots.txt responses per status with unique URL
+    twin count (crawlstats.py:553-560)."""
+    return (
+        with_flags(pages)
+        .filter(F.col("is_robotstxt"))
+        .groupBy("crawl", "status")
+        .agg(F.count("*").alias("responses"), F.countDistinct("url").alias("urls"))
+        .orderBy("crawl", "status")
+    )
+
+
+def url_fetch_histogram(pages: DataFrame) -> DataFrame:
+    """A9: histogram of fetches-per-URL per crawl (crawlstats.py:817-820).
+    Two-stage: A1 per-URL fetch count, then count per multiplicity."""
+    per_url = (
+        with_flags(pages)
+        .filter(~F.col("is_robotstxt"))
+        .groupBy("crawl", "url")
+        .agg(F.count("*").alias("n_fetches"))
+    )
+    return (
+        per_url.groupBy("crawl", "n_fetches")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy("crawl", "n_fetches")
+    )
+
+
+def mimetype_counts(pages: DataFrame, detected: bool = False) -> DataFrame:
+    """A2 mime branch with plot-layer normalization fused in
+    (crawlstats.py:566-572; mimetype.py:14-33): lowercase + extract the
+    leading well-formed media type, fall back to the quote-stripped raw."""
+    col = "mime_detected" if detected else "mime"
+    pat = r"^\s*([a-z0-9._-]+/[a-z0-9._+-]+)"
+    norm = F.coalesce(
+        F.nullif(F.regexp_extract(F.lower(F.col(col)), pat, 1), F.lit("")),
+        F.regexp_replace(F.lower(F.col(col)), '"', ""),
+    )
+    return dim_counts(pages, norm, out="mimetype")
+
+
+def charset_counts(pages: DataFrame) -> DataFrame:
+    """A2 charset branch (crawlstats.py:573-576); nulls → '<unknown>'."""
+    return dim_counts(
+        pages, F.coalesce(F.col("charset"), F.lit("<unknown>")), out="charset"
+    )
+
+
+def language_counts(pages: DataFrame) -> DataFrame:
+    """A2 languages branch: full comma-joined combination
+    (crawlstats.py:577-580)."""
+    return dim_counts(pages, "languages", out="languages")
+
+
+def primary_language_counts(pages: DataFrame) -> DataFrame:
+    """P6+A2: first language of the combination (crawlstats.py:623-625)."""
+    return dim_counts(
+        pages, F.split(F.col("languages"), ",").getItem(0), out="primary_language"
+    )
+
+
+def url_crawl_set(pages: DataFrame) -> DataFrame:
+    """A14 exact mode: per-URL bitmask of crawls containing it
+    (MonthlyCrawlSet, crawlstats.py:205-270, 841-859). Spark-native:
+    bit_or(1 << crawl_id) — no custom type needed."""
+    return (
+        page_rows(pages)
+        .groupBy("url")
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, crawl_id)")).alias("crawl_set"),
+            F.min("crawl_id").alias("first_crawl_id"),
+            F.countDistinct("crawl_id").alias("n_crawls"),
+        )
+    )
+
+
+def new_items_per_crawl(pages: DataFrame) -> DataFrame:
+    """A15: count of URLs first seen in each crawl (is_new popcount trick,
+    crawlstats.py:249-263, 860-863) ≡ groupBy(url).min(crawl_id)."""
+    first = page_rows(pages).groupBy("url").agg(F.min("crawl_id").alias("crawl_id"))
+    crawls = page_rows(pages).select("crawl_id", "crawl").distinct()
+    return (
+        first.groupBy("crawl_id")
+        .agg(F.count("*").alias("new_urls"))
+        .join(F.broadcast(crawls), "crawl_id")
+        .select("crawl", "new_urls")
+        .orderBy("crawl")
+    )
+
+
+def size_estimate(pages: DataFrame, rsd: float = 0.01) -> DataFrame:
+    """A10 probabilistic flavor: HLL-estimated distinct URLs/digests per
+    crawl (crawlstats.py:760-761, 825-828; HYPERLOGLOG_ERROR=.01 at :22).
+    Spark-native approx_count_distinct (HyperLogLog++)."""
+    return (
+        page_rows(pages)
+        .groupBy("crawl")
+        .agg(
+            F.approx_count_distinct("url", rsd).alias("urls_est"),
+            F.approx_count_distinct("digest", rsd).alias("digests_est"),
+            F.countDistinct("url").alias("urls_exact"),
+        )
+        .orderBy("crawl")
+    )
+
+
+def surt_hll_sketches(pages: DataFrame, min_urls: int = 50000) -> DataFrame:
+    """A11: per-SURT-domain mergeable HLL sketch for SURT domains with ≥
+    min_urls unique URLs (MIN_SURT_HLL_SIZE, crawlstats.py:25, 600-634).
+    Keeps the binary sketch so later rounds can union without re-scan."""
+    return (
+        page_rows(pages)
+        .groupBy("crawl", "surt_domain")
+        .agg(
+            F.hll_sketch_agg("url").alias("url_sketch"),
+            F.countDistinct("url").alias("urls"),
+        )
+        .filter(F.col("urls") >= min_urls)
+    )
+
+
+def top_k(
+    counts: DataFrame, key: str, k: int = 200, per: tuple[str, ...] = ("crawl",)
+) -> DataFrame:
+    """A18: bounded top-K with the reference's exact tie-break tuple
+    (pages desc, urls desc, item desc — heap order crawlstats.py:994-1003).
+    Physical plan: row_number window per crawl → filter ≤ K; for a single
+    global K, Catalyst would use TakeOrderedAndProject."""
+    w = Window.partitionBy(*per).orderBy(
+        F.desc("pages"), F.desc("urls"), F.desc(key)
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(*per, "rank")
+    )

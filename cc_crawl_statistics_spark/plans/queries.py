@@ -1,0 +1,385 @@
+"""Query registry: every implemented operator (SURVEY.md §2) as a
+(spark_query, duckdb_oracle_sql) pair — the driver contract of
+``__spark_entry__.py``.
+
+Conventions keeping the oracle comparison exact (order-insensitive
+value-hash at sf0.01):
+  - no float columns in compared outputs: ratios are integer permille via
+    floor(); sums are over integers only
+  - every DuckDB aggregate cast to BIGINT (DuckDB SUM(BIGINT) is HUGEINT)
+  - aggregate/computed columns aliased identically on both sides
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import counts as C
+from ..operators import timeseries as TS
+from ..sources.tables import load_table, pages_df
+from ..synth import oracle_cte
+
+# ---------------------------------------------------------------------------
+# shared SQL snippets for the DuckDB oracle
+# ---------------------------------------------------------------------------
+
+_FLAGS = """
+flagged AS (
+  SELECT *,
+         regexp_matches(warc_filename, '/robotstxt/') AS is_robotstxt,
+         (status = 200 AND NOT regexp_matches(warc_filename, '/robotstxt/'))
+           AS is_page
+  FROM pages
+),
+prows AS (SELECT * FROM flagged WHERE is_page)
+"""
+
+
+def _oracle(body: str) -> str:
+    return oracle_cte(f", {_FLAGS} {body}")
+
+
+def _dim_oracle(expr: str, name: str) -> str:
+    return _oracle(
+        f"""
+SELECT crawl, {expr} AS {name},
+       CAST(COUNT(*) AS BIGINT) AS pages,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS urls
+FROM prows GROUP BY crawl, {name} ORDER BY crawl, {name}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_size(spark: SparkSession, sf: str) -> DataFrame:
+    return C.crawl_size(pages_df(spark, sf))
+
+
+def q_host_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return C.host_counts(pages_df(spark, sf))
+
+
+def q_domain_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return C.domain_counts(pages_df(spark, sf))
+
+
+def q_tld_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return C.tld_counts(pages_df(spark, sf))
+
+
+def q_scheme_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return C.scheme_counts(pages_df(spark, sf))
+
+
+def q_surt_domain_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return C.surt_domain_counts(pages_df(spark, sf))
+
+
+def q_mimetype(spark: SparkSession, sf: str) -> DataFrame:
+    return C.mimetype_counts(pages_df(spark, sf))
+
+
+def q_mimetype_detected(spark: SparkSession, sf: str) -> DataFrame:
+    return C.mimetype_counts(pages_df(spark, sf), detected=True)
+
+
+def q_charset(spark: SparkSession, sf: str) -> DataFrame:
+    return C.charset_counts(pages_df(spark, sf))
+
+
+def q_languages(spark: SparkSession, sf: str) -> DataFrame:
+    return C.language_counts(pages_df(spark, sf))
+
+
+def q_primary_language(spark: SparkSession, sf: str) -> DataFrame:
+    return C.primary_language_counts(pages_df(spark, sf))
+
+
+def q_http_status(spark: SparkSession, sf: str) -> DataFrame:
+    return C.http_status_histogram(pages_df(spark, sf))
+
+
+def q_robotstxt_status(spark: SparkSession, sf: str) -> DataFrame:
+    return C.robotstxt_status(pages_df(spark, sf))
+
+
+def q_url_fetch_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return C.url_fetch_histogram(pages_df(spark, sf))
+
+
+def q_top_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    return C.top_k(C.host_counts(pages_df(spark, sf)), "host", k=50)
+
+
+def q_new_items(spark: SparkSession, sf: str) -> DataFrame:
+    return C.new_items_per_crawl(pages_df(spark, sf))
+
+
+def q_url_crawl_set(spark: SparkSession, sf: str) -> DataFrame:
+    return C.url_crawl_set(pages_df(spark, sf)).orderBy("url")
+
+
+def q_crawl_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.crawl_overlap(pages_df(spark, sf))
+
+
+def q_cumulative_size(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.cumulative_size(C.crawl_size(pages_df(spark, sf)))
+
+
+def q_dup_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.duplicate_ratio(C.crawl_size(pages_df(spark, sf)))
+
+
+def q_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    # HLL-based: no exact oracle (driver records rows-only check)
+    return C.size_estimate(pages_df(spark, sf))
+
+
+def q_domain_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.domain_coverage(C.domain_counts(pages_df(spark, sf)))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "crawl_size": q_crawl_size,
+    "host_counts": q_host_counts,
+    "domain_counts": q_domain_counts,
+    "tld_counts": q_tld_counts,
+    "scheme_counts": q_scheme_counts,
+    "surt_domain_counts": q_surt_domain_counts,
+    "mimetype": q_mimetype,
+    "mimetype_detected": q_mimetype_detected,
+    "charset": q_charset,
+    "languages": q_languages,
+    "primary_language": q_primary_language,
+    "http_status": q_http_status,
+    "robotstxt_status": q_robotstxt_status,
+    "url_fetch_histogram": q_url_fetch_histogram,
+    "top_hosts": q_top_hosts,
+    "new_items": q_new_items,
+    "url_crawl_set": q_url_crawl_set,
+    "crawl_overlap": q_crawl_overlap,
+    "cumulative_size": q_cumulative_size,
+    "dup_ratio": q_dup_ratio,
+    "size_estimate": q_size_estimate,
+    "domain_coverage": q_domain_coverage,
+}
+
+_MIME_NORM = (
+    "coalesce(nullif(regexp_extract(lower({c}), "
+    "'^\\s*([a-z0-9._-]+/[a-z0-9._+-]+)', 1), ''), "
+    "replace(lower({c}), '\"', ''))"
+)
+
+ORACLES: dict[str, str] = {
+    "crawl_size": _oracle(
+        """
+SELECT crawl,
+  CAST(COUNT(*) AS BIGINT) AS fetches,
+  CAST(SUM(CASE WHEN is_page THEN 1 ELSE 0 END) AS BIGINT) AS pages,
+  CAST(COUNT(DISTINCT CASE WHEN is_page THEN url END) AS BIGINT) AS urls,
+  CAST(COUNT(DISTINCT CASE WHEN is_page THEN digest END) AS BIGINT) AS digests,
+  CAST(COUNT(DISTINCT CASE WHEN is_page THEN host END) AS BIGINT) AS hosts,
+  CAST(COUNT(DISTINCT CASE WHEN is_page THEN domain END) AS BIGINT) AS domains
+FROM flagged GROUP BY crawl ORDER BY crawl
+"""
+    ),
+    "host_counts": _dim_oracle("host", "host"),
+    "domain_counts": _oracle(
+        """
+, per_host AS (
+  SELECT crawl, domain, host, COUNT(*) AS pages, COUNT(DISTINCT url) AS urls
+  FROM prows GROUP BY crawl, domain, host
+)
+SELECT crawl, domain,
+  CAST(SUM(pages) AS BIGINT) AS pages,
+  CAST(SUM(urls) AS BIGINT) AS urls,
+  CAST(COUNT(*) AS BIGINT) AS hosts
+FROM per_host GROUP BY crawl, domain ORDER BY crawl, domain
+"""
+    ),
+    "tld_counts": _oracle(
+        """
+, per_domain AS (
+  SELECT crawl, tld, domain, COUNT(*) AS pages,
+         COUNT(DISTINCT url) AS urls, COUNT(DISTINCT host) AS hosts
+  FROM prows GROUP BY crawl, tld, domain
+)
+SELECT crawl, tld,
+  CAST(SUM(pages) AS BIGINT) AS pages,
+  CAST(SUM(urls) AS BIGINT) AS urls,
+  CAST(SUM(hosts) AS BIGINT) AS hosts,
+  CAST(COUNT(*) AS BIGINT) AS domains
+FROM per_domain GROUP BY crawl, tld ORDER BY crawl, tld
+"""
+    ),
+    "scheme_counts": _dim_oracle("scheme", "scheme"),
+    "surt_domain_counts": _oracle(
+        """
+SELECT crawl, surt_domain,
+  CAST(COUNT(*) AS BIGINT) AS pages,
+  CAST(COUNT(DISTINCT url) AS BIGINT) AS urls,
+  CAST(COUNT(DISTINCT host) AS BIGINT) AS hosts
+FROM prows GROUP BY crawl, surt_domain ORDER BY crawl, surt_domain
+"""
+    ),
+    "mimetype": _dim_oracle(_MIME_NORM.format(c="mime"), "mimetype"),
+    "mimetype_detected": _dim_oracle(
+        _MIME_NORM.format(c="mime_detected"), "mimetype"
+    ),
+    "charset": _dim_oracle("coalesce(charset, '<unknown>')", "charset"),
+    "languages": _dim_oracle("languages", "languages"),
+    "primary_language": _dim_oracle(
+        "string_split(languages, ',')[1]", "primary_language"
+    ),
+    "http_status": _oracle(
+        """
+SELECT crawl, status, CAST(COUNT(*) AS BIGINT) AS fetches
+FROM flagged WHERE NOT is_robotstxt
+GROUP BY crawl, status ORDER BY crawl, status
+"""
+    ),
+    "robotstxt_status": _oracle(
+        """
+SELECT crawl, status,
+  CAST(COUNT(*) AS BIGINT) AS responses,
+  CAST(COUNT(DISTINCT url) AS BIGINT) AS urls
+FROM flagged WHERE is_robotstxt
+GROUP BY crawl, status ORDER BY crawl, status
+"""
+    ),
+    "url_fetch_histogram": _oracle(
+        """
+, per_url AS (
+  SELECT crawl, url, COUNT(*) AS n_fetches
+  FROM flagged WHERE NOT is_robotstxt GROUP BY crawl, url
+)
+SELECT crawl, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM per_url GROUP BY crawl, n_fetches ORDER BY crawl, n_fetches
+"""
+    ),
+    "top_hosts": _oracle(
+        """
+, hc AS (
+  SELECT crawl, host, COUNT(*) AS pages, COUNT(DISTINCT url) AS urls
+  FROM prows GROUP BY crawl, host
+),
+ranked AS (
+  SELECT crawl, host, pages, urls,
+         row_number() OVER (PARTITION BY crawl
+                            ORDER BY pages DESC, urls DESC, host DESC) AS rank
+  FROM hc
+)
+SELECT crawl, host, CAST(pages AS BIGINT) AS pages,
+       CAST(urls AS BIGINT) AS urls, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 50 ORDER BY crawl, rank
+"""
+    ),
+    "new_items": _oracle(
+        """
+, first AS (SELECT url, MIN(crawl_id) AS crawl_id FROM prows GROUP BY url),
+crawls AS (SELECT DISTINCT crawl_id, crawl FROM prows)
+SELECT c.crawl, CAST(COUNT(*) AS BIGINT) AS new_urls
+FROM first f JOIN crawls c ON f.crawl_id = c.crawl_id
+GROUP BY c.crawl ORDER BY c.crawl
+"""
+    ),
+    "url_crawl_set": _oracle(
+        """
+SELECT url,
+  CAST(bit_or(1 << crawl_id) AS BIGINT) AS crawl_set,
+  CAST(MIN(crawl_id) AS BIGINT) AS first_crawl_id,
+  CAST(COUNT(DISTINCT crawl_id) AS BIGINT) AS n_crawls
+FROM prows GROUP BY url ORDER BY url
+"""
+    ),
+    "crawl_overlap": _oracle(
+        """
+, purl AS (SELECT DISTINCT url, crawl FROM prows),
+inter AS (
+  SELECT a.crawl AS c1, b.crawl AS c2, COUNT(*) AS inter
+  FROM purl a JOIN purl b ON a.url = b.url AND a.crawl < b.crawl
+  GROUP BY a.crawl, b.crawl
+),
+sizes AS (SELECT crawl, COUNT(DISTINCT url) AS n FROM prows GROUP BY crawl)
+SELECT c1, c2, CAST(inter AS BIGINT) AS inter,
+  CAST(s1.n + s2.n - inter AS BIGINT) AS uni,
+  CAST(FLOOR(1000 * inter / (s1.n + s2.n - inter)) AS BIGINT)
+    AS jaccard_permille
+FROM inter JOIN sizes s1 ON inter.c1 = s1.crawl
+           JOIN sizes s2 ON inter.c2 = s2.crawl
+ORDER BY c1, c2
+"""
+    ),
+    "cumulative_size": _oracle(
+        """
+, sz AS (
+  SELECT crawl, COUNT(*) AS fetches,
+         SUM(CASE WHEN is_page THEN 1 ELSE 0 END) AS pages
+  FROM flagged GROUP BY crawl
+)
+SELECT crawl, CAST(fetches AS BIGINT) AS fetches, CAST(pages AS BIGINT) AS pages,
+  CAST(SUM(fetches) OVER (ORDER BY crawl ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_fetches,
+  CAST(SUM(pages) OVER (ORDER BY crawl ROWS UNBOUNDED PRECEDING) AS BIGINT)
+    AS cum_pages
+FROM sz ORDER BY crawl
+"""
+    ),
+    "dup_ratio": _oracle(
+        """
+, sz AS (
+  SELECT crawl,
+    SUM(CASE WHEN is_page THEN 1 ELSE 0 END) AS pages,
+    COUNT(DISTINCT CASE WHEN is_page THEN url END) AS urls,
+    COUNT(DISTINCT CASE WHEN is_page THEN digest END) AS digests
+  FROM flagged GROUP BY crawl
+)
+SELECT crawl, CAST(pages AS BIGINT) AS pages, CAST(urls AS BIGINT) AS urls,
+  CAST(digests AS BIGINT) AS digests,
+  CAST(FLOOR(1000 * (1.0 - urls / pages)) AS BIGINT) AS url_dup_permille,
+  CAST(FLOOR(1000 * (1.0 - digests / pages)) AS BIGINT)
+    AS content_dup_permille
+FROM sz ORDER BY crawl
+"""
+    ),
+    "domain_coverage": _oracle(
+        """
+, dc AS (
+  SELECT crawl, domain, host, COUNT(*) AS pages, COUNT(DISTINCT url) AS urls
+  FROM prows GROUP BY crawl, domain, host
+),
+dom AS (
+  SELECT crawl, domain, SUM(pages) AS pages, SUM(urls) AS urls
+  FROM dc GROUP BY crawl, domain
+),
+ranked AS (
+  SELECT crawl, domain, pages,
+    row_number() OVER (PARTITION BY crawl
+                       ORDER BY pages DESC, urls DESC, domain DESC) AS rank,
+    SUM(pages) OVER (PARTITION BY crawl
+                     ORDER BY pages DESC, urls DESC, domain DESC
+                     ROWS UNBOUNDED PRECEDING) AS cum_pages,
+    SUM(pages) OVER (PARTITION BY crawl) AS total_pages
+  FROM dom
+)
+SELECT crawl, domain, CAST(rank AS BIGINT) AS rank,
+  CAST(cum_pages AS BIGINT) AS cum_pages,
+  CAST(FLOOR(1000 * cum_pages / total_pages) AS BIGINT)
+    AS cum_pages_permille
+FROM ranked ORDER BY crawl, rank
+"""
+    ),
+    # size_estimate: HLL sketch — intentionally no SQL oracle (rows-only)
+}
