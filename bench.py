@@ -1,0 +1,153 @@
+"""Headline benchmark. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload: the crawl-statistics headline queries plus one frontier
+scheduling round, over a deterministically scaled pages universe derived
+from $SPARK_GRAFT_SF_DIR/documents.parquet (default /root/testdata/sf0.1,
+scaled ×BENCH_FACTOR to ~1.5M fetch rows — the sandbox stand-in for the
+100 TB table; all plans are the same shape they'd have at scale).
+
+Runs on local[$SPARK_GRAFT_CPUS] (default 32). Scaling-efficiency evidence
+(same job at local[8] vs local[32]) is produced by tools/scaling_evidence.py
+and recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession
+
+from cc_crawl_statistics_spark.operators import counts as C
+from cc_crawl_statistics_spark.operators import timeseries as TS
+from cc_crawl_statistics_spark.session import get_spark
+from cc_crawl_statistics_spark.synth import pages_view_sql, scaled_documents_sql
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FACTOR = int(os.environ.get("BENCH_FACTOR", "200"))
+
+
+HOST_POOL = int(os.environ.get("BENCH_HOST_POOL", "40000"))
+
+
+def materialize_scaled_pages(
+    spark: SparkSession, sf_dir: str, factor: int, out_dir: str, cpus: int
+):
+    """Generate the scaled pages universe and write it as a parquet table —
+    the bench then measures real scans (column pruning, predicate pushdown,
+    parallel splits), not re-derivation. The source documents parquet is a
+    single file (one split), so the generator explicitly repartitions before
+    the explode to parallelize generation."""
+    (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .repartition(cpus * 2)
+        .createOrReplaceTempView("documents_raw")
+    )
+    spark.sql(scaled_documents_sql(factor, "documents_raw")) \
+        .createOrReplaceTempView("documents")
+    pages = spark.sql(
+        pages_view_sql(host_pool=HOST_POOL, site_pool=(HOST_POOL * 3) // 10)
+    )
+    pages.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+def force(df) -> int:
+    """Execute the full plan without driver-side materialization."""
+    return df.write.format("noop").mode("overwrite").save() or 0
+
+
+HEADLINE = {
+    "crawl_size": lambda p: C.crawl_size(p),
+    "host_counts": lambda p: C.host_counts(p),
+    "domain_counts": lambda p: C.domain_counts(p),
+    "tld_counts": lambda p: C.tld_counts(p),
+    "mimetype": lambda p: C.mimetype_counts(p),
+    "http_status": lambda p: C.http_status_histogram(p),
+    "url_fetch_histogram": lambda p: C.url_fetch_histogram(p),
+    "url_crawl_set": lambda p: C.url_crawl_set(p),
+    "new_items": lambda p: C.new_items_per_crawl(p),
+    "top_hosts": lambda p: C.top_k(C.host_counts(p), "host", k=500),
+    "crawl_overlap": lambda p: TS.crawl_overlap(p),
+    "size_estimate": lambda p: C.size_estimate(p),
+}
+
+
+def bench_frontier(spark: SparkSession, pages) -> tuple[float, int]:
+    """Seed + one full scheduling round over the scaled universe.
+    Returns (seconds for the scheduling round, urls_scheduled)."""
+    import shutil
+    import tempfile
+
+    from cc_crawl_statistics_spark.frontier import scheduler
+    from cc_crawl_statistics_spark.frontier.state import SnapshotStore
+
+    root = tempfile.mkdtemp(prefix="bench_frontier_")
+    store = SnapshotStore(root)
+    try:
+        # seed + round 1 untimed (cold caches, store bootstrap); the metric
+        # is a steady-state scheduling round
+        scheduler.run_round(spark, store, SF_DIR, n_partitions=CPUS, pages=pages)
+        t0 = time.time()
+        metrics = scheduler.run_round(
+            spark, store, SF_DIR, n_partitions=CPUS, pages=pages
+        )
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return dt, metrics["n_scheduled"]
+
+
+def main() -> None:
+    import shutil
+    import tempfile
+
+    spark = get_spark(
+        app_name="bench",
+        cores=CPUS,
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_pages_")
+    times: dict[str, float] = {}
+    t0 = time.time()
+    pages = materialize_scaled_pages(
+        spark, SF_DIR, FACTOR, os.path.join(tmp, "pages"), CPUS
+    )
+    times["generate_pages"] = round(time.time() - t0, 3)
+    n_rows = pages.count()
+    for name, qf in HEADLINE.items():
+        t0 = time.time()
+        force(qf(pages))
+        times[name] = round(time.time() - t0, 3)
+
+    t_frontier, n_sched = bench_frontier(spark, pages)
+    times["frontier_round"] = round(t_frontier, 3)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "rows": n_rows,
+        "bench_factor": FACTOR,
+        "cpus": CPUS,
+        "frontier_urls_scheduled": n_sched,
+        "frontier_urls_per_sec": round(n_sched / t_frontier, 1),
+    }
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

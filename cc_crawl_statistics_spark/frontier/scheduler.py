@@ -59,17 +59,13 @@ def seen_key(col):
     return F.xxhash64(col)
 
 
-def url_universe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def url_universe(pages: DataFrame) -> DataFrame:
     """Deterministic URL universe derived from the pages table: one row per
     distinct URL with its doc_id (the link-graph key), host and surt_key."""
-    return (
-        pages_df(spark, sf_dir)
-        .groupBy("url")
-        .agg(
-            F.first("surt_key").alias("surt_key"),
-            F.first("host").alias("host"),
-            F.min("doc_id").alias("doc_id"),
-        )
+    return pages.groupBy("url").agg(
+        F.first("surt_key").alias("surt_key"),
+        F.first("host").alias("host"),
+        F.min("doc_id").alias("doc_id"),
     )
 
 
@@ -198,41 +194,72 @@ def round_statistics(scheduled_pages: DataFrame) -> DataFrame:
     return out
 
 
+def first_round_schedule(pages: DataFrame) -> DataFrame:
+    """Round-1 schedule as a pure DataFrame query (no state store): seeds →
+    politeness gate → host-bucketed priority. Used by the oracle-checked
+    ``frontier_schedule`` query; run_round executes the same operators
+    against snapshot state."""
+    universe = url_universe(pages)
+    seeds = seed_frontier(universe)
+    ledger = host_ledger(universe)
+    eligible = seeds.join(F.broadcast(ledger), "host").filter(
+        F.col("robots_status") != 403
+    )
+    return (
+        host_bucketed_topk(eligible)
+        .select(
+            "url",
+            "host",
+            F.col("depth").cast("long").alias("depth"),
+            F.col("score").cast("long").alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("host", "rank")
+    )
+
+
 def run_round(
     spark: SparkSession,
     store: SnapshotStore,
     sf_dir: str,
     n_salts: int = 8,
+    n_partitions: int = 4,
+    pages: DataFrame | None = None,
 ) -> dict:
     """Execute the next scheduling round from the latest committed snapshot
-    and commit round+1. Returns the round metrics."""
-    universe = url_universe(spark, sf_dir).cache()
+    and commit round+1. Returns the round metrics (computed from the
+    written snapshot, not by re-executing the round's lineage).
+
+    ``pages`` overrides the default sf_dir-derived pages table (bench path
+    injects a scaled universe here)."""
+    if pages is None:
+        pages = pages_df(spark, sf_dir)
+    universe = url_universe(pages).cache()
     n_docs = universe.count()  # scalar dimension size, not url-level collect
     ledger = host_ledger(universe)
 
     latest = store.latest_round()
     if latest is None:
         frontier = seed_frontier(universe)
-        seen = frontier.select(seen_key(F.col("url")).alias("seen_key"))
+        seen_delta = frontier.select(seen_key(F.col("url")).alias("seen_key"))
         store.commit(
             0,
             {
-                "frontier": frontier.repartitionByRange(4, "surt_key"),
-                "url_seen": seen.repartitionByRange(4, "seen_key"),
-                "host_ledger": ledger,
-                "schedule": spark.createDataFrame(
-                    [],
-                    "round int, url string, host string, depth int, "
-                    "score bigint, rank int",
+                "frontier": frontier.repartitionByRange(
+                    n_partitions, "surt_key"
                 ),
+                "url_seen_delta": seen_delta.repartitionByRange(
+                    n_partitions, "seen_key"
+                ),
+                "host_ledger": ledger,
             },
-            {"round": 0, "n_seeded": frontier.count()},
+            lambda read: {"round": 0, "n_seeded": read("frontier").count()},
         )
         latest = 0
 
     rnd = latest + 1
     frontier = store.read(spark, latest, "frontier")
-    seen = store.read(spark, latest, "url_seen")
+    seen = store.read_seen(spark, latest)
     ledger = store.read(spark, latest, "host_ledger")
 
     pending = frontier.filter(F.col("state") == "pending")
@@ -240,66 +267,83 @@ def run_round(
     blocked = gated.filter(F.col("robots_status") == 403)
     eligible = gated.filter(F.col("robots_status") != 403)
 
-    sched = host_bucketed_topk(eligible, n_salts=n_salts)
-    sched = sched.join(
-        universe.select("url", "doc_id"), "url"
-    ).select(
-        F.lit(rnd).alias("round"),
-        "url",
-        "surt_key",
-        "host",
-        "depth",
-        "score",
-        "rank",
-        "doc_id",
-    ).cache()
+    sched = (
+        host_bucketed_topk(eligible, n_salts=n_salts)
+        .join(universe.select("url", "doc_id"), "url")
+        .select(
+            F.lit(rnd).alias("round"),
+            "url",
+            "surt_key",
+            "host",
+            "depth",
+            "score",
+            "rank",
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)  # cut lineage: everything below reuses it
+    )
 
     discovered = expand_links(sched, universe, n_docs)
     new_urls = discovered.join(
         seen,
         seen_key(discovered.url) == seen.seen_key,
         "left_anti",
-    )
+    ).localCheckpoint(eager=True)
 
-    sched_urls = sched.select("url")
     new_frontier = (
-        frontier.join(sched_urls, "url", "left_anti")
+        frontier.join(sched.select("url"), "url", "left_anti")
         .join(blocked.select("url"), "url", "left_anti")
         .select(*FRONTIER_COLS)
         .unionByName(new_urls.select(*FRONTIER_COLS))
     )
-    new_seen = seen.unionByName(
-        new_urls.select(seen_key(F.col("url")).alias("seen_key"))
-    )
 
-    # round statistics over the fetched slice (reference counting semantics)
-    pages = pages_df(spark, sf_dir)
-    fetched_pages = pages.join(sched.select("url"), "url")
+    # round statistics over the fetched slice (reference counting semantics);
+    # checkpointed because round_statistics fans out into 7 aggregation
+    # branches — without it the pages ⨝ schedule join recomputes per branch
+    fetched_pages = (
+        pages.select(
+            "url",
+            "host",
+            "domain",
+            "tld",
+            "mime_detected",
+            "languages",
+            "status",
+        )
+        .join(sched.select("url"), "url")
+        .localCheckpoint(eager=False)
+    )
     stats = round_statistics(fetched_pages)
 
-    metrics = {
-        "round": rnd,
-        "n_scheduled": sched.count(),
-        "n_blocked": blocked.count(),
-        "n_discovered_new": new_urls.count(),
-        "n_frontier_pending": new_frontier.filter(
-            F.col("state") == "pending"
-        ).count(),
-        "n_seen": new_seen.count(),
-    }
-    store.commit(
+    def metrics_from_snapshot(read) -> dict:
+        return {
+            "round": rnd,
+            "n_scheduled": read("schedule").count(),
+            "n_blocked": read("blocked").count(),
+            "n_discovered_new": read("url_seen_delta").count(),
+            "n_frontier_pending": read("frontier")
+            .filter(F.col("state") == "pending")
+            .count(),
+            "n_seen": store.read_seen(spark, rnd).count(),
+        }
+
+    metrics = store.commit(
         rnd,
         {
-            "frontier": new_frontier.repartitionByRange(4, "surt_key"),
-            "url_seen": new_seen.repartitionByRange(4, "seen_key"),
+            "frontier": new_frontier.repartitionByRange(
+                n_partitions, "surt_key"
+            ),
+            "url_seen_delta": new_urls.select(
+                seen_key(F.col("url")).alias("seen_key")
+            ).repartitionByRange(n_partitions, "seen_key"),
             "host_ledger": ledger,
             "schedule": sched.select(
                 "round", "url", "host", "depth", "score", "rank"
             ),
+            "blocked": blocked.select("url", "host"),
             "round_stats": stats,
         },
-        metrics,
+        metrics_from_snapshot,
     )
     universe.unpersist()
-    sched.unpersist()
     return metrics

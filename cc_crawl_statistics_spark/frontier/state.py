@@ -58,15 +58,26 @@ class SnapshotStore:
     def read(self, spark: SparkSession, rnd: int, table: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._round_dir(rnd), table))
 
+    def read_seen(self, spark: SparkSession, upto_rnd: int) -> DataFrame:
+        """The URL-seen set as of a round: union of per-round append-only
+        deltas (the Iceberg-append pattern — each round adds one delta
+        instead of rewriting the 10^10-key set)."""
+        paths = [
+            os.path.join(self._round_dir(r), "url_seen_delta")
+            for r in range(upto_rnd + 1)
+        ]
+        return spark.read.parquet(*[p for p in paths if os.path.exists(p)])
+
     def manifest(self, rnd: int) -> dict:
         with open(os.path.join(self._round_dir(rnd), MANIFEST)) as f:
             return json.load(f)
 
-    def commit(
-        self, rnd: int, tables: dict[str, DataFrame], metrics: dict
-    ) -> None:
-        """Write all tables, then the manifest last (atomic rename) —
-        the snapshot-commit point."""
+    def commit(self, rnd: int, tables: dict[str, DataFrame], metrics) -> dict:
+        """Write all tables, then the manifest last (atomic rename) — the
+        snapshot-commit point. ``metrics`` may be a dict or a callable
+        ``(read: table_name -> DataFrame) -> dict`` evaluated *after* the
+        data is on disk, so metric counts scan written parquet instead of
+        re-executing the round's whole lineage."""
         rdir = self._round_dir(rnd)
         if os.path.exists(rdir):  # crashed, uncommitted attempt: redo
             if os.path.exists(os.path.join(rdir, MANIFEST)):
@@ -80,6 +91,13 @@ class SnapshotStore:
             lineage[name] = sorted(
                 f for f in os.listdir(path) if f.endswith(".parquet")
             )
+        if callable(metrics):
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            metrics = metrics(
+                lambda name: spark.read.parquet(os.path.join(rdir, name))
+            )
         tmp = os.path.join(rdir, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(
@@ -89,3 +107,4 @@ class SnapshotStore:
                 sort_keys=True,
             )
         os.replace(tmp, os.path.join(rdir, MANIFEST))
+        return metrics

@@ -1,0 +1,171 @@
+"""URL functions: urlparse-compatible host/scheme extraction, SURT
+canonicalization, public-suffix split, seen-key hashing.
+
+Two tiers, chosen per call site:
+  - JVM built-ins (``parse_url``, ``substring_index``) for the hot
+    analytical path — whole-stage codegen, no Python;
+  - Arrow-vectorized pandas UDFs wrapping ``urllib.parse`` for the
+    byte-compat tier, where outputs must match Python ``urlparse`` edge
+    cases exactly (reference behavior at crawlstats.py:493-499). Per
+    BASELINE.json input_hint these are pandas/Arrow UDFs — never
+    row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# JVM tier (codegen; default for aggregations)
+# ---------------------------------------------------------------------------
+
+
+def host_of(url):
+    """Host via built-in parse_url, lowercased, trailing dots stripped —
+    mirrors crawlstats.py:497-498."""
+    return F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"\.+$", ""
+    )
+
+
+def scheme_of(url):
+    return F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+
+
+IP_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"  # reference-lax (crawlstats.py:487)
+
+
+# ---------------------------------------------------------------------------
+# Arrow tier (urlparse byte-compat + SURT)
+# ---------------------------------------------------------------------------
+
+
+# pandas_udf construction needs an active SparkSession (DDL type parsing),
+# so the UDFs are built lazily and memoized
+
+
+@functools.lru_cache(maxsize=None)
+def urlparse_host():
+    @pandas_udf("string")
+    def _host(urls: pd.Series) -> pd.Series:
+        from urllib.parse import urlparse
+
+        def one(u):
+            if u is None:
+                return None
+            try:
+                h = urlparse(u).hostname
+            except ValueError:
+                return None
+            return h.rstrip(".") if h else None
+
+        return urls.map(one)
+
+    return _host
+
+
+@functools.lru_cache(maxsize=None)
+def urlparse_scheme():
+    @pandas_udf("string")
+    def _scheme(urls: pd.Series) -> pd.Series:
+        from urllib.parse import urlparse
+
+        return urls.map(
+            lambda u: urlparse(u).scheme.lower() if u is not None else None
+        )
+
+    return _scheme
+
+
+@functools.lru_cache(maxsize=None)
+def surt_key():
+    """SURT (Sort-friendly URI Reordering Transform) canonical key:
+    'tld,domain,...,sub)path?query' — host labels reversed, scheme and
+    leading www. dropped, default ports removed, case folded. Format per
+    the public SURT convention the reference's CDX input uses
+    (crawlstats.py:303-306, 776-777)."""
+
+    @pandas_udf("string")
+    def _surt(urls: pd.Series) -> pd.Series:
+        from urllib.parse import urlparse
+
+        def one(u):
+            if u is None:
+                return None
+            try:
+                p = urlparse(u)
+            except ValueError:
+                return None
+            host = (p.hostname or "").rstrip(".").lower()
+            if host.startswith("www."):
+                host = host[4:]
+            rev = ",".join(reversed(host.split(".")))
+            path = p.path or "/"
+            q = f"?{p.query}" if p.query else ""
+            return f"{rev}){path}{q}"
+
+        return urls.map(one)
+
+    return _surt
+
+
+def surt_domain_of(surt_key_col):
+    """SURT domain = the part before ')' (crawlstats.py:777)."""
+    return F.substring_index(surt_key_col, ")", 1)
+
+
+def seen_key_of(surt_key_col):
+    """64-bit URL-seen key over the canonical SURT form (xxhash64 —
+    Spark's built-in vectorized 64-bit hash)."""
+    return F.xxhash64(surt_key_col)
+
+
+# ---------------------------------------------------------------------------
+# public-suffix split (tldextract equivalent, crawlstats.py:509-521)
+# ---------------------------------------------------------------------------
+
+# minimal vendored public-suffix snapshot: enough for the fixture TLD pool +
+# common multi-label suffixes to exercise the longest-match logic. Production
+# swaps in the full PSL (publicsuffix.org) at dimension-build time.
+PUBLIC_SUFFIXES = (
+    "com org net de jp uk co.uk ac.uk com.au gov br com.br io dev app "
+    "edu gov mil info biz fr es it nl pl ru cn com.cn co.jp ne.jp or.jp"
+).split()
+
+
+def suffix_split(host_col):
+    """(registrable_domain, tld) via longest public-suffix match, expressed
+    as JVM-side expressions over the vendored suffix set: for each candidate
+    suffix length test membership; IP addresses → '(ip address)',
+    no match → '(invalid)' (mirrors crawlstats.py:513-521)."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+
+    def label_suffix(k: int):
+        # last k labels joined by '.'
+        return F.concat_ws(".", F.slice(parts, n - k + 1, k))
+
+    suffixes = set(PUBLIC_SUFFIXES)
+    two = label_suffix(2)
+    one = label_suffix(1)
+    is_ip = host_col.rlike(IP_RE)
+    suffix = (
+        F.when(two.isin(*suffixes) & (n >= 3), two)
+        .when(one.isin(*suffixes) & (n >= 2), one)
+        .otherwise(F.lit(None))
+    )
+    suffix_labels = F.when(suffix.isNotNull(), F.size(F.split(suffix, r"\.")))
+    domain = F.concat_ws(
+        ".",
+        F.slice(parts, n - suffix_labels, 1),
+        F.array(suffix),
+    )
+    tld = F.when(is_ip, F.lit("(ip address)")).otherwise(
+        F.coalesce(suffix, F.lit("(invalid)"))
+    )
+    registrable = F.when(is_ip | suffix.isNull(), F.lit(None)).otherwise(domain)
+    return registrable, tld

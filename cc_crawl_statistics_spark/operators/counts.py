@@ -48,24 +48,37 @@ def page_rows(pages: DataFrame) -> DataFrame:
 
 def crawl_size(pages: DataFrame) -> DataFrame:
     """A8: global per-crawl totals — the reference's ``size`` records
-    (crawlstats.py:757-763, 810-828), exact flavor."""
-    return (
-        with_flags(pages)
-        .groupBy("crawl")
-        .agg(
-            F.count("*").alias("fetches"),
-            F.sum(F.col("is_page").cast("long")).alias("pages"),
-            F.countDistinct(F.when(F.col("is_page"), F.col("url"))).alias("urls"),
-            F.countDistinct(F.when(F.col("is_page"), F.col("digest"))).alias(
-                "digests"
-            ),
-            F.countDistinct(F.when(F.col("is_page"), F.col("host"))).alias("hosts"),
-            F.countDistinct(F.when(F.col("is_page"), F.col("domain"))).alias(
-                "domains"
-            ),
-        )
-        .orderBy("crawl")
+    (crawlstats.py:757-763, 810-828), exact flavor.
+
+    Plan shape: one groupBy with 5 countDistinct columns would Expand every
+    row ×6 (~6× shuffle volume, measured 2-3× slower and poorly scaling).
+    Instead each distinct stream aggregates separately on its own pruned
+    column — shuffle volume is one column per stream, map-side partial
+    distinct collapses repeats — and the per-crawl scalars (≤126 rows each)
+    join back broadcast-style."""
+    flagged = with_flags(pages)
+    totals = flagged.groupBy("crawl").agg(
+        F.count("*").alias("fetches"),
+        F.sum(F.col("is_page").cast("long")).alias("pages"),
     )
+    prows = flagged.filter(F.col("is_page"))
+
+    def distinct_of(col: str, out: str) -> DataFrame:
+        return (
+            prows.select("crawl", col)
+            .groupBy("crawl")
+            .agg(F.countDistinct(col).alias(out))
+        )
+
+    out = totals
+    for col, name in (
+        ("url", "urls"),
+        ("digest", "digests"),
+        ("host", "hosts"),
+        ("domain", "domains"),
+    ):
+        out = out.join(distinct_of(col, name), "crawl")
+    return out.orderBy("crawl")
 
 
 def dim_counts(pages: DataFrame, dim, out: str | None = None) -> DataFrame:
@@ -74,10 +87,19 @@ def dim_counts(pages: DataFrame, dim, out: str | None = None) -> DataFrame:
     df = page_rows(pages)
     key = F.col(dim) if isinstance(dim, str) else dim
     name = out or (dim if isinstance(dim, str) else "key")
-    return (
+    # two-stage instead of count+countDistinct in one agg: the single-agg
+    # plan Expands every row ×2; this shape shuffles once on
+    # (crawl, dim, url) with map-side combine collapsing repeat fetches —
+    # the Spark-native equivalent of the reference's in-mapper per-SURT
+    # aggregation (crawlstats.py:728-801)
+    per_url = (
         df.select("crawl", key.alias(name), "url")
-        .groupBy("crawl", name)
-        .agg(F.count("*").alias("pages"), F.countDistinct("url").alias("urls"))
+        .groupBy("crawl", name, "url")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_url.groupBy("crawl", name)
+        .agg(F.sum("cnt").alias("pages"), F.count("*").alias("urls"))
         .orderBy("crawl", name)
     )
 
@@ -91,11 +113,7 @@ def domain_counts(pages: DataFrame) -> DataFrame:
     """A4: per-domain (pages, urls, hosts) — crawlstats.py:502, 522-526.
     Built on the host-level aggregate so the domain shuffle sees only
     host-cardinality rows."""
-    per_host = (
-        page_rows(pages)
-        .groupBy("crawl", "domain", "host")
-        .agg(F.count("*").alias("pages"), F.countDistinct("url").alias("urls"))
-    )
+    per_host = _per_host_rollup(pages, "domain")
     return (
         per_host.groupBy("crawl", "domain")
         .agg(
@@ -107,6 +125,23 @@ def domain_counts(pages: DataFrame) -> DataFrame:
     )
 
 
+def _per_host_rollup(pages: DataFrame, *extra_keys: str) -> DataFrame:
+    """Shared first rollup level: per (crawl, *extra_keys, host) pages and
+    unique urls, via the Expand-free two-stage shape (per-url pre-agg with
+    map-side combine, then per-host). Each subsequent level's shuffle
+    shrinks by the fan-in — the hierarchical cascade the reference builds
+    in-memory per SURT domain (crawlstats.py:502-528)."""
+    keys = ["crawl", *extra_keys, "host"]
+    per_url = (
+        page_rows(pages)
+        .groupBy(*keys, "url")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return per_url.groupBy(*keys).agg(
+        F.sum("cnt").alias("pages"), F.count("*").alias("urls")
+    )
+
+
 def tld_counts(pages: DataFrame) -> DataFrame:
     """A5: per-TLD (pages, urls, hosts, domains) — crawlstats.py:503, 525-528.
 
@@ -115,12 +150,12 @@ def tld_counts(pages: DataFrame) -> DataFrame:
     per host by construction anyway (the host is part of the URL).
     """
     per_domain = (
-        page_rows(pages)
+        _per_host_rollup(pages, "tld", "domain")
         .groupBy("crawl", "tld", "domain")
         .agg(
-            F.count("*").alias("pages"),
-            F.countDistinct("url").alias("urls"),
-            F.countDistinct("host").alias("hosts"),
+            F.sum("pages").alias("pages"),
+            F.sum("urls").alias("urls"),
+            F.count("*").alias("hosts"),
         )
     )
     return (
@@ -138,12 +173,12 @@ def tld_counts(pages: DataFrame) -> DataFrame:
 def surt_domain_counts(pages: DataFrame) -> DataFrame:
     """A6: per-SURT-domain (pages, urls, hosts) — crawlstats.py:628-629."""
     return (
-        page_rows(pages)
+        _per_host_rollup(pages, "surt_domain")
         .groupBy("crawl", "surt_domain")
         .agg(
-            F.count("*").alias("pages"),
-            F.countDistinct("url").alias("urls"),
-            F.countDistinct("host").alias("hosts"),
+            F.sum("pages").alias("pages"),
+            F.sum("urls").alias("urls"),
+            F.count("*").alias("hosts"),
         )
         .orderBy("crawl", "surt_domain")
     )
@@ -169,11 +204,15 @@ def http_status_histogram(pages: DataFrame) -> DataFrame:
 def robotstxt_status(pages: DataFrame) -> DataFrame:
     """A7 robots branch: robots.txt responses per status with unique URL
     twin count (crawlstats.py:553-560)."""
-    return (
+    per_url = (
         with_flags(pages)
         .filter(F.col("is_robotstxt"))
-        .groupBy("crawl", "status")
-        .agg(F.count("*").alias("responses"), F.countDistinct("url").alias("urls"))
+        .groupBy("crawl", "status", "url")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_url.groupBy("crawl", "status")
+        .agg(F.sum("cnt").alias("responses"), F.count("*").alias("urls"))
         .orderBy("crawl", "status")
     )
 
@@ -256,17 +295,21 @@ def new_items_per_crawl(pages: DataFrame) -> DataFrame:
     )
 
 
-def size_estimate(pages: DataFrame, rsd: float = 0.01) -> DataFrame:
+def size_estimate(pages: DataFrame, lgk: int = 14) -> DataFrame:
     """A10 probabilistic flavor: HLL-estimated distinct URLs/digests per
-    crawl (crawlstats.py:760-761, 825-828; HYPERLOGLOG_ERROR=.01 at :22).
-    Spark-native approx_count_distinct (HyperLogLog++)."""
+    crawl (crawlstats.py:760-761, 825-828; HYPERLOGLOG_ERROR=.01 at :22 —
+    lgk=14 gives ~0.8% RSE). Datasketches hll_sketch_agg: mergeable across
+    rounds/crawls, and deliberately NOT mixed with exact countDistinct in
+    the same agg — mixing forces an Expand (row multiplication per distinct
+    aggregate) that measured >10x slower than running them separately."""
     return (
         page_rows(pages)
         .groupBy("crawl")
         .agg(
-            F.approx_count_distinct("url", rsd).alias("urls_est"),
-            F.approx_count_distinct("digest", rsd).alias("digests_est"),
-            F.countDistinct("url").alias("urls_exact"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("url", lgk)).alias("urls_est"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("digest", lgk)).alias(
+                "digests_est"
+            ),
         )
         .orderBy("crawl")
     )

@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one broadcast of the query set,
+cosine fully inside codegen (zip_with + aggregate, no UDF). Scale path:
+random-hyperplane LSH bucketing so each query only scores its bucket's
+candidates (probing multiple buckets for recall).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(v):
+    return F.sqrt(_dot(v, v))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Plan: broadcast(queries) ⨯ emb →
+    cosine in codegen → per-query row_number ≤ k (TakeOrdered shape).
+
+    Scale: cost is |queries|·|corpus| — right when queries are a small batch
+    (broadcast side). For corpus-×-corpus use the LSH path."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (driver-side constants,
+    broadcast as literals into the plan)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_bucket(vec_col, planes: list[list[float]]):
+    """LSH bucket id = sign bits of the vector against each plane."""
+    bucket = F.lit(0).cast("long")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.expr(f"shiftleft(1L, {j})"))
+        bucket = bucket + F.coalesce(bit, F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's
+    hyperplane bucket. Recall is tuned by n_planes (fewer planes → bigger
+    buckets → higher recall & cost). Scale: the bucket equi-join replaces
+    the cross join — shuffle keyed on bucket, AQE handles bucket skew."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
+        hyperplane_bucket(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "bucket")
+        .orderBy("query_id", "rank")
+    )

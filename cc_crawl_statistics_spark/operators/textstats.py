@@ -1,0 +1,139 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting. All JVM-side (regexp/array built-ins); the only
+candidates for pandas UDFs here would be real tokenizers — the BPE-ish
+regex below stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+WS_TOKEN_RE = r"\S+"
+PUNCT_RE = r"[.,;:!?'\"()\[\]{}]"
+
+STOPWORDS = (
+    "the,and,of,to,a,in,is,it,that,for,on,with,as,was,at,by,an,be,this,"
+    "from,or,are,not,but,have,has,had"
+)
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counts: whitespace tokens and BPE-ish regex
+    tokens, plus char length. regexp_count is whole-stage codegen."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_actual"),
+        F.regexp_count(t, F.lit(WS_TOKEN_RE)).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(t, F.lit(TOKEN_RE)).cast("long").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals (permille-scaled integers so results are
+    float-exact across engines): punctuation ratio, stopword ratio, mean
+    word length, and a composite keep/drop flag in the C4/Gopher style."""
+    t = F.col(text_col)
+    n_tok = F.regexp_count(t, F.lit(WS_TOKEN_RE))
+    n_punct = F.regexp_count(t, F.lit(PUNCT_RE))
+    n_stop = F.regexp_count(
+        t, F.lit(r"(?i)\b(" + STOPWORDS.replace(",", "|") + r")\b")
+    )
+    n_chars = F.length(t)
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.cast("long").alias("n_tokens"),
+            F.floor(1000 * n_punct / F.greatest(n_chars, F.lit(1)))
+            .cast("long")
+            .alias("punct_permille"),
+            F.floor(1000 * n_stop / F.greatest(n_tok, F.lit(1)))
+            .cast("long")
+            .alias("stopword_permille"),
+            F.floor(10 * n_chars / F.greatest(n_tok, F.lit(1)))
+            .cast("long")
+            .alias("mean_wordlen_x10"),
+        )
+        .withColumn(
+            "keep",
+            (
+                (F.col("n_tokens") >= 10)
+                & (F.col("mean_wordlen_x10") >= 20)
+                & (F.col("mean_wordlen_x10") <= 120)
+            ).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# tiny per-language stopword profiles for the n-gram/stopword language-ID
+# heuristic (deterministic, vendored — no external model)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "la", "de", "que", "los", "es"],
+}
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: count profile hits per language
+    (codegen regexp_count), argmax with deterministic tie-break on the
+    language code; 'und' (undetermined) when no profile hits."""
+    t = F.lower(F.col(text_col))
+    scores = [
+        F.struct(
+            F.regexp_count(
+                t, F.lit(r"\b(" + "|".join(words) + r")\b")
+            ).alias("score"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    ]
+    # array_max compares struct fields in order: highest score wins, ties
+    # broken deterministically by the highest language code
+    best = F.array_max(F.array(*scores))
+    return docs.select(
+        "doc_id",
+        F.when(best.getField("score") > 0, best.getField("lang"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        best.getField("score").cast("long").alias("lang_score"),
+    ).orderBy("doc_id")
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprint: k-gram token hashes → min hash per
+    sliding window → distinct set, plus a single 64-bit rollup. Built from
+    array higher-order functions (transform/slice/array_min) — one pass,
+    no explode, no UDF."""
+    def positions(n):
+        # sequence(0, -1) would DESCEND in Spark — guard the empty case
+        return F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    words = F.split(F.lower(F.col(text_col)), "\\s+")
+    kgram_hashes = F.transform(
+        positions(F.size(words) - (k - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
+    )
+    mins = F.transform(
+        positions(F.size(kgram_hashes) - (window - 1)),
+        lambda i: F.array_min(F.slice(kgram_hashes, i + 1, window)),
+    )
+    fp_set = F.array_distinct(mins)
+    return docs.select(
+        "doc_id",
+        F.size(fp_set).alias("n_fingerprints"),
+        F.aggregate(
+            fp_set,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseXOR(x),
+        ).alias("fingerprint64"),
+    ).orderBy("doc_id")

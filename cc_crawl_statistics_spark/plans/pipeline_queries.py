@@ -1,0 +1,375 @@
+"""Training-data-pipeline query registry: dedup, similarity search, text
+analysis, multimodal plumbing, event analytics, frontier scheduling — each
+with a DuckDB oracle where SQL-expressible (rows-only otherwise).
+
+Same exactness conventions as queries.py: integer permille instead of float
+ratios, BIGINT casts on every DuckDB aggregate, identical column aliases.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..frontier.scheduler import first_round_schedule
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as SIM
+from ..operators import textstats as TX
+from ..sources.tables import load_table, pages_df
+from ..synth import (
+    CORPUS_SQL,
+    EMB_CORPUS_SQL_DUCK,
+    EMB_CORPUS_SQL_SPARK,
+    oracle_cte,
+)
+
+
+def corpus_df(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "documents").createOrReplaceTempView("documents")
+    return spark.sql(CORPUS_SQL)
+
+
+def emb_corpus_df(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(EMB_CORPUS_SQL_SPARK)
+
+
+def _corpus_oracle(body: str) -> str:
+    return f"WITH corpus AS ({CORPUS_SQL})\n{body}"
+
+
+def _emb_oracle(body: str) -> str:
+    return f"WITH emb AS ({EMB_CORPUS_SQL_DUCK})\n{body}"
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_dedup(corpus_df(spark, sf))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(corpus_df(spark, sf), threshold_permille=500)
+
+
+def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # xxhash64-based: no cross-engine oracle (rows-only check)
+    return D.minhash_lsh_pairs(corpus_df(spark, sf), jaccard_threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(corpus_df(spark, sf))
+
+
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash_near_pairs(corpus_df(spark, sf), max_hamming=3)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    return D.embedding_near_dup(emb_corpus_df(spark, sf), threshold_permille=990)
+
+
+def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = emb_corpus_df(spark, sf)
+    return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # plane constants not reproducible in SQL: rows-only
+    emb = emb_corpus_df(spark, sf)
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.token_stats(corpus_df(spark, sf))
+
+
+def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.quality_scores(corpus_df(spark, sf))
+
+
+def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.language_id(corpus_df(spark, sf))
+
+
+def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    # xxhash64-based: rows-only
+    return TX.fingerprint(corpus_df(spark, sf))
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    # mapInPandas plumbing: rows-only
+    docs = load_table(spark, sf, "documents")
+    return M.extract_features(M.synth_media(docs)).select(
+        "doc_id", "media_type", "n_bytes"
+    )
+
+
+def q_events_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.select(
+            F.floor(F.unix_timestamp("ts") / 300).alias("bucket"),
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("bucket", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("sum_cents"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        F.lag(F.unix_timestamp("ts")).over(w).alias("prev_epoch"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_epoch").isNull()
+            | (F.col("epoch") - F.col("prev_epoch") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    return first_round_schedule(pages_df(spark, sf))
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "language_id": q_language_id,
+    "fingerprint": q_fingerprint,
+    "media_features": q_media_features,
+    "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+    "frontier_schedule": q_frontier_schedule,
+}
+
+_TOKEN_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+_STOP_RE = r"(?i)\b(" + TX.STOPWORDS.replace(",", "|") + r")\b"
+
+_SHINGLES = r"""
+words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(greatest(len(w) - 2, 0)),
+                          i -> array_to_string(w[i+1:i+3], ' '))
+         ) AS s
+  FROM words
+),
+ex AS (SELECT doc_id, unnest(s) AS s FROM sh)
+"""
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "dedup_exact": _corpus_oracle(
+        """
+SELECT md5(text) AS digest,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
+FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY digest
+"""
+    ),
+    "ngram_jaccard": _corpus_oracle(
+        f""", {_SHINGLES},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+           JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1000 >= 500 * (sa.n + sb.n - inter)
+ORDER BY doc_a, doc_b
+"""
+    ),
+    "token_stats": _corpus_oracle(
+        f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_actual,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT)
+    AS n_bpe_tokens
+FROM corpus ORDER BY doc_id
+"""
+    ),
+    "quality_scores": _corpus_oracle(
+        f"""
+, m AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\S+')) AS n_tok,
+    len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{{}}]')) AS n_punct,
+    len(regexp_extract_all(text, '{_STOP_RE}')) AS n_stop,
+    length(text) AS n_chars
+  FROM corpus
+)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CAST(FLOOR(1000 * n_punct / greatest(n_chars, 1)) AS BIGINT)
+    AS punct_permille,
+  CAST(FLOOR(1000 * n_stop / greatest(n_tok, 1)) AS BIGINT)
+    AS stopword_permille,
+  CAST(FLOOR(10 * n_chars / greatest(n_tok, 1)) AS BIGINT)
+    AS mean_wordlen_x10,
+  CAST(n_tok >= 10
+       AND FLOOR(10 * n_chars / greatest(n_tok, 1)) >= 20
+       AND FLOOR(10 * n_chars / greatest(n_tok, 1)) <= 120 AS INT) AS keep
+FROM m ORDER BY doc_id
+"""
+    ),
+    "language_id": _corpus_oracle(
+        """
+, scores AS (
+  SELECT doc_id, 'de' AS lang,
+         len(regexp_extract_all(lower(text),
+             '\\b(der|die|und|das|ist|nicht)\\b')) AS score FROM corpus
+  UNION ALL
+  SELECT doc_id, 'en',
+         len(regexp_extract_all(lower(text),
+             '\\b(the|and|of|to|in|is)\\b')) FROM corpus
+  UNION ALL
+  SELECT doc_id, 'es',
+         len(regexp_extract_all(lower(text),
+             '\\b(el|la|de|que|los|es)\\b')) FROM corpus
+  UNION ALL
+  SELECT doc_id, 'fr',
+         len(regexp_extract_all(lower(text),
+             '\\b(le|la|et|les|des|est)\\b')) FROM corpus
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       CAST(score AS BIGINT) AS lang_score
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+    ),
+    "embedding_near_dup": _emb_oracle(
+        """
+, n AS (
+  SELECT vec_id, embedding AS v,
+         sqrt(list_dot_product(embedding, embedding)) AS nn
+  FROM emb
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(FLOOR(1000 * list_dot_product(a.v, b.v) / (a.nn * b.nn)) AS BIGINT)
+    AS cos_permille
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE FLOOR(1000 * list_dot_product(a.v, b.v) / (a.nn * b.nn)) >= 990
+ORDER BY vec_a, vec_b
+"""
+    ),
+    "ann_topk": _emb_oracle(
+        """
+, n AS (
+  SELECT vec_id, embedding AS v,
+         sqrt(list_dot_product(embedding, embedding)) AS nn
+  FROM emb
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.nn * c.nn) AS cos
+  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+    ),
+    "events_windowed": """
+SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+""",
+    "events_sessionize": """
+WITH gaps AS (
+  SELECT user_id, event_id, epoch(ts) AS e,
+         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_e
+  FROM events
+),
+flags AS (
+  SELECT user_id,
+         CASE WHEN prev_e IS NULL OR e - prev_e > 1800 THEN 1 ELSE 0 END
+           AS new_session
+  FROM gaps
+)
+SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM flags GROUP BY user_id ORDER BY user_id
+""",
+    "frontier_schedule": oracle_cte(
+        """
+, uni AS (
+  SELECT url, MIN(host) AS host, MIN(doc_id) AS doc_id
+  FROM pages GROUP BY url
+),
+seeds AS (
+  SELECT url, host, 0 AS depth, (doc_id * 37) % 100 AS score
+  FROM uni WHERE doc_id % 7 = 0
+),
+led AS (
+  SELECT host,
+    CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
+         THEN 403 ELSE 200 END AS robots,
+    1 + CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 4 AS budget
+  FROM (SELECT DISTINCT host FROM uni)
+),
+ranked AS (
+  SELECT s.url, s.host, s.depth, s.score, l.budget,
+         row_number() OVER (PARTITION BY s.host
+                            ORDER BY s.depth, s.score DESC, s.url) AS rank
+  FROM seeds s JOIN led l ON s.host = l.host
+  WHERE l.robots <> 403
+)
+SELECT url, host, CAST(depth AS BIGINT) AS depth,
+       CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= budget ORDER BY host, rank
+"""
+    ),
+}

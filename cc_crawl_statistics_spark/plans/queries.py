@@ -383,3 +383,10 @@ FROM ranked ORDER BY crawl, rank
     ),
     # size_estimate: HLL sketch — intentionally no SQL oracle (rows-only)
 }
+
+# merge in the training-data-pipeline registry (dedup / similarity / text /
+# multimodal / events / frontier)
+from .pipeline_queries import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
+
+QUERIES.update(PIPELINE_QUERIES)
+ORACLES.update(PIPELINE_ORACLES)

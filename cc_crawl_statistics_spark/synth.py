@@ -35,20 +35,20 @@ from __future__ import annotations
 #   25% of urls re-fetched in the following crawl -> overlap / new-items
 #   4% robots.txt records -> routed out of page stats
 #   non-200 statuses -> only http_status histogram
-PAGES_SQL = """
+_PAGES_TEMPLATE = """
 WITH u AS (
   SELECT
     doc_id,
     lang,
     doc_id % 3 AS crawl_slot,
-    CASE WHEN (doc_id % 40) % 5 = 0 THEN 'com'
-         WHEN (doc_id % 40) % 5 = 1 THEN 'org'
-         WHEN (doc_id % 40) % 5 = 2 THEN 'net'
-         WHEN (doc_id % 40) % 5 = 3 THEN 'de'
+    CASE WHEN (doc_id % {hp}) % 5 = 0 THEN 'com'
+         WHEN (doc_id % {hp}) % 5 = 1 THEN 'org'
+         WHEN (doc_id % {hp}) % 5 = 2 THEN 'net'
+         WHEN (doc_id % {hp}) % 5 = 3 THEN 'de'
          ELSE 'jp' END AS tld,
-    (doc_id % 40) % 12 AS site_id,
-    CASE WHEN doc_id % 120 < 40 THEN 'www.'
-         WHEN doc_id % 120 < 80 THEN ''
+    (doc_id % {hp}) % {sp} AS site_id,
+    CASE WHEN doc_id % {hp3} < {hp} THEN 'www.'
+         WHEN doc_id % {hp3} < {hp2} THEN ''
          ELSE 'cdn.' END AS sub,
     CASE WHEN doc_id % 10 < 8 THEN 'https' ELSE 'http' END AS scheme,
     '/page/' || CAST(doc_id AS STRING) || '.html' AS path
@@ -103,9 +103,88 @@ FROM f
 """
 
 
-def pages_view_sql(documents_rel: str = "documents") -> str:
-    """PAGES_SQL with the documents relation name substituted."""
-    return PAGES_SQL.replace("FROM documents", f"FROM {documents_rel}")
+def pages_sql(host_pool: int = 40, site_pool: int = 12) -> str:
+    """Render the derivation for a given host/site cardinality. The default
+    (40 hosts / 12 sites) is the oracle-compared fixture shape; the bench
+    path uses much larger pools so per-host politeness budgets don't cap the
+    schedulable volume unrealistically."""
+    return _PAGES_TEMPLATE.format(
+        hp=host_pool, sp=site_pool, hp2=2 * host_pool, hp3=3 * host_pool
+    )
+
+
+# the oracle-compared fixture derivation (fixed shape, shared with DuckDB)
+PAGES_SQL = pages_sql()
+
+
+def scaled_documents_sql(factor: int, documents_rel: str = "documents") -> str:
+    """Deterministically widen the document universe by ``factor`` for
+    benchmarking: each source row becomes ``factor`` rows with distinct
+    doc_ids (doc_id*factor + i), so the derived pages table and the frontier
+    universe grow linearly while staying fully reproducible (no random
+    state, no external data). Spark-only (bench path, not oracle-compared).
+    """
+    return f"""
+SELECT d.doc_id * {factor} + r.i AS doc_id,
+       d.lang, d.source, d.n_chars,
+       d.text AS text
+FROM {documents_rel} d
+LATERAL VIEW explode(sequence(0, {factor - 1})) r AS i
+"""
+
+
+# Deduplication test corpus: documents + injected exact duplicates and
+# near-duplicates (tail-padded copies). Dialect-neutral like PAGES_SQL so
+# dedup/text queries get exact DuckDB oracles. Injected ids are offset far
+# above the real id range.
+CORPUS_SQL = """
+SELECT doc_id, text, lang, source FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text, lang, source
+FROM documents WHERE doc_id % 17 = 0
+UNION ALL
+SELECT doc_id + 2000000 AS doc_id,
+       text || ' trailing filler words appended' AS text, lang, source
+FROM documents WHERE doc_id % 13 = 0
+"""
+
+# Embedding corpus with injected duplicates: exact copies (cosine = 1) and
+# direction-shifted copies (each component +0.25 → high-but-not-1 cosine).
+# Components are cast to double BEFORE arithmetic in both engines.
+EMB_CORPUS_SQL_SPARK = """
+SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id,
+       transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+FROM embeddings WHERE vec_id % 11 = 0
+UNION ALL
+SELECT vec_id + 2000000 AS vec_id,
+       transform(embedding, x -> CAST(x AS DOUBLE) + 0.25) AS embedding
+FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+EMB_CORPUS_SQL_DUCK = """
+SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS embedding
+FROM embeddings WHERE vec_id % 11 = 0
+UNION ALL
+SELECT vec_id + 2000000 AS vec_id,
+       list_transform(embedding::DOUBLE[], x -> x + 0.25) AS embedding
+FROM embeddings WHERE vec_id % 7 = 0
+"""
+
+
+def pages_view_sql(
+    documents_rel: str = "documents",
+    host_pool: int = 40,
+    site_pool: int = 12,
+) -> str:
+    """Derivation SQL with the documents relation name substituted."""
+    return pages_sql(host_pool, site_pool).replace(
+        "FROM documents", f"FROM {documents_rel}"
+    )
 
 
 def oracle_cte(body_sql: str) -> str:

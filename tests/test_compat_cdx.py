@@ -1,0 +1,144 @@
+"""CDX ingest + wire-format compat: golden round-trips and codec pins."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.dims import crawl_date
+from cc_crawl_statistics_spark.operators.counts import host_counts
+from cc_crawl_statistics_spark.sources import compat
+from cc_crawl_statistics_spark.sources.cdx import parse_cdx_lines, read_cdx
+from cc_crawl_statistics_spark.sources.tables import pages_df
+from tests.conftest import SF_SMOKE
+
+CDX_FIXTURE = [
+    # sorted by SURT key; JSON metadata like the reference input
+    'org,example)/ 20240301120000 {"url": "https://example.org/", '
+    '"status": "200", "mime": "text/html", "mime-detected": "text/html", '
+    '"languages": "en", "digest": "AAA", "filename": "seg/warc/p0.warc.gz"}',
+    'org,example)/about 20240301120001 {"url": "https://example.org/about", '
+    '"status": "404", "mime": "text/html", "digest": "BBB", '
+    '"filename": "seg/warc/p0.warc.gz"}',
+    'org,example)/robots.txt 20240301120002 '
+    '{"url": "https://example.org/robots.txt", "status": "200", '
+    '"filename": "seg/robotstxt/p0.warc.gz"}',
+    "uk,co,site)/ 20240301120003 "
+    '{"url": "http://site.co.uk/", "status": "200", "mime": "Text/HTML", '
+    '"digest": "AAA", "filename": "seg/warc/p1.warc.gz"}',
+    "zz,broken)/ 20240301120004 {not json",
+    "1,2,0,10)/ 20240301120005 "
+    '{"url": "http://10.0.2.1/", "status": "200", '
+    '"filename": "seg/warc/p1.warc.gz"}',
+]
+
+
+def test_cdx_parse(spark):
+    lines = spark.createDataFrame([(x,) for x in CDX_FIXTURE], "value string")
+    parsed = parse_cdx_lines(lines).toPandas().set_index("surt_key")
+    assert parsed.is_valid.sum() == 5  # malformed JSON row flagged
+    row = parsed.loc["org,example)/"]
+    assert row.host == "example.org" and row.scheme == "https"
+    assert row.domain == "example.org" and row.tld == "org"
+    assert row.status == 200
+    uk = parsed.loc["uk,co,site)/"]
+    assert uk.tld == "co.uk" and uk.domain == "site.co.uk"  # longest suffix
+    ip = parsed.loc["1,2,0,10)/"]
+    assert ip.tld == "(ip address)"
+    bad = parsed[~parsed.is_valid]
+    assert len(bad) == 1
+
+
+def test_cdx_to_stats_pipeline(spark, tmp_path):
+    path = tmp_path / "cdx-00000"
+    path.write_text("\n".join(CDX_FIXTURE) + "\n")
+    pages = read_cdx(spark, str(path), "CC-MAIN-2024-10")
+    assert pages.count() == 5
+    hc = host_counts(pages).toPandas()
+    # status-200 non-robots pages: example.org/, site.co.uk/, IP host
+    assert set(hc.host) == {"example.org", "site.co.uk", "10.0.2.1"}
+
+
+def test_compress_counts_reference_semantics():
+    # pins from the reference's documented behavior (crawlstats.py:388-397)
+    assert compat.compress_counts([5, 5]) == 5
+    assert compat.compress_counts([5, 4, 4]) == [5, 4]
+    assert compat.compress_counts([3]) == 3
+    assert compat.compress_counts([1, 2, 3]) == [1, 2, 3]
+    assert compat.expand_counts(5, 3) == [5, 5, 5]
+    assert compat.expand_counts([5, 4], 4) == [5, 4, 4, 4]
+    # ragged merge (reference tests/test_crawlstat.py:96-105 equivalents)
+    assert compat.merge_compressed([5, [3, 2]]) == [8, 7]
+    assert compat.merge_compressed([[2, 1], [3, 2], 1]) == [6, 4]
+    assert compat.merge_compressed([1, 1]) == 2
+
+
+def test_wire_format_roundtrip(spark):
+    stats = host_counts(pages_df(spark, SF_SMOKE)).select(
+        F.lit("host").alias("type"),
+        F.col("host").alias("key"),
+        "crawl",
+        "pages",
+        "urls",
+    )
+    lines = compat.emit_stats_lines(stats)
+    sample = lines.limit(5).collect()
+    for r in sample:
+        k, v = r.line.split("\t")
+        t, key, crawl = json.loads(k)
+        assert t == "host" and crawl.startswith("CC-MAIN-")
+        val = json.loads(v)
+        assert isinstance(val, (int, list))
+    back = compat.read_stats_lines(
+        lines.withColumnRenamed("line", "value")
+    ).toPandas()
+    orig = stats.toPandas()
+    merged = back.merge(
+        orig, on=["type", "key", "crawl"], suffixes=("_rt", "")
+    )
+    assert len(merged) == len(orig) == len(back)
+    assert (merged.pages_rt == merged.pages).all()
+    assert (merged.urls_rt == merged.urls).all()
+
+
+def test_wire_format_golden_bytes(spark):
+    """Byte-exact golden: emitted lines equal an independently-formatted
+    pandas computation over the same pages fixture."""
+    pages = pages_df(spark, SF_SMOKE).toPandas()
+    p = pages[
+        (pages.status == 200) & ~pages.warc_filename.str.contains("/robotstxt/")
+    ]
+    g = (
+        p.groupby(["crawl", "scheme"])
+        .agg(pages=("url", "size"), urls=("url", "nunique"))
+        .reset_index()
+    )
+    expected = []
+    for _, r in g.iterrows():
+        val = (
+            int(r.pages)
+            if r.pages == r.urls
+            else [int(r.pages), int(r.urls)]
+        )
+        expected.append(
+            json.dumps(["scheme", r.scheme, r.crawl]) + "\t" + json.dumps(val)
+        )
+    expected = sorted(expected)
+
+    from cc_crawl_statistics_spark.operators.counts import scheme_counts
+
+    stats = scheme_counts(pages_df(spark, SF_SMOKE)).select(
+        F.lit("scheme").alias("type"),
+        F.col("scheme").alias("key"),
+        "crawl",
+        "pages",
+        "urls",
+    )
+    got = [r.line for r in compat.emit_stats_lines(stats).collect()]
+    assert got == expected
+
+
+def test_crawl_date():
+    d = crawl_date("CC-MAIN-2024-10")
+    assert d.isoweekday() == 1 and d.isocalendar()[1] == 10

@@ -77,6 +77,14 @@ def test_robots_routed_out_of_page_stats(spark):
 
 
 def test_size_estimate_within_error(spark):
-    est = C.size_estimate(pages_df(spark, SF_SMOKE)).toPandas()
-    rel_err = (est.urls_est - est.urls_exact).abs() / est.urls_exact
+    p = pages_df(spark, SF_SMOKE)
+    est = C.size_estimate(p).toPandas().set_index("crawl")
+    exact = (
+        C.page_rows(p)
+        .groupBy("crawl")
+        .agg(F.countDistinct("url").alias("urls"))
+        .toPandas()
+        .set_index("crawl")
+    )
+    rel_err = (est.urls_est - exact.urls).abs() / exact.urls
     assert (rel_err < 0.05).all()

@@ -1,0 +1,97 @@
+"""Semantic tests for dedup / similarity / text / multimodal operators:
+the synth corpus injects known duplicates (synth.CORPUS_SQL), so recall of
+those planted pairs is checkable exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.operators import dedup as D
+from cc_crawl_statistics_spark.operators import multimodal as M
+from cc_crawl_statistics_spark.operators import similarity as SIM
+from cc_crawl_statistics_spark.plans.pipeline_queries import (
+    corpus_df,
+    emb_corpus_df,
+)
+from cc_crawl_statistics_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    groups = D.exact_dedup(corpus_df(spark, SF_SMOKE)).toPandas()
+    # every doc_id % 17 == 0 has an exact copy at +1000000
+    expected = len([d for d in range(500) if d % 17 == 0])
+    assert len(groups) == expected
+    assert (groups.n_docs == 2).all()
+    assert (groups.canonical_doc_id < 1000000).all()
+
+
+def test_minhash_recalls_planted_near_dups(spark):
+    pairs = D.minhash_lsh_pairs(
+        corpus_df(spark, SF_SMOKE), jaccard_threshold=0.5
+    ).toPandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b, strict=True))
+    exact = {(d, d + 1000000) for d in range(500) if d % 17 == 0}
+    near = {(d, d + 2000000) for d in range(500) if d % 13 == 0}
+    assert exact <= found, "missed exact copies"
+    recall = len(near & found) / len(near)
+    assert recall >= 0.9, f"near-dup recall {recall}"
+
+
+def test_simhash_pairs_find_exact_copies(spark):
+    pairs = D.simhash_near_pairs(corpus_df(spark, SF_SMOKE)).toPandas()
+    found = set(zip(pairs.doc_a, pairs.doc_b, strict=True))
+    exact = {(d, d + 1000000) for d in range(500) if d % 17 == 0}
+    assert exact <= found
+    zero = pairs[[a + 1000000 == b for a, b in zip(pairs.doc_a, pairs.doc_b, strict=True)]]
+    assert (zero.hamming == 0).all()
+
+
+def test_embedding_near_dup_finds_exact_copies(spark):
+    pairs = D.embedding_near_dup(
+        emb_corpus_df(spark, SF_SMOKE), threshold_permille=990
+    ).toPandas()
+    found = set(zip(pairs.vec_a, pairs.vec_b, strict=True))
+    exact = {(v, v + 1000000) for v in range(500) if v % 11 == 0}
+    assert exact <= found
+    # exact copies: cosine ≈ 1.0; d/(√d·√d) wobbles one ulp below 1 for
+    # some vectors, so floor gives 999 or 1000 (identically in both engines)
+    ex = pairs[[a + 1000000 == b for a, b in zip(pairs.vec_a, pairs.vec_b, strict=True)]]
+    assert (ex.cos_permille >= 999).all()
+
+
+def test_lsh_topk_agrees_with_brute_force_at_rank1(spark):
+    emb = emb_corpus_df(spark, SF_SMOKE)
+    q = emb.filter(F.col("vec_id").isin([0, 11, 22]))
+    bf = SIM.brute_force_topk(emb, q, k=1).toPandas().set_index("query_id")
+    lsh = SIM.lsh_topk(emb, q, k=1).toPandas().set_index("query_id")
+    # LSH is approximate: require that when it returns a rank-1 neighbor for
+    # a query with a planted exact copy, it's the right one
+    for qid in (0, 11, 22):
+        if qid % 11 == 0 and qid in lsh.index:
+            # exact copy shares every hyperplane bucket → must be found
+            assert lsh.loc[qid].neighbor_id == bf.loc[qid].neighbor_id
+
+
+def test_media_feature_plumbing(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    feats = M.extract_features(M.synth_media(docs)).toPandas()
+    assert len(feats) == 500
+    assert set(feats.media_type) == {"image", "audio", "video"}
+    assert (feats.n_bytes == 32).all()  # sha256 payload stub
+    assert all(len(f) == 8 for f in feats.feature)
+    assert all(abs(sum(f) - 1.0) < 1e-5 for f in feats.feature)
+
+
+def test_frame_sample_plan(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = M.frame_sample_plan(M.synth_media(docs), every_ms=10000).toPandas()
+    assert (plan.frame_ts_ms % 10000 == 0).all()
+    assert plan.doc_id.nunique() > 100
+
+
+def test_decode_stub_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.decode_payload(b"x", "image")

@@ -50,7 +50,7 @@ def test_three_rounds_bit_for_bit(spark, store):
         assert schedule_rows(spark, store, rnd) == model_rows(msched)
     # URL-seen set identical (compared in the hashed key domain)
     spark_seen = {
-        r.seen_key for r in store.read(spark, 3, "url_seen").collect()
+        r.seen_key for r in store.read_seen(spark, 3).collect()
     }
     model_seen = {
         r.k
