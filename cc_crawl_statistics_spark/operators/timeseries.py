@@ -107,15 +107,19 @@ def crawl_overlap(pages: DataFrame) -> DataFrame:
 
 
 def trailing_union(size_by_crawl: DataFrame, n: int) -> DataFrame:
-    """W4/W5: trailing-N-crawl page sums + URL/page ratio
-    (crawl_size.py:121-155). NULL until N crawls exist, like the
-    reference's 'nan'."""
+    """W4/W5: trailing-N-crawl page sums (crawl_size.py:121-155). The
+    reference emits 'nan' until N crawls exist; we emit 0 (kept non-null so
+    cross-engine comparisons never hit NULL→NaN pandas coercion)."""
     w = Window.orderBy("crawl").rowsBetween(-(n - 1), 0)
     cnt = F.count("*").over(w)
     return size_by_crawl.select(
         "crawl",
-        F.when(cnt >= n, F.sum("pages").over(w)).alias(f"pages_last_{n}"),
-        F.when(cnt >= n, F.sum("urls").over(w)).alias(f"urls_last_{n}"),
+        F.when(cnt >= n, F.sum("pages").over(w))
+        .otherwise(0)
+        .alias(f"pages_last_{n}"),
+        F.when(cnt >= n, F.sum("urls").over(w))
+        .otherwise(0)
+        .alias(f"urls_last_{n}"),
     ).orderBy("crawl")
 
 
@@ -141,18 +145,146 @@ def domain_coverage(domain_counts: DataFrame) -> DataFrame:
     ).orderBy("crawl", "rank")
 
 
+def top_n_with_other(
+    counts: DataFrame, key: str, n: int, min_total: int = 0
+) -> DataFrame:
+    """A20 (table.py:49-118): keep the top-N keys by total pages across
+    crawls (with a minimum-total floor), map the rest to '<other>', and
+    re-aggregate per crawl. Two shuffles: the global ranking is over the
+    already-aggregated key dimension, then one re-aggregation."""
+    totals = (
+        counts.groupBy(key)
+        .agg(F.sum("pages").alias("total_pages"), F.sum("urls").alias("total_urls"))
+    )
+    w = Window.orderBy(
+        F.desc("total_pages"), F.desc("total_urls"), F.desc(key)
+    )
+    keep = totals.withColumn("r", F.row_number().over(w)).filter(
+        (F.col("r") <= n) & (F.col("total_pages") >= min_total)
+    )
+    tagged = counts.join(
+        F.broadcast(keep.select(key)), key, "left_semi"
+    ).unionByName(
+        counts.join(F.broadcast(keep.select(key)), key, "left_anti").withColumn(
+            key, F.lit("<other>")
+        )
+    )
+    return (
+        tagged.groupBy("crawl", key)
+        .agg(F.sum("pages").alias("pages"), F.sum("urls").alias("urls"))
+        .orderBy("crawl", key)
+    )
+
+
+def share_of_total(counts: DataFrame, key: str) -> DataFrame:
+    """A22 (table.py:128-135): each key's share of its crawl's pages, as
+    integer permille via a windowed total."""
+    total = Window.partitionBy("crawl")
+    return counts.select(
+        "crawl",
+        key,
+        "pages",
+        F.floor(F.lit(1000) * F.col("pages") / F.sum("pages").over(total))
+        .cast("long")
+        .alias("share_permille"),
+    ).orderBy("crawl", key)
+
+
+def pages_by_year(size: DataFrame) -> DataFrame:
+    """A21 (crawl_size.py:278-283): crawl → year rollup."""
+    year = F.substring(F.col("crawl"), 9, 4).cast("int")
+    return (
+        size.select(year.alias("year"), "fetches", "pages")
+        .groupBy("year")
+        .agg(F.sum("fetches").alias("fetches"), F.sum("pages").alias("pages"))
+        .orderBy("year")
+    )
+
+
+def spearman_rank_x1000(
+    counts: DataFrame, key: str, col_a: str = "pages", col_b: str = "urls"
+) -> DataFrame:
+    """A23 (tld.py:187-229): Spearman rank correlation between two measures
+    over the key dimension, per crawl — via the exact rank-difference
+    formula 1 − 6·Σd²/(n(n²−1)), integers until one final division, scaled
+    ×1000 and floored (bit-identical across engines). Ranks tie-break on
+    the key, matching the reference's pandas default of deterministic
+    ordering on equal values."""
+    wa = Window.partitionBy("crawl").orderBy(F.desc(col_a), F.asc(key))
+    wb = Window.partitionBy("crawl").orderBy(F.desc(col_b), F.asc(key))
+    ranked = counts.select(
+        "crawl",
+        key,
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    return (
+        ranked.groupBy("crawl")
+        .agg(F.sum(d2).alias("sum_d2"), F.count("*").alias("n"))
+        .select(
+            "crawl",
+            "n",
+            F.floor(
+                1000
+                - F.lit(6000)
+                * F.col("sum_d2")
+                / (F.col("n") * (F.col("n") * F.col("n") - 1))
+            )
+            .cast("long")
+            .alias("spearman_x1000"),
+        )
+        .orderBy("crawl")
+    )
+
+
+def cumulative_distinct_estimates(pages: DataFrame, lgk: int = 14) -> DataFrame:
+    """W2/W3 (crawl_size.py:98-119): cumulative distinct URLs over crawls
+    via running HLL-sketch unions, and new-items-per-crawl as the delta of
+    consecutive cumulative estimates (clamped at 0). The sketches are the
+    mergeable state — each crawl aggregates once, the running union happens
+    on the ≤126-row crawl dimension."""
+    per_crawl = (
+        page_rows(pages)
+        .groupBy("crawl")
+        .agg(F.hll_sketch_agg("url", F.lit(lgk)).alias("sk"))
+    )
+    w = Window.orderBy("crawl").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_crawl.select(
+        "crawl",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "cum_urls_est"
+        ),
+    )
+    return cum.select(
+        "crawl",
+        "cum_urls_est",
+        F.greatest(
+            F.col("cum_urls_est")
+            - F.coalesce(
+                F.lag("cum_urls_est").over(Window.orderBy("crawl")), F.lit(0)
+            ),
+            F.lit(0),
+        ).alias("new_urls_est"),
+    ).orderBy("crawl")
+
+
 def pseudo_log_histogram(counts: DataFrame, col: str) -> DataFrame:
     """W10: pseudo-log bins 1,2,5,10,20,50,... (histogram.py:29-32).
-    Bin = largest edge ≤ value, computed closed-form from log10."""
-    v = F.col(col).cast("double")
-    p = F.floor(F.log10(v))
-    mant = v / F.pow(F.lit(10.0), p)
+    Bin = largest edge ≤ value. Integer-only arithmetic (the power of ten
+    comes from the decimal string length), so results are bit-identical
+    across engines — no libm log10 at bin boundaries."""
+    v = F.col(col).cast("long")
+    p10 = F.expr(
+        f"CAST(power(10, length(CAST({col} AS STRING)) - 1) AS BIGINT)"
+    )
+    mant = (v / p10).cast("long")
     edge = (
-        F.when(mant >= 5, 5).when(mant >= 2, 2).otherwise(1)
-        * F.pow(F.lit(10.0), p)
+        F.when(mant >= 5, 5).when(mant >= 2, 2).otherwise(1) * p10
     ).cast("long")
     return (
-        counts.select(edge.alias("bin"))
+        counts.filter(v > 0)
+        .select(edge.alias("bin"))
         .groupBy("bin")
         .agg(F.count("*").alias("n"))
         .orderBy("bin")

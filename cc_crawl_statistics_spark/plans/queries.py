@@ -146,6 +146,57 @@ def q_domain_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return TS.domain_coverage(C.domain_counts(pages_df(spark, sf)))
 
 
+def q_top_mime_other(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.top_n_with_other(
+        C.mimetype_counts(pages_df(spark, sf)), "mimetype", n=3
+    )
+
+
+def q_mime_share(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.share_of_total(C.mimetype_counts(pages_df(spark, sf)), "mimetype")
+
+
+def q_pages_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.pages_by_year(C.crawl_size(pages_df(spark, sf)))
+
+
+def q_spearman_tld(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.spearman_rank_x1000(C.tld_counts(pages_df(spark, sf)), "tld")
+
+
+def q_trailing_2(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.trailing_union(C.crawl_size(pages_df(spark, sf)), n=2)
+
+
+def q_host_pages_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.pseudo_log_histogram(C.host_counts(pages_df(spark, sf)), "pages")
+
+
+def q_tld_classified(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..dims import tld_dim
+
+    counts = C.tld_counts(pages_df(spark, sf))
+    dim = tld_dim(spark)
+    return (
+        counts.join(F.broadcast(dim), "tld", "left")
+        .withColumn("tld_type", F.coalesce("tld_type", F.lit("-")))
+        .groupBy("crawl", "tld_type")
+        .agg(
+            F.sum("pages").alias("pages"),
+            F.sum("urls").alias("urls"),
+            F.sum("domains").alias("domains"),
+        )
+        .orderBy("crawl", "tld_type")
+    )
+
+
+def q_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    # sketch-based running union: rows-only (no SQL oracle)
+    return TS.cumulative_distinct_estimates(pages_df(spark, sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -173,6 +224,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_ratio": q_dup_ratio,
     "size_estimate": q_size_estimate,
     "domain_coverage": q_domain_coverage,
+    "top_mime_other": q_top_mime_other,
+    "mime_share": q_mime_share,
+    "pages_by_year": q_pages_by_year,
+    "spearman_tld": q_spearman_tld,
+    "trailing_2": q_trailing_2,
+    "host_pages_histogram": q_host_pages_histogram,
+    "tld_classified": q_tld_classified,
+    "cumulative_distinct": q_cumulative_distinct,
 }
 
 _MIME_NORM = (
@@ -383,6 +442,143 @@ FROM ranked ORDER BY crawl, rank
     ),
     # size_estimate: HLL sketch — intentionally no SQL oracle (rows-only)
 }
+
+_MIME_CTE = f"""
+mc AS (
+  SELECT crawl, {_MIME_NORM.format(c="mime")} AS mimetype,
+         COUNT(*) AS pages, COUNT(DISTINCT url) AS urls
+  FROM prows GROUP BY crawl, mimetype
+)
+"""
+
+_TLD_CTE = """
+per_domain AS (
+  SELECT crawl, tld, domain, COUNT(*) AS pages,
+         COUNT(DISTINCT url) AS urls, COUNT(DISTINCT host) AS hosts
+  FROM prows GROUP BY crawl, tld, domain
+),
+tc AS (
+  SELECT crawl, tld, SUM(pages) AS pages, SUM(urls) AS urls,
+         COUNT(*) AS domains
+  FROM per_domain GROUP BY crawl, tld
+)
+"""
+
+ORACLES.update(
+    {
+        "top_mime_other": _oracle(
+            f""", {_MIME_CTE},
+tot AS (
+  SELECT mimetype, SUM(pages) AS tp, SUM(urls) AS tu
+  FROM mc GROUP BY mimetype
+),
+keep AS (
+  SELECT mimetype FROM (
+    SELECT mimetype,
+           row_number() OVER (ORDER BY tp DESC, tu DESC, mimetype DESC) AS r
+    FROM tot
+  ) WHERE r <= 3
+),
+tagged AS (
+  SELECT crawl,
+         CASE WHEN mimetype IN (SELECT mimetype FROM keep)
+              THEN mimetype ELSE '<other>' END AS mimetype,
+         pages, urls
+  FROM mc
+)
+SELECT crawl, mimetype, CAST(SUM(pages) AS BIGINT) AS pages,
+       CAST(SUM(urls) AS BIGINT) AS urls
+FROM tagged GROUP BY crawl, mimetype ORDER BY crawl, mimetype
+"""
+        ),
+        "mime_share": _oracle(
+            f""", {_MIME_CTE}
+SELECT crawl, mimetype, CAST(pages AS BIGINT) AS pages,
+  CAST(FLOOR(1000 * pages / SUM(pages) OVER (PARTITION BY crawl)) AS BIGINT)
+    AS share_permille
+FROM mc ORDER BY crawl, mimetype
+"""
+        ),
+        "pages_by_year": _oracle(
+            """
+, sz AS (
+  SELECT crawl, COUNT(*) AS fetches,
+         SUM(CASE WHEN is_page THEN 1 ELSE 0 END) AS pages
+  FROM flagged GROUP BY crawl
+)
+SELECT CAST(substring(crawl, 9, 4) AS INT) AS year,
+       CAST(SUM(fetches) AS BIGINT) AS fetches,
+       CAST(SUM(pages) AS BIGINT) AS pages
+FROM sz GROUP BY 1 ORDER BY 1
+"""
+        ),
+        "spearman_tld": _oracle(
+            f""", {_TLD_CTE},
+ranked AS (
+  SELECT crawl,
+    row_number() OVER (PARTITION BY crawl ORDER BY pages DESC, tld) AS ra,
+    row_number() OVER (PARTITION BY crawl ORDER BY urls DESC, tld) AS rb
+  FROM tc
+)
+SELECT crawl, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(FLOOR(1000 - 6000 * CAST(SUM((ra-rb)*(ra-rb)) AS BIGINT)
+             / (COUNT(*) * (COUNT(*) * COUNT(*) - 1))) AS BIGINT)
+    AS spearman_x1000
+FROM ranked GROUP BY crawl ORDER BY crawl
+"""
+        ),
+        "trailing_2": _oracle(
+            """
+, sz AS (
+  SELECT crawl,
+    SUM(CASE WHEN is_page THEN 1 ELSE 0 END) AS pages,
+    COUNT(DISTINCT CASE WHEN is_page THEN url END) AS urls
+  FROM flagged GROUP BY crawl
+)
+SELECT crawl,
+  CASE WHEN COUNT(*) OVER w >= 2
+       THEN CAST(SUM(pages) OVER w AS BIGINT) ELSE 0 END AS pages_last_2,
+  CASE WHEN COUNT(*) OVER w >= 2
+       THEN CAST(SUM(urls) OVER w AS BIGINT) ELSE 0 END AS urls_last_2
+FROM sz
+WINDOW w AS (ORDER BY crawl ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+ORDER BY crawl
+"""
+        ),
+        "host_pages_histogram": _oracle(
+            """
+, hc AS (
+  SELECT crawl, host, COUNT(*) AS pages
+  FROM prows GROUP BY crawl, host
+),
+binned AS (
+  SELECT pages,
+    CAST(power(10, length(CAST(pages AS STRING)) - 1) AS BIGINT) AS p10
+  FROM hc WHERE pages > 0
+)
+SELECT CAST((CASE WHEN CAST(FLOOR(pages / p10) AS BIGINT) >= 5 THEN 5
+                  WHEN CAST(FLOOR(pages / p10) AS BIGINT) >= 2 THEN 2
+                  ELSE 1 END) * p10 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM binned GROUP BY bin ORDER BY bin
+"""
+        ),
+        "tld_classified": _oracle(
+            f""", {_TLD_CTE},
+dim(tld, tld_type) AS (
+  VALUES ('com', 'gTLD'), ('org', 'gTLD'), ('net', 'gTLD'),
+         ('de', 'ccTLD'), ('jp', 'ccTLD')
+)
+SELECT crawl, COALESCE(d.tld_type, '-') AS tld_type,
+  CAST(SUM(pages) AS BIGINT) AS pages,
+  CAST(SUM(urls) AS BIGINT) AS urls,
+  CAST(SUM(domains) AS BIGINT) AS domains
+FROM tc LEFT JOIN dim d USING (tld)
+GROUP BY crawl, tld_type ORDER BY crawl, tld_type
+"""
+        ),
+    }
+)
 
 # merge in the training-data-pipeline registry (dedup / similarity / text /
 # multimodal / events / frontier)

@@ -1,0 +1,59 @@
+"""Streaming surface: the streaming plans must agree with their batch
+equivalents over the same (fully available) input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.streaming import rounds as R
+from tests.conftest import SF_SMOKE
+
+
+def test_windowed_stream_matches_batch(spark):
+    stream = R.windowed_event_stats(R.stream_events(spark, SF_SMOKE))
+    # complete mode: append would hold back the final still-open windows
+    R.run_to_memory(stream, "win_out", mode="complete")
+    got = spark.sql("SELECT * FROM win_out").toPandas()
+
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(batch_s)
+    assert (got_s.n_events.values == batch_s.n_events.values).all()
+    assert (got_s.sum_cents.values == batch_s.sum_cents.values).all()
+
+
+def test_dedup_stream(spark):
+    R.run_to_memory(
+        R.dedup_stream(R.stream_events(spark, SF_SMOKE)), "dedup_out"
+    )
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").collect()[0]
+    assert got.n == got.d  # no duplicate ids survive
+
+
+def test_foreach_batch_rounds(spark, tmp_path):
+    seen = {}
+
+    def batch_fn(df, epoch_id):
+        seen[epoch_id] = df.count()
+
+    q = R.foreach_batch_rounds(
+        R.stream_events(spark, SF_SMOKE), batch_fn, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    assert sum(seen.values()) == 1000  # all events routed through batches
