@@ -345,3 +345,31 @@ def top_k(
         .filter(F.col("rank") <= k)
         .orderBy(*per, "rank")
     )
+
+
+def digest_dup_histogram(pages: DataFrame) -> DataFrame:
+    """A16: per-crawl histogram of content duplication — fetches per digest
+    (crawlstats.py:864-871's duplicate accounting, digest flavor). Two-stage
+    like url_fetch_histogram: per-(crawl, digest) fetch count with map-side
+    combine, then count per multiplicity; the second shuffle sees only
+    digest-cardinality rows."""
+    per_digest = (
+        page_rows(pages)
+        .groupBy("crawl", "digest")
+        .agg(F.count("*").alias("n_fetches"))
+    )
+    return (
+        per_digest.groupBy("crawl", "n_fetches")
+        .agg(F.count("*").alias("n_digests"))
+        .orderBy("crawl", "n_fetches")
+    )
+
+
+def large_surt_domains(pages: DataFrame, min_urls: int = 20) -> DataFrame:
+    """A11/F4 exact flavor: SURT domains whose unique-URL count reaches the
+    reference's per-SURT threshold (MIN_SURT_HLL_SIZE semantics,
+    crawlstats.py:25, 600-634, scaled down for the fixture), with their
+    counts. Ordering matters: aggregate everything first, then filter —
+    exactly the reference's record-sizes-before-dropping sequence
+    (crawlstats.py:919-935)."""
+    return surt_domain_counts(pages).filter(F.col("urls") >= min_urls)

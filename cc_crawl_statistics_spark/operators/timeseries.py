@@ -289,3 +289,90 @@ def pseudo_log_histogram(counts: DataFrame, col: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bin")
     )
+
+
+def url_status_by_crawl(pages: DataFrame) -> DataFrame:
+    """W9 (crawl_size.py:277-298): per-crawl URL status split — new (first
+    seen this crawl), revisit (seen in an earlier crawl), duplicate (repeat
+    fetches within the crawl) — melted wide→long with ``stack`` (Spark's
+    unpivot).
+
+    Plan: one per-(crawl, url) pre-aggregation (map-side combined), a
+    broadcast-joined per-url first-crawl dimension derived from the same
+    pre-aggregate, then a per-crawl rollup; the stack is a zero-shuffle
+    projection at the end."""
+    from .counts import page_rows
+
+    per_url = (
+        page_rows(pages)
+        .groupBy("crawl", "crawl_id", "url")
+        .agg(F.count("*").alias("cnt"))
+    )
+    first = per_url.groupBy("url").agg(F.min("crawl_id").alias("first_crawl_id"))
+    wide = (
+        per_url.join(first, "url")
+        .groupBy("crawl")
+        .agg(
+            F.sum(
+                F.when(F.col("crawl_id") == F.col("first_crawl_id"), 1).otherwise(0)
+            ).alias("new"),
+            F.sum(
+                F.when(F.col("crawl_id") > F.col("first_crawl_id"), 1).otherwise(0)
+            ).alias("revisit"),
+            (F.sum("cnt") - F.count("*")).alias("duplicate"),
+        )
+    )
+    return wide.select(
+        "crawl",
+        F.expr(
+            "stack(3, 'new', new, 'revisit', revisit, "
+            "'duplicate', duplicate) AS (url_status, n)"
+        ),
+    ).orderBy("crawl", "url_status")
+
+
+def top_n_with_unknown(
+    pages: DataFrame, counts: DataFrame, key: str, n: int
+) -> DataFrame:
+    """A20 + J5 (table.py:100-108): top-N keys + '<other>' + '<unknown>',
+    where '<unknown>' is derived by *subtraction from the size totals*
+    (page_total − pages covered by the key table), not by counting nulls —
+    the reference's anti-join semantics against the ``size`` records. The
+    totals side is a per-crawl scalar (≤ crawls rows), so the final union
+    costs nothing."""
+    from .counts import with_flags
+
+    known = top_n_with_other(counts, key, n)
+    totals = (
+        with_flags(pages)
+        .groupBy("crawl")
+        .agg(F.sum(F.col("is_page").cast("long")).alias("page_total"))
+    )
+    covered = known.groupBy("crawl").agg(F.sum("pages").alias("covered"))
+    unknown = (
+        totals.join(covered, "crawl")
+        .select(
+            "crawl",
+            F.lit("<unknown>").alias(key),
+            (F.col("page_total") - F.col("covered")).alias("pages"),
+            F.lit(0).cast("long").alias("urls"),
+        )
+        .filter(F.col("pages") > 0)
+    )
+    return known.unionByName(unknown).orderBy("crawl", key)
+
+
+def continent_rollup(tld_counts_df: DataFrame, tld_dim_df: DataFrame) -> DataFrame:
+    """P9 (tld_by_continent.py:104-133): TLD counts rolled up to continent
+    via the broadcast TLD dimension; unmapped TLDs keep '-'."""
+    return (
+        tld_counts_df.join(F.broadcast(tld_dim_df.select("tld", "continent")), "tld", "left")
+        .withColumn("continent", F.coalesce("continent", F.lit("-")))
+        .groupBy("crawl", "continent")
+        .agg(
+            F.sum("pages").alias("pages"),
+            F.sum("urls").alias("urls"),
+            F.sum("domains").alias("domains"),
+        )
+        .orderBy("crawl", "continent")
+    )

@@ -197,6 +197,36 @@ def q_cumulative_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return TS.cumulative_distinct_estimates(pages_df(spark, sf))
 
 
+def q_digest_dup_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return C.digest_dup_histogram(pages_df(spark, sf))
+
+
+def q_large_surt_domains(spark: SparkSession, sf: str) -> DataFrame:
+    return C.large_surt_domains(pages_df(spark, sf), min_urls=4)
+
+
+def q_url_status(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.url_status_by_crawl(pages_df(spark, sf))
+
+
+def q_charset_top_unknown(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    pages = pages_df(spark, sf)
+    known_counts = C.dim_counts(
+        pages.filter(F.col("charset").isNotNull()), "charset"
+    )
+    return TS.top_n_with_unknown(pages, known_counts, "charset", n=1)
+
+
+def q_tld_continent(spark: SparkSession, sf: str) -> DataFrame:
+    from ..dims import tld_dim
+
+    return TS.continent_rollup(
+        C.tld_counts(pages_df(spark, sf)), tld_dim(spark)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -232,6 +262,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pages_histogram": q_host_pages_histogram,
     "tld_classified": q_tld_classified,
     "cumulative_distinct": q_cumulative_distinct,
+    "digest_dup_histogram": q_digest_dup_histogram,
+    "large_surt_domains": q_large_surt_domains,
+    "url_status": q_url_status,
+    "charset_top_unknown": q_charset_top_unknown,
+    "tld_continent": q_tld_continent,
 }
 
 _MIME_NORM = (
@@ -561,6 +596,104 @@ SELECT CAST((CASE WHEN CAST(FLOOR(pages / p10) AS BIGINT) >= 5 THEN 5
                   ELSE 1 END) * p10 AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM binned GROUP BY bin ORDER BY bin
+"""
+        ),
+        "digest_dup_histogram": _oracle(
+            """
+, pd AS (
+  SELECT crawl, digest, COUNT(*) AS n_fetches
+  FROM prows GROUP BY crawl, digest
+)
+SELECT crawl, CAST(n_fetches AS BIGINT) AS n_fetches,
+       CAST(COUNT(*) AS BIGINT) AS n_digests
+FROM pd GROUP BY crawl, n_fetches ORDER BY crawl, n_fetches
+"""
+        ),
+        "large_surt_domains": _oracle(
+            """
+, sc AS (
+  SELECT crawl, surt_domain,
+    CAST(COUNT(*) AS BIGINT) AS pages,
+    CAST(COUNT(DISTINCT url) AS BIGINT) AS urls,
+    CAST(COUNT(DISTINCT host) AS BIGINT) AS hosts
+  FROM prows GROUP BY crawl, surt_domain
+)
+SELECT * FROM sc WHERE urls >= 4 ORDER BY crawl, surt_domain
+"""
+        ),
+        "url_status": _oracle(
+            """
+, per_url AS (
+  SELECT crawl, crawl_id, url, COUNT(*) AS cnt
+  FROM prows GROUP BY crawl, crawl_id, url
+),
+first AS (SELECT url, MIN(crawl_id) AS f FROM per_url GROUP BY url),
+wide AS (
+  SELECT crawl,
+    SUM(CASE WHEN crawl_id = f THEN 1 ELSE 0 END) AS new,
+    SUM(CASE WHEN crawl_id > f THEN 1 ELSE 0 END) AS revisit,
+    SUM(cnt) - COUNT(*) AS duplicate
+  FROM per_url JOIN first USING (url) GROUP BY crawl
+)
+SELECT crawl, url_status, n FROM (
+  SELECT crawl, 'new' AS url_status, CAST(new AS BIGINT) AS n FROM wide
+  UNION ALL
+  SELECT crawl, 'revisit', CAST(revisit AS BIGINT) FROM wide
+  UNION ALL
+  SELECT crawl, 'duplicate', CAST(duplicate AS BIGINT) FROM wide
+) ORDER BY crawl, url_status
+"""
+        ),
+        "charset_top_unknown": _oracle(
+            """
+, cc AS (
+  SELECT crawl, charset, COUNT(*) AS pages, COUNT(DISTINCT url) AS urls
+  FROM prows WHERE charset IS NOT NULL GROUP BY crawl, charset
+),
+tot AS (SELECT charset, SUM(pages) AS tp, SUM(urls) AS tu FROM cc GROUP BY charset),
+keep AS (
+  SELECT charset FROM (
+    SELECT charset,
+           row_number() OVER (ORDER BY tp DESC, tu DESC, charset DESC) AS r
+    FROM tot
+  ) WHERE r <= 1
+),
+tagged AS (
+  SELECT crawl,
+         CASE WHEN charset IN (SELECT charset FROM keep)
+              THEN charset ELSE '<other>' END AS charset,
+         pages, urls
+  FROM cc
+),
+known AS (
+  SELECT crawl, charset, CAST(SUM(pages) AS BIGINT) AS pages,
+         CAST(SUM(urls) AS BIGINT) AS urls
+  FROM tagged GROUP BY crawl, charset
+),
+totals AS (
+  SELECT crawl, SUM(CASE WHEN is_page THEN 1 ELSE 0 END) AS page_total
+  FROM flagged GROUP BY crawl
+),
+covered AS (SELECT crawl, SUM(pages) AS covered FROM known GROUP BY crawl)
+SELECT crawl, charset, pages, urls FROM known
+UNION ALL
+SELECT t.crawl, '<unknown>' AS charset,
+       CAST(t.page_total - c.covered AS BIGINT) AS pages,
+       CAST(0 AS BIGINT) AS urls
+FROM totals t JOIN covered c USING (crawl)
+WHERE t.page_total - c.covered > 0
+ORDER BY crawl, charset
+"""
+        ),
+        "tld_continent": _oracle(
+            f""", {_TLD_CTE},
+dim(tld, continent) AS (VALUES ('de', 'EU'), ('jp', 'AS'))
+SELECT crawl, COALESCE(d.continent, '-') AS continent,
+  CAST(SUM(pages) AS BIGINT) AS pages,
+  CAST(SUM(urls) AS BIGINT) AS urls,
+  CAST(SUM(domains) AS BIGINT) AS domains
+FROM tc LEFT JOIN dim d USING (tld)
+GROUP BY crawl, continent ORDER BY crawl, continent
 """
         ),
         "tld_classified": _oracle(
