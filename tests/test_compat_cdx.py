@@ -142,3 +142,51 @@ def test_wire_format_golden_bytes(spark):
 def test_crawl_date():
     d = crawl_date("CC-MAIN-2024-10")
     assert d.isoweekday() == 1 and d.isocalendar()[1] == 10
+
+
+def test_crawler_metrics_side_input(spark, tmp_path):
+    """S5: Nutch counter dumps parse, roll up per metrics_map, and titles
+    rewrite (crawler_metrics.py:75-91, 145-152 semantics)."""
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.sources.crawler_metrics import (
+        crawler_metrics_stats,
+        display_title,
+        read_crawler_metrics,
+    )
+
+    fixture = tmp_path / "CC-MAIN-2024-10.json"
+    fixture.write_text(
+        '["crawl_status", "generator:fetch_list", "CC-MAIN-2024-10"]\t100\n'
+        '["crawl_status", "fetcher:total", "CC-MAIN-2024-10"]\t90\n'
+        '["crawl_status", "fetcher:moved", "CC-MAIN-2024-10"]\t7\n'
+        '["crawl_status", "fetcher:temp_moved", "CC-MAIN-2024-10"]\t3\n'
+        '["crawl_status", "fetcher:gone", "CC-MAIN-2024-10"]\t2\n'
+        '["size", "page", "CC-MAIN-2024-10"]\t80\n'
+        '["size", "url", "CC-MAIN-2024-10"]\t75\n'
+        '["size", "digest", "CC-MAIN-2024-10"]\t70\n'
+        '["scheme", "https", "CC-MAIN-2024-10"]\t[60, 55]\n'
+        '["scheme", "http", "CC-MAIN-2024-10"]\t20\n'
+    )
+    parsed = read_crawler_metrics(spark, str(fixture))
+    assert parsed.count() == 10
+
+    stats = crawler_metrics_stats(parsed)
+    got = {r["item_type"]: r["value"] for r in stats.collect()}
+    # size: only page/url kept, digest dropped
+    assert got["page"] == 80 and got["url"] == 75 and "digest" not in got
+    # scheme takes the unique-URL element (index 1), scalar falls back
+    assert got["scheme:https"] == 55 and got["scheme:http"] == 20
+    # metrics_map rollup
+    assert got["fetcher:aggr:redirect"] == 10
+    assert got["fetcher:aggr:failed"] == 2
+
+    titles = {
+        r["item_type"]: r["t"]
+        for r in stats.select(
+            "item_type", display_title(F.col("item_type")).alias("t")
+        ).collect()
+    }
+    assert titles["generator:fetch_list"] == "fetch list"
+    assert titles["fetcher:aggr:redirect"] == "fetch redirect"
+    assert titles["page"] == "pages released"
