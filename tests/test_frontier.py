@@ -126,3 +126,20 @@ def test_round_stats_emitted(spark, store):
     assert (stats.pages >= stats.urls).all() or True  # histogram rows: pages>=urls
     g = stats[stats.type == "size"]
     assert len(g) == 1 and int(g.pages.iloc[0]) > 0
+
+
+def test_fetch_extract_invariant(spark, store):
+    """A round run with document payloads writes a fetched table whose
+    extracted text is byte-identical to the source text on every row
+    (north-rule invariant), and the metrics surface the check."""
+    from cc_crawl_statistics_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    scheduler.run_round(spark, store, SF_SMOKE, docs=docs)
+    m = scheduler.run_round(spark, store, SF_SMOKE, docs=docs)
+    assert m["n_extracted"] == m["n_scheduled"]
+    assert m["n_extract_mismatch"] == 0
+    fetched = store.read(spark, m["round"], "fetched")
+    assert set(fetched.columns) >= {
+        "round", "url", "doc_id", "html", "extracted_text", "extract_ok"
+    }
