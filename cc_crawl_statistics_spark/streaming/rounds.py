@@ -99,3 +99,89 @@ def foreach_batch_rounds(
         .trigger(availableNow=True)
         .start()
     )
+
+
+SESSION_STATE_SCHEMA = "n_events BIGINT, last_epoch BIGINT, n_sessions BIGINT"
+SESSION_OUTPUT_SCHEMA = (
+    "user_id BIGINT, n_sessions BIGINT, n_events BIGINT, closed BOOLEAN"
+)
+
+
+def stateful_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY.md §2.8 forward path): per-user session counting with an
+    explicit gap rule, state kept per group and expired by processing-time
+    timeout — the pattern for engine-side stateful ops Spark lacks as
+    built-ins (the batch equivalent is plans/pipeline_queries.py
+    q_events_sessionize, lag-window based).
+
+    State per user: (n_events, last_epoch, n_sessions). Arrow-batched:
+    pandas per group-batch, no per-row Python at the plan level.
+
+    ``state_timeout_ms`` enables processing-time expiry (state emitted with
+    closed=True and removed). Leave None for bounded replays/tests: with a
+    processing-time timeout the stream keeps scheduling timeout batches, so
+    ``processAllAvailable`` on a finite source would never settle."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (n_events, _last, n_sessions) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                    "closed": [True],
+                }
+            )
+            return
+        epochs = []
+        for pdf in pdfs:
+            epochs.extend((pdf["ts"].astype("int64") // 10**9).tolist())
+        epochs.sort()
+        if state.exists:
+            n_events, last_epoch, n_sessions = state.get
+        else:
+            n_events, last_epoch, n_sessions = 0, None, 0
+        for e in epochs:
+            if last_epoch is None or e - last_epoch > gap_seconds:
+                n_sessions += 1
+            last_epoch = e
+            n_events += 1
+        state.update((n_events, last_epoch, n_sessions))
+        if state_timeout_ms is not None:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+                "closed": [False],
+            }
+        )
+
+    return (
+        events.selectExpr("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if state_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

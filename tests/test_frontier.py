@@ -143,3 +143,43 @@ def test_fetch_extract_invariant(spark, store):
     assert set(fetched.columns) >= {
         "round", "url", "doc_id", "html", "extracted_text", "extract_ok"
     }
+
+
+def test_salted_topk_bounds_hot_host(spark):
+    """Skew safety of the two-phase priority queue: a host with 100x the
+    pending URLs still contributes at most n_salts x max_budget rows to the
+    final per-host ranking (phase-1 output bound), and the selected set is
+    the true global top-B for that host."""
+    from pyspark.sql import functions as F
+
+    rows = [("http://hot.example/p%04d" % i, "hot.example", i % 5, (i * 7) % 100)
+            for i in range(2000)]
+    rows += [("http://cold%d.example/p0" % i, "cold%d.example" % i, 0, 50)
+             for i in range(20)]
+    cand = spark.createDataFrame(
+        rows, "url string, host string, depth int, score int"
+    ).withColumn("max_per_round", F.lit(3))
+
+    n_salts = 8
+    out = scheduler.host_bucketed_topk(cand, n_salts=n_salts).toPandas()
+    hot = out[out.host == "hot.example"]
+    assert len(hot) == 3  # budget respected
+    # phase-1 bound: survivors per host <= n_salts * static max budget (4)
+    order = (F.col("depth").asc(), F.col("score").desc(), F.col("url").asc())
+    from pyspark.sql import Window
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
+    survivors = (
+        cand.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+        .withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= 4)
+        .groupBy("host").count().filter(F.col("host") == "hot.example")
+        .collect()[0]["count"]
+    )
+    assert survivors <= n_salts * 4
+    # correctness vs a direct global ranking of the hot host
+    direct = (
+        cand.filter(F.col("host") == "hot.example")
+        .orderBy(F.col("depth").asc(), F.col("score").desc(), F.col("url").asc())
+        .limit(3).select("url").toPandas()["url"].tolist()
+    )
+    assert sorted(hot.sort_values("rank")["url"].tolist()) == sorted(direct)

@@ -57,3 +57,39 @@ def test_foreach_batch_rounds(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert sum(seen.values()) == 1000  # all events routed through batches
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session counts must agree with the batch
+    lag-window sessionization on the same input (same 30-min gap rule)."""
+    from cc_crawl_statistics_spark.plans.pipeline_queries import (
+        q_events_sessionize,
+    )
+    from cc_crawl_statistics_spark.streaming.rounds import (
+        stateful_sessionize,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = stream_events(spark, sf)
+    out = stateful_sessionize(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_state")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            "SELECT user_id, n_sessions, n_events FROM sessions_state"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in q_events_sessionize(spark, sf).collect()
+    }
+    assert got == expected

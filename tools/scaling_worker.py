@@ -90,11 +90,15 @@ def main() -> None:
     spark = get_spark(
         app_name=f"scaling-{CPUS}",
         cores=CPUS,
-        shuffle_partitions=CPUS * 2,
+        # identical plan at every level: fixed partition counts (not
+        # core-derived) and no adaptive coalescing, so the ONLY variable
+        # across levels is the number of cores executing the same tasks
+        shuffle_partitions=64,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
             # split the scan finely enough that both levels parallelize fully
             "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
             "spark.local.dir": os.environ.get("SPARK_LOCAL_DIR", "/tmp"),
         },
     )
