@@ -319,7 +319,11 @@ def run_round(
     rnd = latest + 1
     frontier = store.read(spark, latest, "frontier")
     seen = store.read_seen(spark, latest)
-    ledger = store.read(spark, latest, "host_ledger")
+    # the ledger is corpus-derived dimension state: like the universe it is
+    # written once at seed time and read from round 0 (a real deployment
+    # updates it via its own robots-refresh job, committing a new version
+    # only when it changes)
+    ledger = store.read(spark, 0, "host_ledger")
     universe = store.read(spark, 0, "universe")
     n_docs = store.manifest(0)["metrics"]["n_docs"]
     prev_seen = store.manifest(latest)["metrics"].get("n_seen", 0)
@@ -388,9 +392,10 @@ def run_round(
             "n_scheduled": read("schedule").count(),
             "n_blocked": read("blocked").count(),
             "n_discovered_new": n_new,
-            "n_frontier_pending": read("frontier")
-            .filter(F.col("state") == "pending")
-            .count(),
+            # every surviving frontier row is pending by construction
+            # (scheduled/blocked rows are removed, not flagged), so this is
+            # a parquet-metadata count, not a data scan
+            "n_frontier_pending": read("frontier").count(),
             # incremental: deltas are append-only, so the running total never
             # needs a full rescan of the 10^10-key seen set
             "n_seen": prev_seen + n_new,
@@ -410,7 +415,6 @@ def run_round(
         "url_seen_delta": new_urls.select(
             seen_key(F.col("url")).alias("seen_key")
         ).repartitionByRange(n_partitions, "seen_key"),
-        "host_ledger": ledger,
         "schedule": sched.select(
             "round", "url", "host", "depth", "score", "rank"
         ),
