@@ -155,6 +155,47 @@ def q_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
     return first_round_schedule(pages_df(spark, sf))
 
 
+def q_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents surviving exact dedup (canonical = lowest doc_id per
+    content digest) — the keep-side counterpart of dedup_exact, via
+    dedup.dedup_keep_canonical over the duplicate pair list."""
+    corpus = corpus_df(spark, sf)
+    groups = D.exact_dedup(corpus)
+    pairs = (
+        corpus.select(F.md5("text").alias("digest"), "doc_id")
+        .join(F.broadcast(groups.select("digest", "canonical_doc_id")), "digest")
+        .filter(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select(
+            F.col("canonical_doc_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    return (
+        D.dedup_keep_canonical(corpus, pairs)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+def q_surt_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """A11 sketch flavor: per-SURT-domain HLL sketches over the threshold
+    (rows-only — binary Datasketches column has no SQL oracle); threshold
+    scaled to the fixture."""
+    from ..operators import counts as C
+
+    return (
+        C.surt_hll_sketches(pages_df(spark, sf), min_urls=4)
+        .select(
+            "crawl",
+            "surt_domain",
+            "urls",
+            F.hll_sketch_estimate("url_sketch").cast("long").alias("urls_est"),
+        )
+        .orderBy("crawl", "surt_domain")
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
@@ -172,6 +213,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "frontier_schedule": q_frontier_schedule,
+    "dedup_kept": q_dedup_kept,
+    "surt_hll": q_surt_hll,
 }
 
 _TOKEN_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -343,6 +386,22 @@ SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM flags GROUP BY user_id ORDER BY user_id
 """,
+    "dedup_kept": _corpus_oracle(
+        """
+, groups AS (
+  SELECT md5(text) AS digest, MIN(doc_id) AS canonical_doc_id
+  FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+),
+dropped AS (
+  SELECT c.doc_id
+  FROM corpus c JOIN groups g ON md5(c.text) = g.digest
+  WHERE c.doc_id <> g.canonical_doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY source ORDER BY source
+"""
+    ),
     "frontier_schedule": oracle_cte(
         """
 , uni AS (
