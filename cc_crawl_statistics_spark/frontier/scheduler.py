@@ -370,11 +370,18 @@ def run_round(
     # frontier's only shuffle in a round is the final repartitionByRange
     # write clustering.
     blocked_hosts = ledger.filter(F.col("robots_status") == 403).select("host")
+    # Persisted before the repartitionByRange write: the range partitioner
+    # runs a sampling pass over its input, which would otherwise RE-EXECUTE
+    # the whole anti-join lineage (including rebuilding the broadcasts) a
+    # second time per round — measured as a large share of the round's
+    # fixed cost. (An Iceberg deployment gets the same effect from
+    # write-ordered tables: one pass, sort order in table metadata.)
     new_frontier = (
         frontier.join(F.broadcast(sched.select("url")), "url", "left_anti")
         .join(F.broadcast(blocked_hosts), "host", "left_anti")
         .select(*FRONTIER_COLS)
         .unionByName(new_urls.select(*FRONTIER_COLS))
+        .persist()
     )
 
     # round statistics over the fetched slice (reference counting
@@ -412,9 +419,12 @@ def run_round(
         "frontier": new_frontier.repartitionByRange(
             n_partitions, "surt_key"
         ),
+        # hash-partitioned, not range: seen keys are uniform 64-bit hashes,
+        # so hash partitioning gives the same clustering/pruning as range
+        # WITHOUT the range partitioner's sampling pass
         "url_seen_delta": new_urls.select(
             seen_key(F.col("url")).alias("seen_key")
-        ).repartitionByRange(n_partitions, "seen_key"),
+        ).repartition(n_partitions, "seen_key"),
         "schedule": sched.select(
             "round", "url", "host", "depth", "score", "rank"
         ),
@@ -423,4 +433,7 @@ def run_round(
     }
     if docs is not None:
         tables["fetched"] = fetch_extract(sched, docs)
-    return store.commit(rnd, tables, metrics_from_snapshot)
+    try:
+        return store.commit(rnd, tables, metrics_from_snapshot)
+    finally:
+        new_frontier.unpersist()

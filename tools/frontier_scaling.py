@@ -1,12 +1,17 @@
 """Frontier-round scaling evidence at a factor where round compute dominates
-the fixed per-round orchestration cost (~8-14s of driver-side job scheduling,
-manifest commits and metric counts, constant across levels — at the default
-29M-row factor it caps apparent round scaling; Amdahl fit from the 3-level
-measurement: t(n) ≈ 14 + 71/n seconds).
+the fixed per-round orchestration cost (driver-side job scheduling,
+broadcast builds, manifest commits — constant across levels; at 29M rows it
+is ~14s/round and caps apparent scaling, Amdahl fit t(n) ≈ 14 + 71/n s).
 
-Generates the scaled pages universe once, then per pinned level seeds a
-fresh store and times steady-state rounds (min of ROUNDS). Appends to
-BENCH.md. Usage: python tools/frontier_scaling.py [factor]
+Methodology: generate the scaled pages universe ONCE, seed + bootstrap the
+snapshot store ONCE at full parallelism (untimed setup), then for each
+pinned CPU level copy the bootstrapped store and time steady-state rounds —
+every level starts from the IDENTICAL committed snapshot and the identical
+plan (fixed 64 shuffle partitions, adaptive coalescing off); the only
+variable is cores. Appends to BENCH.md.
+
+Usage: python tools/frontier_scaling.py [factor] [levels-csv]
+  e.g.  python tools/frontier_scaling.py 64000 2,8,32
 """
 
 from __future__ import annotations
@@ -23,13 +28,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LEVELS = ((2, "0-1"), (8, "0-7"), (32, "0-31"))
+PINS = {2: "0-1", 8: "0-7", 16: "0-15", 32: "0-31"}
 
 
 def worker() -> None:
     cpus = int(os.environ["SPARK_GRAFT_CPUS"])
     pages_dir = os.environ["PAGES_DIR"]
-    rounds = int(os.environ.get("ROUNDS", "3"))
+    store_dir = os.environ["STORE_DIR"]
+    rounds = int(os.environ.get("ROUNDS", "2"))
 
     from cc_crawl_statistics_spark.frontier import scheduler
     from cc_crawl_statistics_spark.frontier.state import SnapshotStore
@@ -47,91 +53,110 @@ def worker() -> None:
         },
     )
     pages = spark.read.parquet(pages_dir)
-    root = tempfile.mkdtemp(prefix=f"fsc_{cpus}_")
-    store = SnapshotStore(root)
-    try:
-        scheduler.run_round(  # seed + round 1: untimed store bootstrap
+    store = SnapshotStore(store_dir)
+    best, n_sched = float("inf"), 0
+    for _ in range(rounds):
+        t0 = time.time()
+        m = scheduler.run_round(
             spark, store, SF_DIR, n_partitions=cpus, pages=pages
         )
-        best, n_sched = float("inf"), 0
-        for _ in range(rounds):
-            t0 = time.time()
-            m = scheduler.run_round(
-                spark, store, SF_DIR, n_partitions=cpus, pages=pages
-            )
-            best = min(best, time.time() - t0)
-            n_sched = m["n_scheduled"]
-        print(
-            json.dumps(
-                {
-                    "cpus": cpus,
-                    "round_sec": round(best, 2),
-                    "urls_scheduled": n_sched,
-                    "urls_per_sec": round(n_sched / best),
-                }
-            )
+        best = min(best, time.time() - t0)
+        n_sched = m["n_scheduled"]
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "round_sec": round(best, 2),
+                "urls_scheduled": n_sched,
+                "urls_per_sec": round(n_sched / best),
+            }
         )
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
-        spark.stop()
+    )
+    spark.stop()
 
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
-    tmp = tempfile.mkdtemp(prefix="fscale_pages_")
+    level_list = (
+        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [2, 8, 32]
+    )
+    tmp = tempfile.mkdtemp(prefix="fscale_")
     try:
         from bench import materialize_scaled_pages
+        from cc_crawl_statistics_spark.frontier import scheduler
+        from cc_crawl_statistics_spark.frontier.state import SnapshotStore
         from cc_crawl_statistics_spark.session import get_spark
 
         spark = get_spark(
-            app_name="fscale-gen",
+            app_name="fscale-setup",
             cores=32,
+            shuffle_partitions=64,
             extra_conf={"spark.ui.showConsoleProgress": "false"},
         )
         pages_dir = os.path.join(tmp, "pages")
         materialize_scaled_pages(spark, SF_DIR, factor, pages_dir, 32)
-        n_rows = spark.read.parquet(pages_dir).count()
+        pages = spark.read.parquet(pages_dir)
+        n_rows = pages.count()
+        base_store = os.path.join(tmp, "store_base")
+        # seed (round 0) + round 1: untimed bootstrap at full parallelism
+        scheduler.run_round(
+            spark, SnapshotStore(base_store), SF_DIR, n_partitions=32, pages=pages
+        )
         spark.stop()
 
         levels: dict[int, dict] = {}
-        for cpus, pin in LEVELS:
+        for cpus in level_list:
+            store_dir = os.path.join(tmp, f"store_{cpus}")
+            shutil.copytree(base_store, store_dir)
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(cpus),
                 PAGES_DIR=pages_dir,
+                STORE_DIR=store_dir,
                 SPARK_LOCAL_DIR="/dev/shm/spark-fscale",
             )
-            cmd = ["python", os.path.join(REPO, "tools", "frontier_scaling.py"), "worker"]
+            cmd = [
+                "python",
+                os.path.join(REPO, "tools", "frontier_scaling.py"),
+                "worker",
+            ]
             if shutil.which("taskset"):
-                cmd = ["taskset", "-c", pin] + cmd
-            out = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
+                cmd = ["taskset", "-c", PINS[cpus]] + cmd
+            out = subprocess.run(
+                cmd, env=env, capture_output=True, text=True, check=True
+            )
             levels[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
             print(json.dumps(levels[cpus]))
+            shutil.rmtree(store_dir, ignore_errors=True)
 
-        sp_p = levels[8]["urls_per_sec"] / levels[2]["urls_per_sec"]
-        sp_s = levels[32]["urls_per_sec"] / levels[8]["urls_per_sec"]
-        result = {
-            "factor": factor,
-            "rows": n_rows,
-            "levels": levels,
-            "frontier_2_to_8": {"speedup": round(sp_p, 2), "efficiency": round(sp_p / 4, 3)},
-            "frontier_8_to_32": {"speedup": round(sp_s, 2), "efficiency": round(sp_s / 4, 3)},
-        }
+        result = {"factor": factor, "rows": n_rows, "levels": levels}
+        spans = []
+        for lo, hi in ((2, 8), (8, 32)):
+            if lo in levels and hi in levels:
+                sp = levels[hi]["urls_per_sec"] / levels[lo]["urls_per_sec"]
+                spans.append((lo, hi, sp))
+                result[f"frontier_{lo}_to_{hi}"] = {
+                    "speedup": round(sp, 2),
+                    "efficiency": round(sp / 4, 3),
+                }
         print(json.dumps(result, indent=2))
         rows_md = "\n".join(
-            f"| local[{c}] (taskset {pin}) | {levels[c]['round_sec']} | "
+            f"| local[{c}] (taskset {PINS[c]}) | {levels[c]['round_sec']} | "
             f"{levels[c]['urls_scheduled']:,} | {levels[c]['urls_per_sec']:,} |"
-            for c, pin in LEVELS
+            for c in level_list
+        )
+        span_md = "; ".join(
+            f"{lo}→{hi}: **{sp:.2f}×** (efficiency **{sp / 4:.3f}**)"
+            for lo, hi, sp in spans
         )
         with open(os.path.join(REPO, "BENCH.md"), "a") as f:
             f.write(
                 f"\n## Frontier scheduling-round scaling — factor {factor} "
-                f"({n_rows:,} pages rows), pinned levels\n\n"
+                f"({n_rows:,} pages rows), shared bootstrap snapshot, "
+                f"pinned levels\n\n"
                 f"| level | steady-state round sec | URLs scheduled | URLs/sec |\n"
                 f"|---|---|---|---|\n{rows_md}\n\n"
-                f"Frontier throughput scaling 2→8: **{sp_p:.2f}×** "
-                f"(efficiency **{sp_p / 4:.3f}**); 8→32: {sp_s:.2f}× "
-                f"(efficiency {sp_s / 4:.3f}).\n"
+                f"Frontier throughput scaling {span_md}.\n"
             )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
