@@ -219,6 +219,31 @@ def q_charset_top_unknown(spark: SparkSession, sf: str) -> DataFrame:
     return TS.top_n_with_unknown(pages, known_counts, "charset", n=1)
 
 
+def q_cc_pages_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-lang page counts over the input_hint-literal cc_pages table,
+    with n_extract_ok computed by ACTUALLY running the Arrow extract_text
+    UDF over the html column — the oracle asserts n_extract_ok == n_pages
+    (byte-identity by construction), so any extraction regression breaks
+    parity."""
+    from pyspark.sql import functions as F
+
+    from ..functions.extract import extract_text
+    from ..sources.cc_pages import cc_pages_df
+
+    cc = cc_pages_df(spark, sf)
+    return (
+        cc.withColumn(
+            "ok", (extract_text(F.col("html")) == F.col("text")).cast("long")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("ok").alias("n_extract_ok"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_tld_continent(spark: SparkSession, sf: str) -> DataFrame:
     from ..dims import tld_dim
 
@@ -267,6 +292,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_status": q_url_status,
     "charset_top_unknown": q_charset_top_unknown,
     "tld_continent": q_tld_continent,
+    "cc_pages_extract": q_cc_pages_extract,
 }
 
 _MIME_NORM = (
@@ -683,6 +709,17 @@ SELECT t.crawl, '<unknown>' AS charset,
 FROM totals t JOIN covered c USING (crawl)
 WHERE t.page_total - c.covered > 0
 ORDER BY crawl, charset
+"""
+        ),
+        "cc_pages_extract": _oracle(
+            """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) AS BIGINT) AS n_extract_ok
+FROM (
+  SELECT string_split(p.languages, ',')[1] AS lang
+  FROM pages p JOIN documents d ON p.doc_id = d.doc_id
+)
+GROUP BY lang ORDER BY lang
 """
         ),
         "tld_continent": _oracle(
