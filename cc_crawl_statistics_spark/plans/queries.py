@@ -168,6 +168,12 @@ def q_trailing_2(spark: SparkSession, sf: str) -> DataFrame:
     return TS.trailing_union(C.crawl_size(pages_df(spark, sf)), n=2)
 
 
+def q_trailing_3(spark: SparkSession, sf: str) -> DataFrame:
+    # W4's larger sliding sizes (N in {2,3,4,6,9,12}); the fixture has 3
+    # crawls so N=3 exercises the exactly-full window + the under-full rows
+    return TS.trailing_union(C.crawl_size(pages_df(spark, sf)), n=3)
+
+
 def q_host_pages_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return TS.pseudo_log_histogram(C.host_counts(pages_df(spark, sf)), "pages")
 
@@ -284,6 +290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pages_by_year": q_pages_by_year,
     "spearman_tld": q_spearman_tld,
     "trailing_2": q_trailing_2,
+    "trailing_3": q_trailing_3,
     "host_pages_histogram": q_host_pages_histogram,
     "tld_classified": q_tld_classified,
     "cumulative_distinct": q_cumulative_distinct,
@@ -586,6 +593,25 @@ SELECT crawl, CAST(COUNT(*) AS BIGINT) AS n,
              / (COUNT(*) * (COUNT(*) * COUNT(*) - 1))) AS BIGINT)
     AS spearman_x1000
 FROM ranked GROUP BY crawl ORDER BY crawl
+"""
+        ),
+
+        "trailing_3": _oracle(
+            """
+, sz AS (
+  SELECT crawl,
+    SUM(CASE WHEN is_page THEN 1 ELSE 0 END) AS pages,
+    COUNT(DISTINCT CASE WHEN is_page THEN url END) AS urls
+  FROM flagged GROUP BY crawl
+)
+SELECT crawl,
+  CASE WHEN COUNT(*) OVER w >= 3
+       THEN CAST(SUM(pages) OVER w AS BIGINT) ELSE 0 END AS pages_last_3,
+  CASE WHEN COUNT(*) OVER w >= 3
+       THEN CAST(SUM(urls) OVER w AS BIGINT) ELSE 0 END AS urls_last_3
+FROM sz
+WINDOW w AS (ORDER BY crawl ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY crawl
 """
         ),
         "trailing_2": _oracle(
