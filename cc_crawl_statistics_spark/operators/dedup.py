@@ -84,9 +84,12 @@ def minhash_lsh_pairs(
         .filter(F.size("sh") > 0)
         .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     )
+    # the band explode and the bucket self-join carry ONLY (doc_id, band,
+    # bucket) — never the shingle arrays. Shuffling the arrays through the
+    # ×bands explode would multiply document bytes by the band count; the
+    # arrays are joined back exactly once per side, per *candidate pair*.
     banded = sig.select(
         "doc_id",
-        "sh",
         F.explode(
             F.array(
                 *[
@@ -106,30 +109,32 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sh", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
-    left = banded.select(
-        "band",
-        "bucket",
-        F.col("doc_id").alias("doc_a"),
-        F.col("sh").alias("sh_a"),
-    )
-    right = banded.select(
-        "band",
-        "bucket",
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-    )
+    left = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     cand = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    shingle_sets = sig.select("doc_id", "sh")
+    verified = cand.join(
+        shingle_sets.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+        ),
+        "doc_a",
+    ).join(
+        shingle_sets.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+        ),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.select(
+        verified.select(
             "doc_a",
             "doc_b",
             inter.alias("inter"),
@@ -145,41 +150,57 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold_permille: int = 500,
+    max_doc_freq: int = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard duplicate pairs via an inverted shingle index:
-    explode shingles → self-join on shingle → per-pair intersection counts →
-    Jaccard from |A|+|B|−|A∩B|. Integer-only output (oracle-exact).
+    """Exact n-gram Jaccard duplicate pairs via a *document-frequency-capped*
+    inverted shingle index: explode shingles → drop shingles appearing in
+    more than ``max_doc_freq`` docs → self-join on the cold shingles for
+    candidate pairs → exact intersection/union re-computed from the full
+    (uncapped) shingle arrays per candidate pair. Integer-only output.
 
-    Scale: the shingle join is the classic inverted-index plan; hot shingles
-    (stopword trigrams) are the skew risk — production caps document
-    frequency per shingle (drop shingles appearing in > K docs), which also
-    improves precision."""
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    The cap affects CANDIDATE GENERATION only — inter/uni come from
+    array_intersect over the complete shingle sets, so the emitted values
+    are identical to the uncapped plan as long as each true pair shares at
+    least one sub-cap shingle (a ≥50%-Jaccard pair sharing *only*
+    stopword-grade shingles does not exist in practice; tested).
+
+    Scale: without the cap, one stopword trigram in 10⁶ docs creates a
+    10¹²-row join bucket. With it, the self-join's worst bucket is
+    max_doc_freq², and the count aggregate collapses candidates map-side."""
+    sh_arrays = docs.select(
+        "doc_id", word_shingles(text_col, shingle_n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sh = sh_arrays.select("doc_id", F.explode("sh").alias("s"))
+    cold = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("s")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
+    sh_cold = sh.join(cold, "s", "left_semi")
+    a = sh_cold.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh_cold.select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
         a.join(b, "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
+    verified = cand.join(
+        sh_arrays.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sh_arrays.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
-            "doc_b",
-        )
-        .select(
+        verified.select(
             "doc_a",
             "doc_b",
-            "inter",
-            (F.col("na") + F.col("nb") - F.col("inter")).alias("uni"),
+            inter.alias("inter"),
+            union.alias("uni"),
         )
         .filter(
             F.col("inter") * 1000 >= F.lit(threshold_permille) * F.col("uni")
@@ -256,12 +277,31 @@ def simhash_near_pairs(
 
 
 def embedding_near_dup(
-    emb: DataFrame, threshold_permille: int = 990, vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold_permille: int = 990,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs. Baseline: blocked self-join
-    with cosine in codegen (zip_with + aggregate). At scale the self-join is
-    LSH-bucketed (similarity.hyperplane_bucket) — here the exact path, used
-    as the verifier and the small-data fallback."""
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed — never O(n²).
+
+    Candidate generation: ``n_tables`` independent random-hyperplane hash
+    tables of ``planes_per_table`` sign bits each (similarity._hyperplanes,
+    seeded per table); a pair is a candidate if it collides in ANY table.
+    For cos ≥ 0.99 (angle ≤ 8.1°) the per-plane split probability is
+    θ/π ≈ 0.045, so the miss probability per pair is
+    (1 − 0.955⁴)⁸ ≈ 6·10⁻⁷ — and exact duplicates (angle 0) can never be
+    split, so recall on planted exact copies is deterministic 1.0.
+    Verification: exact cosine in codegen (zip_with + aggregate) on the
+    candidate pairs only.
+
+    Scale: the table explode and bucket self-join carry only
+    (vec_id, table, bucket); vectors are joined back once per candidate
+    side. Worst-case bucket is load-balanced by AQE skew splitting; there
+    is no cross join anywhere in the plan (asserted by test)."""
+    from .similarity import _hyperplanes, hyperplane_bucket
+
     v = F.col(vec_col)
     norm = F.sqrt(
         F.aggregate(
@@ -270,9 +310,78 @@ def embedding_near_dup(
             lambda acc, x: acc + x,
         )
     )
-    e = emb.select(
-        F.col("vec_id"), F.col(vec_col).alias("v"), norm.alias("n")
+    e = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("n"))
+
+    buckets = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_bucket(
+                            "v", _hyperplanes(dim, planes_per_table, seed=101 + t)
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+
+    left = buckets.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
+    right = buckets.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
+    verified = cand.join(
+        e.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("n").alias("na"),
+        ),
+        "vec_a",
+    ).join(
+        e.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("n").alias("nb"),
+        ),
+        "vec_b",
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        verified.withColumn(
+            "cos_permille", F.floor(1000 * dot / (F.col("na") * F.col("nb")))
+        )
+        .filter(F.col("cos_permille") >= threshold_permille)
+        .select("vec_a", "vec_b", "cos_permille")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_near_dup_exact(
+    emb: DataFrame, threshold_permille: int = 990, vec_col: str = "embedding"
+) -> DataFrame:
+    """All-pairs exact flavor — the small-data VERIFIER for
+    embedding_near_dup's LSH recall (tests only; O(n²), never the scale
+    path)."""
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(v, v, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    e = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("n"))
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
@@ -293,9 +402,64 @@ def embedding_near_dup(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation to fixpoint: every node's label becomes the
+    minimum of its own and its neighbors', repeated until no label changes.
+    Returns (doc_id, component) with component = min doc_id in the group.
+
+    Scale: each iteration is one join (labels ⨝ edges) + one min-aggregate,
+    both keyed on doc_id; the iteration count is the graph diameter in
+    hops (log-ish for star/chain dedup graphs, which are shallow).
+    localCheckpoint cuts lineage per iteration so the plan doesn't grow
+    exponentially — the standard Spark iterative-graph pattern."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("component").alias("nc")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("nc").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nmin", F.col("component")) < F.col("component"))
+                .cast("long")
+                .alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        labels = updated.select("doc_id", "component")
+        if n_changed == 0:
+            break
+    return labels
+
+
 def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Resolve near-dup pairs into kept/dropped: connected components
-    approximated by min-id propagation over one hop (sufficient for
-    pair-star shapes; iterate for chains). Returns docs with a keep flag."""
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    """Resolve near-dup pairs into kept/dropped via true connected
+    components (min-id propagation to fixpoint): within each component the
+    lowest doc_id is canonical and kept, every other member is dropped —
+    a chain A~B~C keeps only A. Returns the surviving docs."""
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")

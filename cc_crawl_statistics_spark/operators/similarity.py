@@ -93,14 +93,14 @@ def lsh_topk(
     k: int = 10,
     vec_col: str = "embedding",
     n_planes: int = 8,
-    dim: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing the query's
     hyperplane bucket. Recall is tuned by n_planes (fewer planes → bigger
     buckets → higher recall & cost). Scale: the bucket equi-join replaces
-    the cross join — shuffle keyed on bucket, AQE handles bucket skew."""
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+    the cross join — shuffle keyed on bucket, AQE handles bucket skew.
+    ``dim`` is passed explicitly (a driver-side ``.first()`` probe during
+    plan build would trigger a job per plan construction)."""
     planes = _hyperplanes(dim, n_planes)
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),

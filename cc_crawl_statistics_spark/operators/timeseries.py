@@ -123,6 +123,93 @@ def trailing_union(size_by_crawl: DataFrame, n: int) -> DataFrame:
     ).orderBy("crawl")
 
 
+def trailing_distinct_union(
+    pages: DataFrame, n: int, lgk: int = 14
+) -> DataFrame:
+    """W4 sketch flavor: distinct URLs over the trailing N crawls via
+    sliding HLL-sketch unions, N ∈ {2,3,4,6,9,12}
+    (crawl_size.py:121-136: ``cum_hll.update(hlls[-i])`` over the last N
+    per-crawl HLLs), plus the reference's URLs/pages ratio over the same
+    window (crawl_size.py:137-155) as integer permille.
+
+    Under-full windows (fewer than N crawls so far) emit 0 where the
+    reference emits 'nan' — same convention as trailing_union.
+
+    Scale: the fact table is scanned ONCE to build ≤126 per-crawl sketches
+    (mergeable state, map-side combined); every sliding union is then a
+    window over the tiny crawl dimension. This replaces re-scanning N
+    crawls' raw URLs per window position — the reference touches 126
+    sketches, and so do we."""
+    per_crawl = (
+        page_rows(pages)
+        .groupBy("crawl")
+        .agg(
+            F.hll_sketch_agg("url", F.lit(lgk)).alias("sk"),
+            F.sum(F.lit(1)).alias("pages"),
+        )
+    )
+    w = Window.orderBy("crawl").rowsBetween(-(n - 1), 0)
+    cnt = F.count("*").over(w)
+    est = F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+    pages_n = F.sum("pages").over(w)
+    return per_crawl.select(
+        "crawl",
+        F.when(cnt >= n, est).otherwise(0).alias(f"urls_est_last_{n}"),
+        F.when(cnt >= n, pages_n).otherwise(0).alias(f"pages_last_{n}"),
+        F.when(cnt >= n, F.floor(F.lit(1000) * est / pages_n))
+        .otherwise(0)
+        .cast("long")
+        .alias(f"urls_per_page_permille_last_{n}"),
+    ).orderBy("crawl")
+
+
+def crawl_overlap_sketch(pages: DataFrame, lgk: int = 14) -> DataFrame:
+    """W7 sketch flavor — the reference's actual overlap computation
+    (overlap.py:47-68): pairwise |A∩B| = |A|+|B|−|A∪B| over per-crawl HLL
+    sketches, never over raw URLs.
+
+    Scale: ONE scan of the fact table builds ≤126 (crawl, sketch) rows;
+    the O(crawls²) pair expansion and the sketch unions run on that tiny
+    dimension — no per-URL shuffle at all, unlike the exact flavor
+    (crawl_overlap), which is retained as the small-scale verifier.
+    Emits the same [intersection, union, size1, size2, containment,
+    jaccard] tuple as overlap.py:64-66, ratios as integer permille."""
+    per_crawl = (
+        page_rows(pages)
+        .groupBy("crawl")
+        .agg(F.hll_sketch_agg("url", F.lit(lgk)).alias("sk"))
+    )
+    a = per_crawl.select(
+        F.col("crawl").alias("c1"), F.col("sk").alias("sk1")
+    )
+    b = per_crawl.select(
+        F.col("crawl").alias("c2"), F.col("sk").alias("sk2")
+    )
+    est = F.hll_sketch_estimate
+    uni = est(F.hll_union("sk1", "sk2"))
+    n1 = est("sk1")
+    n2 = est("sk2")
+    inter = F.greatest(n1 + n2 - uni, F.lit(0))
+    return (
+        a.join(b, F.col("c1") < F.col("c2"))
+        .select(
+            "c1",
+            "c2",
+            inter.alias("inter_est"),
+            uni.alias("uni_est"),
+            n1.alias("n1_est"),
+            n2.alias("n2_est"),
+            F.floor(F.lit(1000) * inter / n2).cast("long").alias(
+                "containment_permille"
+            ),
+            F.floor(F.lit(1000) * inter / uni).cast("long").alias(
+                "jaccard_permille"
+            ),
+        )
+        .orderBy("c1", "c2")
+    )
+
+
 def domain_coverage(domain_counts: DataFrame) -> DataFrame:
     """W8: cumulative share of pages covered by the top domains
     (histogram.py:125-143): sort domains by pages desc, running sums,

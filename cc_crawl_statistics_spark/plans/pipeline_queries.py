@@ -72,7 +72,11 @@ def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    return D.embedding_near_dup(emb_corpus_df(spark, sf), threshold_permille=990)
+    # LSH-bucketed candidates + exact cosine verify; dim=64 is the fixture
+    # embedding width (TESTDATA.md)
+    return D.embedding_near_dup(
+        emb_corpus_df(spark, sf), threshold_permille=990, dim=64
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -83,7 +87,7 @@ def q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     # plane constants not reproducible in SQL: rows-only
     emb = emb_corpus_df(spark, sf)
-    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
 
 
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:

@@ -174,6 +174,23 @@ def q_trailing_3(spark: SparkSession, sf: str) -> DataFrame:
     return TS.trailing_union(C.crawl_size(pages_df(spark, sf)), n=3)
 
 
+def q_trailing_hll_2(spark: SparkSession, sf: str) -> DataFrame:
+    # W4 sketch flavor (sliding last-N HLL unions, crawl_size.py:121-155):
+    # HLL estimates — rows-only driver check; exact-vs-sketch deviation is
+    # bounded by tests/test_counts.py
+    return TS.trailing_distinct_union(pages_df(spark, sf), n=2)
+
+
+def q_trailing_hll_3(spark: SparkSession, sf: str) -> DataFrame:
+    return TS.trailing_distinct_union(pages_df(spark, sf), n=3)
+
+
+def q_crawl_overlap_hll(spark: SparkSession, sf: str) -> DataFrame:
+    # W7 sketch flavor (overlap.py:47-68) — the 100-TB-scale overlap plan;
+    # the exact flavor (crawl_overlap) stays registered as the verifier
+    return TS.crawl_overlap_sketch(pages_df(spark, sf))
+
+
 def q_host_pages_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return TS.pseudo_log_histogram(C.host_counts(pages_df(spark, sf)), "pages")
 
@@ -291,6 +308,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_tld": q_spearman_tld,
     "trailing_2": q_trailing_2,
     "trailing_3": q_trailing_3,
+    "trailing_hll_2": q_trailing_hll_2,
+    "trailing_hll_3": q_trailing_hll_3,
+    "crawl_overlap_hll": q_crawl_overlap_hll,
     "host_pages_histogram": q_host_pages_histogram,
     "tld_classified": q_tld_classified,
     "cumulative_distinct": q_cumulative_distinct,

@@ -88,3 +88,49 @@ def test_size_estimate_within_error(spark):
     )
     rel_err = (est.urls_est - exact.urls).abs() / exact.urls
     assert (rel_err < 0.05).all()
+
+
+def test_trailing_hll_union_close_to_exact(spark):
+    """W4 sketch flavor: sliding last-N HLL-union estimates within 5% of the
+    exact trailing distinct-URL counts (lgk=14 -> ~0.8% RSE), and exactly 0
+    for under-full windows (the reference's 'nan' rows)."""
+    from cc_crawl_statistics_spark.operators import timeseries as TS
+
+    p = pages_df(spark, SF_SMOKE)
+    sk = (
+        TS.trailing_distinct_union(p, n=2)
+        .toPandas()
+        .set_index("crawl")
+    )
+    # exact trailing distinct over the same window
+    rows = (
+        C.page_rows(p)
+        .select("crawl", "url")
+        .distinct()
+        .toPandas()
+    )
+    crawls = sorted(rows.crawl.unique())
+    for i, c in enumerate(crawls):
+        est = sk.loc[c][f"urls_est_last_2"]
+        if i == 0:
+            assert est == 0  # under-full window
+            continue
+        window = {c, crawls[i - 1]}
+        exact = rows[rows.crawl.isin(window)].url.nunique()
+        assert abs(est - exact) <= 0.05 * exact, (c, est, exact)
+
+
+def test_crawl_overlap_sketch_close_to_exact(spark):
+    """W7 sketch flavor: HLL-derived pairwise intersection within 5% of the
+    exact per-URL join, with identical pair coverage."""
+    from cc_crawl_statistics_spark.operators import timeseries as TS
+
+    p = pages_df(spark, SF_SMOKE)
+    sk = TS.crawl_overlap_sketch(p).toPandas()
+    ex = TS.crawl_overlap(p).toPandas()
+    sk = sk.set_index(["c1", "c2"]).sort_index()
+    ex = ex.set_index(["c1", "c2"]).sort_index()
+    assert list(sk.index) == list(ex.index)
+    for idx in ex.index:
+        est, exact = sk.loc[idx].inter_est, ex.loc[idx].inter
+        assert abs(est - exact) <= max(0.05 * exact, 2), (idx, est, exact)
