@@ -3,7 +3,9 @@
 The reference embeds these as Python dicts (MonthlyCrawl at
 /root/reference/crawlstats.py:35-202; top_level_domain.py; tld_by_continent
 .py). Engine-side they are broadcast dimension DataFrames built at plan
-time — every lookup is a broadcast hash join, never a UDF.
+time — every lookup is a broadcast hash join, never a UDF. The full
+vendored fact tables (1769 IANA TLD classifications, 464 continent
+mappings, 126-crawl registry) live in dims_data.py.
 """
 
 from __future__ import annotations
@@ -12,18 +14,35 @@ import datetime as dt
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .dims_data import (
+    monthly_crawl_registry,
+    tld_continent_rows,
+    tld_type_rows,
+)
+
+# the three pre-weekly-naming crawls have fixed dates (crawlstats.py:182-190)
+_HISTORICAL_DATES = {
+    "CC-MAIN-2008-2009": dt.date(2009, 1, 12),
+    "CC-MAIN-2009-2010": dt.date(2010, 9, 25),
+    "CC-MAIN-2012": dt.date(2012, 11, 2),
+}
+
 
 def crawl_date(crawl_name: str) -> dt.date:
-    """'CC-MAIN-YYYY-WW' → Monday of ISO week WW (the reference's date
-    derivation, crawlstats.py:181-194)."""
+    """'CC-MAIN-YYYY-WW' → Monday of ISO week WW; the three historical
+    crawls get their fixed archive dates (crawlstats.py date_of,
+    :182-190)."""
+    if crawl_name in _HISTORICAL_DATES:
+        return _HISTORICAL_DATES[crawl_name]
     _, _, year, week = crawl_name.split("-")
     return dt.date.fromisocalendar(int(year), int(week), 1)
 
 
 def crawl_dim(spark: SparkSession, crawl_names: list[str]) -> DataFrame:
     """(crawl, crawl_id, date) — ids are the sort order by (year, week).
-    (The reference's ids are historical registration order; for bitmask
-    semantics only ordering stability matters.)"""
+    (For fixture crawls not in the production registry only ordering
+    stability matters; for registered CC-MAIN names use
+    monthly_crawl_dim, whose ids match the reference bit-for-bit.)"""
     rows = [
         (name, i, crawl_date(name))
         for i, name in enumerate(sorted(set(crawl_names)))
@@ -31,52 +50,39 @@ def crawl_dim(spark: SparkSession, crawl_names: list[str]) -> DataFrame:
     return spark.createDataFrame(rows, "crawl string, crawl_id int, date date")
 
 
-# TLD type classification — a compact vendored slice of the IANA table the
-# reference embeds (top_level_domain.py); production regenerates from IANA.
-TLD_TYPES = {
-    "com": "gTLD",
-    "org": "gTLD",
-    "net": "gTLD",
-    "info": "gTLD",
-    "biz": "gTLD",
-    "edu": "sTLD",
-    "gov": "sTLD",
-    "mil": "sTLD",
-    "io": "ccTLD",
-    "de": "ccTLD",
-    "jp": "ccTLD",
-    "uk": "ccTLD",
-    "fr": "ccTLD",
-    "es": "ccTLD",
-    "it": "ccTLD",
-    "nl": "ccTLD",
-    "pl": "ccTLD",
-    "ru": "ccTLD",
-    "cn": "ccTLD",
-    "br": "ccTLD",
-    "au": "ccTLD",
-    "dev": "new-gTLD",
-    "app": "new-gTLD",
-}
+def monthly_crawl_dim(spark: SparkSession) -> DataFrame:
+    """The reference's MonthlyCrawl registry (crawlstats.py:35-167) as a
+    broadcast dim: (crawl, crawl_id, date). Ids are REGISTRATION order —
+    0-87 chronological from CC-MAIN-2014-52, 88-99 the historical crawls,
+    100+ resuming — because the bitmask semantics (is_new/is_newest,
+    crawlstats.py:249-270) key on bit positions, not dates."""
+    rows = [
+        (name, cid, crawl_date(name))
+        for name, cid in sorted(monthly_crawl_registry().items())
+    ]
+    return spark.createDataFrame(rows, "crawl string, crawl_id int, date date")
 
-TLD_CONTINENTS = {
-    "de": "EU",
-    "fr": "EU",
-    "es": "EU",
-    "it": "EU",
-    "nl": "EU",
-    "pl": "EU",
-    "uk": "EU",
-    "ru": "EU",
-    "jp": "AS",
-    "cn": "AS",
-    "br": "SA",
-    "au": "OC",
-}
+
+def tld_continent_dim(spark: SparkSession) -> DataFrame:
+    """The reference's tld_continent lookup (plot/tld_by_continent.py:
+    104-133) as its own broadcast dim: (tld, continent) — includes
+    mappings for TLDs outside the IANA registry snapshot (removed ccTLDs
+    etc.), exactly as the reference dict does."""
+    return spark.createDataFrame(
+        tld_continent_rows(), "tld string, continent string"
+    )
 
 
 def tld_dim(spark: SparkSession) -> DataFrame:
+    """Full IANA TLD classification joined with the continent map:
+    (tld, tld_type, continent). Registered-but-unmapped TLDs get
+    '(other)' — the reference's tld2continent fallback
+    (plot/tld_by_continent.py:127-133)."""
+    continents = dict(tld_continent_rows())
     rows = [
-        (tld, typ, TLD_CONTINENTS.get(tld, "-")) for tld, typ in TLD_TYPES.items()
+        (tld, typ, continents.get(tld, "(other)"))
+        for tld, typ in tld_type_rows()
     ]
-    return spark.createDataFrame(rows, "tld string, tld_type string, continent string")
+    return spark.createDataFrame(
+        rows, "tld string, tld_type string, continent string"
+    )

@@ -124,48 +124,6 @@ def seen_key_of(surt_key_col):
     return F.xxhash64(surt_key_col)
 
 
-# ---------------------------------------------------------------------------
-# public-suffix split (tldextract equivalent, crawlstats.py:509-521)
-# ---------------------------------------------------------------------------
-
-# minimal vendored public-suffix snapshot: enough for the fixture TLD pool +
-# common multi-label suffixes to exercise the longest-match logic. Production
-# swaps in the full PSL (publicsuffix.org) at dimension-build time.
-PUBLIC_SUFFIXES = (
-    "com org net de jp uk co.uk ac.uk com.au gov br com.br io dev app "
-    "edu gov mil info biz fr es it nl pl ru cn com.cn co.jp ne.jp or.jp"
-).split()
-
-
-def suffix_split(host_col):
-    """(registrable_domain, tld) via longest public-suffix match, expressed
-    as JVM-side expressions over the vendored suffix set: for each candidate
-    suffix length test membership; IP addresses → '(ip address)',
-    no match → '(invalid)' (mirrors crawlstats.py:513-521)."""
-    parts = F.split(host_col, r"\.")
-    n = F.size(parts)
-
-    def label_suffix(k: int):
-        # last k labels joined by '.'
-        return F.concat_ws(".", F.slice(parts, n - k + 1, k))
-
-    suffixes = set(PUBLIC_SUFFIXES)
-    two = label_suffix(2)
-    one = label_suffix(1)
-    is_ip = host_col.rlike(IP_RE)
-    suffix = (
-        F.when(two.isin(*suffixes) & (n >= 3), two)
-        .when(one.isin(*suffixes) & (n >= 2), one)
-        .otherwise(F.lit(None))
-    )
-    suffix_labels = F.when(suffix.isNotNull(), F.size(F.split(suffix, r"\.")))
-    domain = F.concat_ws(
-        ".",
-        F.slice(parts, n - suffix_labels, 1),
-        F.array(suffix),
-    )
-    tld = F.when(is_ip, F.lit("(ip address)")).otherwise(
-        F.coalesce(suffix, F.lit("(invalid)"))
-    )
-    registrable = F.when(is_ip | suffix.isNull(), F.lit(None)).otherwise(domain)
-    return registrable, tld
+# public-suffix split lives in functions/psl.py (full vendored PSL rules,
+# arbitrary-depth longest match incl. wildcard/exception rules, applied as
+# broadcast joins via psl.split_host)

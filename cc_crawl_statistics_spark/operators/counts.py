@@ -278,6 +278,14 @@ def url_crawl_set(pages: DataFrame) -> DataFrame:
             F.min("crawl_id").alias("first_crawl_id"),
             F.countDistinct("crawl_id").alias("n_crawls"),
         )
+        # newest crawl in set = highest set bit (is_newest(c) ≡
+        # newest_crawl_id == c, crawlstats.py:265-270's
+        # bits.bit_length() == crawl+1) — integer-exact via the binary
+        # string length, no float log2
+        .withColumn(
+            "newest_crawl_id",
+            (F.length(F.bin("crawl_set")) - 1).cast("long"),
+        )
     )
 
 

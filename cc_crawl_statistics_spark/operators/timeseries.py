@@ -451,10 +451,11 @@ def top_n_with_unknown(
 
 def continent_rollup(tld_counts_df: DataFrame, tld_dim_df: DataFrame) -> DataFrame:
     """P9 (tld_by_continent.py:104-133): TLD counts rolled up to continent
-    via the broadcast TLD dimension; unmapped TLDs keep '-'."""
+    via the broadcast TLD dimension; unmapped TLDs get '(other)' — the
+    reference's tld2continent fallback."""
     return (
         tld_counts_df.join(F.broadcast(tld_dim_df.select("tld", "continent")), "tld", "left")
-        .withColumn("continent", F.coalesce("continent", F.lit("-")))
+        .withColumn("continent", F.coalesce("continent", F.lit("(other)")))
         .groupBy("crawl", "continent")
         .agg(
             F.sum("pages").alias("pages"),

@@ -267,11 +267,106 @@ def q_cc_pages_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_parse_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """P3/U2/U3 wired end-to-end: host/scheme derived FROM THE URL STRING
+    via both tiers — JVM parse_url (hot path) and the Arrow byte-compat
+    urlparse UDFs — plus (domain, tld) from the full-PSL split of the
+    derived host. The oracle asserts every derived value equals the synth
+    reference column (n_*_ok == n), so a parse or PSL regression breaks
+    value parity, not just a unit test."""
+    from pyspark.sql import functions as F
+
+    from ..functions.psl import split_host
+    from ..functions.urlkit import host_of, scheme_of, urlparse_host
+
+    p = pages_df(spark, sf).select(
+        "crawl",
+        "url",
+        F.col("host").alias("host_ref"),
+        F.col("scheme").alias("scheme_ref"),
+        F.col("domain").alias("domain_ref"),
+        F.col("tld").alias("tld_ref"),
+    )
+    derived = split_host(
+        p.withColumn("host", host_of(F.col("url"))), "host"
+    ).withColumns(
+        {
+            "scheme_jvm": scheme_of(F.col("url")),
+            "host_py": urlparse_host()(F.col("url")),
+        }
+    )
+    ok = lambda a, b: (F.col(a) == F.col(b)).cast("long")  # noqa: E731
+    return (
+        derived.groupBy("crawl")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(ok("host", "host_ref")).alias("n_host_jvm_ok"),
+            F.sum(ok("host_py", "host_ref")).alias("n_host_py_ok"),
+            F.sum(ok("scheme_jvm", "scheme_ref")).alias("n_scheme_ok"),
+            F.sum(ok("domain", "domain_ref")).alias("n_domain_ok"),
+            F.sum(ok("tld", "tld_ref")).alias("n_tld_ok"),
+        )
+        .orderBy("crawl")
+    )
+
+
+def q_surt_parity(spark: SparkSession, sf: str) -> DataFrame:
+    """U1 wired: the Arrow surt_key UDF over the raw URL vs the expected
+    SURT form derived dialect-neutrally from the synth columns (host
+    reversed, leading www. dropped, cdn. kept). Oracle asserts
+    n_surt_ok == n."""
+    from pyspark.sql import functions as F
+
+    from ..functions.urlkit import surt_key
+
+    p = pages_df(spark, sf)
+    expected = F.expr(
+        "CASE WHEN host LIKE 'cdn.%' THEN surt_domain || ',cdn' "
+        "ELSE surt_domain END || ')' || "
+        "replace(url, scheme || '://' || host, '')"
+    )
+    return (
+        p.withColumn("got", surt_key()(F.col("url")))
+        .withColumn("ok", (F.col("got") == expected).cast("long"))
+        .groupBy("crawl")
+        .agg(F.count("*").alias("n"), F.sum("ok").alias("n_surt_ok"))
+        .orderBy("crawl")
+    )
+
+
 def q_tld_continent(spark: SparkSession, sf: str) -> DataFrame:
-    from ..dims import tld_dim
+    from ..dims import tld_continent_dim
 
     return TS.continent_rollup(
-        C.tld_counts(pages_df(spark, sf)), tld_dim(spark)
+        C.tld_counts(pages_df(spark, sf)), tld_continent_dim(spark)
+    )
+
+
+def q_crawl_registry_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """P10/J1 over the real MonthlyCrawl registry: per-crawl page counts
+    joined (broadcast) to the vendored 126-crawl registration-id dim;
+    unregistered fixture crawls map to -1. The oracle joins the identical
+    VALUES table, so any registry drift breaks value parity."""
+    from pyspark.sql import functions as F
+
+    from ..dims import monthly_crawl_dim
+
+    reg = monthly_crawl_dim(spark).select(
+        "crawl", F.col("crawl_id").alias("registry_id")
+    )
+    return (
+        C.page_rows(pages_df(spark, sf))
+        .groupBy("crawl")
+        .agg(F.count("*").alias("pages"))
+        .join(F.broadcast(reg), "crawl", "left")
+        .select(
+            "crawl",
+            F.coalesce("registry_id", F.lit(-1))
+            .cast("long")
+            .alias("registry_id"),
+            "pages",
+        )
+        .orderBy("crawl")
     )
 
 
@@ -319,6 +414,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_status": q_url_status,
     "charset_top_unknown": q_charset_top_unknown,
     "tld_continent": q_tld_continent,
+    "crawl_registry_lookup": q_crawl_registry_lookup,
+    "url_parse_parity": q_url_parse_parity,
+    "surt_parity": q_surt_parity,
     "cc_pages_extract": q_cc_pages_extract,
 }
 
@@ -447,7 +545,8 @@ GROUP BY c.crawl ORDER BY c.crawl
 SELECT url,
   CAST(bit_or(1 << crawl_id) AS BIGINT) AS crawl_set,
   CAST(MIN(crawl_id) AS BIGINT) AS first_crawl_id,
-  CAST(COUNT(DISTINCT crawl_id) AS BIGINT) AS n_crawls
+  CAST(COUNT(DISTINCT crawl_id) AS BIGINT) AS n_crawls,
+  CAST(length(bin(bit_or(1 << crawl_id))) - 1 AS BIGINT) AS newest_crawl_id
 FROM prows GROUP BY url ORDER BY url
 """
     ),
@@ -530,6 +629,45 @@ FROM ranked ORDER BY crawl, rank
     ),
     # size_estimate: HLL sketch — intentionally no SQL oracle (rows-only)
 }
+
+# ---------------------------------------------------------------------------
+# dimension VALUES for the DuckDB oracle — generated from the SAME vendored
+# fact tables (dims_data.py) the Spark dims use, so both engines join against
+# identical data by construction
+# ---------------------------------------------------------------------------
+
+from ..dims_data import (  # noqa: E402
+    monthly_crawl_registry,
+    tld_continent_rows,
+    tld_type_rows,
+)
+
+
+def _values_rows(rows) -> str:
+    return ", ".join(
+        "(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows
+    )
+
+
+def _sql_lit(v) -> str:
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+_TLD_TYPE_VALUES = (
+    "dim(tld, tld_type) AS (VALUES " + _values_rows(tld_type_rows()) + ")"
+)
+_TLD_CONTINENT_VALUES = (
+    "dim(tld, continent) AS (VALUES "
+    + _values_rows(tld_continent_rows())
+    + ")"
+)
+_REGISTRY_VALUES = (
+    "registry(crawl, registry_id) AS (VALUES "
+    + _values_rows(sorted(monthly_crawl_registry().items()))
+    + ")"
+)
 
 _MIME_CTE = f"""
 mc AS (
@@ -757,6 +895,35 @@ WHERE t.page_total - c.covered > 0
 ORDER BY crawl, charset
 """
         ),
+        "url_parse_parity": _oracle(
+            """
+SELECT crawl,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(*) AS BIGINT) AS n_host_jvm_ok,
+  CAST(COUNT(*) AS BIGINT) AS n_host_py_ok,
+  CAST(COUNT(*) AS BIGINT) AS n_scheme_ok,
+  CAST(COUNT(*) AS BIGINT) AS n_domain_ok,
+  CAST(COUNT(*) AS BIGINT) AS n_tld_ok
+FROM flagged GROUP BY crawl ORDER BY crawl
+"""
+        ),
+        "surt_parity": _oracle(
+            """
+SELECT crawl,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(*) AS BIGINT) AS n_surt_ok
+FROM flagged GROUP BY crawl ORDER BY crawl
+"""
+        ),
+        "crawl_registry_lookup": _oracle(
+            f""", {_REGISTRY_VALUES}
+SELECT p.crawl,
+  CAST(COALESCE(MAX(r.registry_id), -1) AS BIGINT) AS registry_id,
+  CAST(COUNT(*) AS BIGINT) AS pages
+FROM prows p LEFT JOIN registry r ON p.crawl = r.crawl
+GROUP BY p.crawl ORDER BY p.crawl
+"""
+        ),
         "cc_pages_extract": _oracle(
             """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pages,
@@ -770,8 +937,8 @@ GROUP BY lang ORDER BY lang
         ),
         "tld_continent": _oracle(
             f""", {_TLD_CTE},
-dim(tld, continent) AS (VALUES ('de', 'EU'), ('jp', 'AS'))
-SELECT crawl, COALESCE(d.continent, '-') AS continent,
+{_TLD_CONTINENT_VALUES}
+SELECT crawl, COALESCE(d.continent, '(other)') AS continent,
   CAST(SUM(pages) AS BIGINT) AS pages,
   CAST(SUM(urls) AS BIGINT) AS urls,
   CAST(SUM(domains) AS BIGINT) AS domains
@@ -781,10 +948,7 @@ GROUP BY crawl, continent ORDER BY crawl, continent
         ),
         "tld_classified": _oracle(
             f""", {_TLD_CTE},
-dim(tld, tld_type) AS (
-  VALUES ('com', 'gTLD'), ('org', 'gTLD'), ('net', 'gTLD'),
-         ('de', 'ccTLD'), ('jp', 'ccTLD')
-)
+{_TLD_TYPE_VALUES}
 SELECT crawl, COALESCE(d.tld_type, '-') AS tld_type,
   CAST(SUM(pages) AS BIGINT) AS pages,
   CAST(SUM(urls) AS BIGINT) AS urls,

@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.urlkit import host_of, scheme_of, suffix_split
+from ..functions.psl import split_host
+from ..functions.urlkit import host_of, scheme_of
 
 CDX_META_SCHEMA = T.StructType(
     [
@@ -54,8 +55,7 @@ def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         (meta.isNotNull() & meta.getField("url").isNotNull()).alias("is_valid"),
     )
     host = host_of(F.col("m.url"))
-    registrable, tld = suffix_split(host)
-    return parsed.select(
+    typed = parsed.select(
         "surt_domain",
         "surt_key",
         "timestamp14",
@@ -63,8 +63,6 @@ def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("m.url").alias("url"),
         scheme_of(F.col("m.url")).alias("scheme"),
         host.alias("host"),
-        registrable.alias("domain"),
-        tld.alias("tld"),
         F.col("m.status").cast("int").alias("status"),
         F.col("m.mime").alias("mime"),
         F.col("m.mime-detected").alias("mime_detected"),
@@ -73,6 +71,8 @@ def parse_cdx_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         F.col("m.digest").alias("digest"),
         F.col("m.filename").alias("warc_filename"),
     )
+    # (domain, tld) via full-PSL longest-match broadcast joins
+    return split_host(typed, "host")
 
 
 def read_cdx(spark: SparkSession, path: str, crawl: str) -> DataFrame:
