@@ -373,6 +373,36 @@ def digest_dup_histogram(pages: DataFrame) -> DataFrame:
     )
 
 
+def frequent_host_domain_counts(
+    counts: DataFrame, min_urls: int = 1
+) -> DataFrame:
+    """F4 parameterized: the ``--min-urls-top-host-domain`` stats-phase
+    floor (crawlstats.py:697-703, 919-936; run_stats_hadoop.sh:62 uses
+    100): host/domain/surt_domain rows below the unique-URL floor are
+    dropped from the final stats — AFTER the size/histogram aggregates saw
+    them (aggregate-then-filter order; the histogram flavor is
+    host_pages_histogram, computed on the unfiltered counts)."""
+    if min_urls <= 1:
+        return counts
+    return counts.filter(F.col("urls") >= min_urls)
+
+
+def language_counts_floor(
+    pages: DataFrame, min_lang_comb_freq: int = 1
+) -> DataFrame:
+    """F5: the ``--min-lang-comb-freq`` floor (crawlstats.py:704-708,
+    937-943; run_stats_hadoop.sh:63 uses 50): language COMBINATIONS
+    (values containing a comma) below the page floor are dropped; single
+    languages always pass regardless of frequency."""
+    counts = language_counts(pages)
+    if min_lang_comb_freq <= 1:
+        return counts
+    return counts.filter(
+        (F.col("pages") >= min_lang_comb_freq)
+        | ~F.col("languages").contains(",")
+    )
+
+
 def large_surt_domains(pages: DataFrame, min_urls: int = 20) -> DataFrame:
     """A11/F4 exact flavor: SURT domains whose unique-URL count reaches the
     reference's per-SURT threshold (MIN_SURT_HLL_SIZE semantics,

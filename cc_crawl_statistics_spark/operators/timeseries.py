@@ -325,6 +325,58 @@ def spearman_rank_x1000(
     )
 
 
+def spearman_vs_benchmark(
+    tld_counts_df: DataFrame,
+    benchmark_dim: DataFrame,
+    measure: str = "pages",
+) -> DataFrame:
+    """A23/J3 for real (tld.py:187-229): Spearman rank correlation between
+    each crawl's per-TLD ``measure`` and each external benchmark's per-TLD
+    site counts (Alexa / Cisco Umbrella / Majestic top-1M dims), over the
+    TLDs present in BOTH sides — the pandas pairwise-NaN-drop semantics of
+    ``data.corr(method='spearman')`` after index-aligned assignment.
+
+    Plan: the benchmark dim (≤ ~800 rows per list) broadcasts into an
+    inner join against the already-aggregated TLD dimension, ranks are
+    windows per (crawl, benchmark), and the rank-difference formula stays
+    integer until one final ×1000 floor — bit-identical across engines.
+    Ranks tie-break on the tld string (deterministic row_number, as in
+    spearman_rank_x1000)."""
+    joined = tld_counts_df.join(F.broadcast(benchmark_dim), "tld")
+    wa = Window.partitionBy("crawl", "benchmark").orderBy(
+        F.desc(measure), F.asc("tld")
+    )
+    wb = Window.partitionBy("crawl", "benchmark").orderBy(
+        F.desc("sites"), F.asc("tld")
+    )
+    ranked = joined.select(
+        "crawl",
+        "benchmark",
+        "tld",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    d2 = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    return (
+        ranked.groupBy("crawl", "benchmark")
+        .agg(F.sum(d2).alias("sum_d2"), F.count("*").alias("n"))
+        .select(
+            "crawl",
+            "benchmark",
+            "n",
+            F.floor(
+                1000
+                - F.lit(6000)
+                * F.col("sum_d2")
+                / (F.col("n") * (F.col("n") * F.col("n") - 1))
+            )
+            .cast("long")
+            .alias("spearman_x1000"),
+        )
+        .orderBy("crawl", "benchmark")
+    )
+
+
 def cumulative_distinct_estimates(pages: DataFrame, lgk: int = 14) -> DataFrame:
     """W2/W3 (crawl_size.py:98-119): cumulative distinct URLs over crawls
     via running HLL-sketch unions, and new-items-per-crawl as the delta of

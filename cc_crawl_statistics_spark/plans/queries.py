@@ -267,6 +267,32 @@ def q_cc_pages_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_frequent_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """F4 floor at min_urls=3 (fixture-scaled --min-urls-top-host-domain)."""
+    return C.frequent_host_domain_counts(
+        C.host_counts(pages_df(spark, sf)), min_urls=3
+    )
+
+
+def q_languages_floor(spark: SparkSession, sf: str) -> DataFrame:
+    """F5 floor at min_lang_comb_freq=5 (fixture-scaled): rare
+    comma-combinations dropped, single languages always kept."""
+    return C.language_counts_floor(pages_df(spark, sf), min_lang_comb_freq=5)
+
+
+def q_spearman_benchmark(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl TLD page-frequencies rank-correlated against the vendored
+    Alexa/Cisco/Majestic top-1M TLD tables (tld.py:187-229)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ..benchmarks_data import benchmark_tld_rows
+
+    dim = spark.createDataFrame(
+        benchmark_tld_rows(), "benchmark string, tld string, sites long"
+    )
+    return TS.spearman_vs_benchmark(C.tld_counts(pages_df(spark, sf)), dim)
+
+
 def q_url_parse_parity(spark: SparkSession, sf: str) -> DataFrame:
     """P3/U2/U3 wired end-to-end: host/scheme derived FROM THE URL STRING
     via both tiers — JVM parse_url (hot path) and the Arrow byte-compat
@@ -417,6 +443,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_registry_lookup": q_crawl_registry_lookup,
     "url_parse_parity": q_url_parse_parity,
     "surt_parity": q_surt_parity,
+    "spearman_benchmark": q_spearman_benchmark,
+    "frequent_hosts": q_frequent_hosts,
+    "languages_floor": q_languages_floor,
     "cc_pages_extract": q_cc_pages_extract,
 }
 
@@ -669,6 +698,14 @@ _REGISTRY_VALUES = (
     + ")"
 )
 
+from ..benchmarks_data import benchmark_tld_rows  # noqa: E402
+
+_BENCHMARK_VALUES = (
+    "bench(benchmark, tld, sites) AS (VALUES "
+    + _values_rows(benchmark_tld_rows())
+    + ")"
+)
+
 _MIME_CTE = f"""
 mc AS (
   SELECT crawl, {_MIME_NORM.format(c="mime")} AS mimetype,
@@ -893,6 +930,50 @@ SELECT t.crawl, '<unknown>' AS charset,
 FROM totals t JOIN covered c USING (crawl)
 WHERE t.page_total - c.covered > 0
 ORDER BY crawl, charset
+"""
+        ),
+        "frequent_hosts": _oracle(
+            """
+, hc AS (
+  SELECT crawl, host, CAST(COUNT(*) AS BIGINT) AS pages,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS urls
+  FROM prows GROUP BY crawl, host
+)
+SELECT * FROM hc WHERE urls >= 3 ORDER BY crawl, host
+"""
+        ),
+        "languages_floor": _oracle(
+            """
+, lc AS (
+  SELECT crawl, languages, CAST(COUNT(*) AS BIGINT) AS pages,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS urls
+  FROM prows GROUP BY crawl, languages
+)
+SELECT * FROM lc
+WHERE pages >= 5 OR languages NOT LIKE '%,%'
+ORDER BY crawl, languages
+"""
+        ),
+        "spearman_benchmark": _oracle(
+            f""", {_TLD_CTE},
+{_BENCHMARK_VALUES},
+joined AS (
+  SELECT tc.crawl, b.benchmark, tc.tld, tc.pages, b.sites
+  FROM tc JOIN bench b USING (tld)
+),
+ranked AS (
+  SELECT crawl, benchmark,
+    row_number() OVER (PARTITION BY crawl, benchmark
+                       ORDER BY pages DESC, tld) AS ra,
+    row_number() OVER (PARTITION BY crawl, benchmark
+                       ORDER BY sites DESC, tld) AS rb
+  FROM joined
+)
+SELECT crawl, benchmark, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(FLOOR(1000 - 6000 * CAST(SUM((ra-rb)*(ra-rb)) AS BIGINT)
+             / (COUNT(*) * (COUNT(*) * COUNT(*) - 1))) AS BIGINT)
+    AS spearman_x1000
+FROM ranked GROUP BY crawl, benchmark ORDER BY crawl, benchmark
 """
         ),
         "url_parse_parity": _oracle(
