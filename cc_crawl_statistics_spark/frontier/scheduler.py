@@ -71,13 +71,20 @@ def url_universe(pages: DataFrame) -> DataFrame:
     the per-URL page attributes the per-round statistics need. Carrying the
     attributes here (computed once, in the same groupBy, persisted at seed
     time) is what lets a scheduling round emit the reference's statistics
-    without ever rescanning the corpus-scale pages table. min() not first()
-    so the universe is deterministic under any partitioning."""
+    without ever rescanning the corpus-scale pages table.
+
+    Attribute coherence: the ATTR_COLS all come from the SAME fetch row —
+    the URL's earliest fetch (min_by over fetch_ts) — so a round's
+    histograms reflect an actual observed fetch, never a min()-mixture of
+    columns from different fetches. min/min_by (not first) keeps the
+    universe deterministic under any partitioning; fetch_ts is unique per
+    (url, fetch) by construction in the synth corpus, and a real CDX feed
+    tie-breaks identically because min_by compares the full timestamp."""
     return pages.groupBy("url").agg(
         F.min("surt_key").alias("surt_key"),
         F.min("host").alias("host"),
         F.min("doc_id").alias("doc_id"),
-        *[F.min(c).alias(c) for c in ATTR_COLS],
+        *[F.min_by(c, "fetch_ts").alias(c) for c in ATTR_COLS],
     )
 
 
@@ -166,10 +173,18 @@ def host_bucketed_topk(
 
 
 def round_statistics(scheduled_pages: DataFrame) -> DataFrame:
-    """The reference's statistics for one round's fetched pages, as one
-    long-format DataFrame (SURVEY.md §1.4 stats model): unique URL / host /
-    domain / TLD counts + MIME / language / status histograms
-    (crawlstats.py counting semantics over the round's slice)."""
+    """Statistics for one scheduling round, as one long-format DataFrame
+    (SURVEY.md §1.4 stats model): unique URL / host / domain / TLD counts
+    + MIME / language / status histograms, in the reference's
+    (type, key) → [pages, urls] output shape.
+
+    Round semantics (deliberately different from the reference's
+    CDX-batch counts): the input is ONE ROW PER SCHEDULED URL — a
+    deduplicating frontier fetches each URL at most once per round — so
+    ``pages == urls`` on every row by design, and the attribute columns
+    are those of the URL's earliest observed fetch (url_universe's
+    min_by), not of this round's network response. Pinned by
+    tests/test_frontier.py::test_round_stats_semantics."""
     p = scheduled_pages
 
     def kv(df, typ, key_col):
@@ -270,16 +285,23 @@ def run_round(
     n_partitions: int = 4,
     pages: DataFrame | None = None,
     docs: DataFrame | None = None,
+    compact_every: int = 16,
 ) -> dict:
     """Execute the next scheduling round from the latest committed snapshot
     and commit round+1. Returns the round metrics (computed from the
     written snapshot, not by re-executing the round's lineage).
 
-    ``pages`` overrides the default sf_dir-derived pages table (bench path
-    injects a scaled universe here). ``docs`` (doc_id, text) enables the
-    fetch+extract stage: the round then writes a ``fetched`` table with the
+    ``pages`` overrides the default sf_dir-derived pages table — but ONLY
+    on the seed round: once a store is seeded, the universe/ledger are
+    corpus state read from the round-0 snapshot and a ``pages`` argument
+    on later rounds is ignored (a real deployment re-seeds a new store to
+    change corpora). ``docs`` (doc_id, text) enables the fetch+extract
+    stage: the round then writes a ``fetched`` table with the
     html/extracted-text columns and records the byte-identity invariant in
-    its metrics (n_extract_mismatch must be 0)."""
+    its metrics (n_extract_mismatch must be 0). Every ``compact_every``
+    rounds the seen-set deltas are compacted into one base table with a
+    materialized Bloom prefilter (post-commit maintenance: a crash during
+    compaction loses nothing, read_seen falls back to the deltas)."""
     latest = store.latest_round()
     if latest is None:
         if pages is None:
@@ -324,9 +346,18 @@ def run_round(
     # updates it via its own robots-refresh job, committing a new version
     # only when it changes)
     ledger = store.read(spark, 0, "host_ledger")
-    universe = store.read(spark, 0, "universe")
-    n_docs = store.manifest(0)["metrics"]["n_docs"]
-    prev_seen = store.manifest(latest)["metrics"].get("n_seen", 0)
+    # resume compatibility: stores committed by engine versions that did
+    # not persist the universe table / n_docs metric fall back to
+    # recomputing the corpus state instead of failing the resume contract
+    try:
+        universe = store.read(spark, 0, "universe")
+    except Exception:
+        if pages is None:
+            pages = pages_df(spark, sf_dir)
+        universe = url_universe(pages).localCheckpoint(eager=True)
+    m0 = store.manifest(0)["metrics"]
+    n_docs = m0.get("n_docs") or universe.count()
+    prev_seen = store.manifest(latest)["metrics"].get("n_seen") or seen.count()
 
     pending = frontier.filter(F.col("state") == "pending")
     gated = pending.join(F.broadcast(ledger), "host")
@@ -355,11 +386,43 @@ def run_round(
     )
 
     discovered = expand_links(sched, universe, n_docs)
-    new_urls = discovered.join(
-        seen,
-        seen_key(discovered.url) == seen.seen_key,
-        "left_anti",
-    ).localCheckpoint(eager=True)
+    # URL-seen filter. With a materialized Bloom (written at compaction):
+    # candidates the Bloom rejects are DEFINITELY absent from the compacted
+    # base, so they only anti-join the small post-compaction deltas
+    # (broadcastable); Bloom-positive candidates take the exact anti-join
+    # against the full seen set. Results are bit-identical either way
+    # (test_frontier.py::test_compaction_and_bloom_bit_identical); what the
+    # Bloom buys at 10^10 keys is that the common case (brand-new URL)
+    # never shuffles against the base table.
+    bloom_file = store.bloom_path(latest)
+    if bloom_file is not None:
+        from .bloom import load_bloom, might_contain_udf
+
+        might = might_contain_udf(spark, load_bloom(bloom_file))
+        base_rnd = store.seen_base_round(latest)
+        recent = store.read_seen_deltas(spark, base_rnd + 1, latest)
+        cand = discovered.withColumn(
+            "_maybe", might(seen_key(F.col("url")))
+        )
+        clean = cand.filter(~F.col("_maybe")).join(
+            F.broadcast(recent),
+            seen_key(cand.url) == recent.seen_key,
+            "left_anti",
+        )
+        maybe = cand.filter(F.col("_maybe")).join(
+            seen,
+            seen_key(cand.url) == seen.seen_key,
+            "left_anti",
+        )
+        new_urls = (
+            clean.unionByName(maybe).drop("_maybe").localCheckpoint(eager=True)
+        )
+    else:
+        new_urls = discovered.join(
+            seen,
+            seen_key(discovered.url) == seen.seen_key,
+            "left_anti",
+        ).localCheckpoint(eager=True)
 
     # Retire scheduled + blocked rows without shuffling the corpus-scale
     # frontier: the schedule is budget-bounded (hosts × max budget) so its
@@ -434,6 +497,9 @@ def run_round(
     if docs is not None:
         tables["fetched"] = fetch_extract(sched, docs)
     try:
-        return store.commit(rnd, tables, metrics_from_snapshot)
+        out = store.commit(rnd, tables, metrics_from_snapshot)
     finally:
         new_frontier.unpersist()
+    if compact_every and rnd % compact_every == 0:
+        store.compact_seen(spark, rnd, n_partitions)
+    return out

@@ -15,14 +15,22 @@ round leaves no manifest and is ignored, so re-running it is idempotent
 (north_rule: resumable from checkpoint with per-partition lineage+metrics).
 
 Scale notes:
-  - frontier and url_seen are written ``repartitionByRange(N, "surt_key")``
-    / by seen-key range, so each partition owns a contiguous key range —
-    the anti-join and next round's scan are partition-aligned, and hot SURT
-    prefixes can be split by raising N (salting handled in scheduler.py);
-  - at 10^10 URLs, url_seen is ~64 bits/key ≈ 80 GiB spread over range
-    partitions, each with a Bloom prefilter (~1.2 GiB per 10^9 keys at 1%
-    FPR) built via df.stat.bloomFilter on the partition's range — the exact
-    anti-join only touches partitions the Bloom admits.
+  - the frontier is written ``repartitionByRange(N, "surt_key")`` so each
+    partition owns a contiguous SURT range — the next round's scan is
+    partition-aligned and hot SURT prefixes split by raising N (salting
+    handled in scheduler.py);
+  - url_seen is APPEND-ONLY: the seed delta is range-partitioned on
+    seen_key, every later round's delta is HASH-partitioned (seen keys
+    are uniform 64-bit hashes, so hash partitioning clusters identically
+    to range without the range partitioner's extra sampling pass). The
+    full set as of round R = compacted base (if any) + subsequent deltas;
+  - ``compact_seen`` merges the deltas into one hash-partitioned base
+    every K rounds, bounding the file/listing count read_seen unions (at
+    thousands of rounds an uncompacted store is a file-listing problem,
+    ~64 bits/key ≈ 80 GiB at 10^10 URLs) and materializes the Bloom
+    prefilter (frontier/bloom.py) the anti-join consults: candidates the
+    Bloom rejects as definitely-unseen skip the exact anti-join shuffle;
+    "maybe seen" rows still go through it, so results stay exact.
 """
 
 from __future__ import annotations
@@ -58,15 +66,84 @@ class SnapshotStore:
     def read(self, spark: SparkSession, rnd: int, table: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self._round_dir(rnd), table))
 
+    def seen_base_round(self, upto_rnd: int) -> int | None:
+        """Highest round ≤ upto_rnd holding a compacted url_seen_base."""
+        for r in range(upto_rnd, -1, -1):
+            if os.path.exists(
+                os.path.join(self._round_dir(r), "url_seen_base")
+            ):
+                return r
+        return None
+
     def read_seen(self, spark: SparkSession, upto_rnd: int) -> DataFrame:
-        """The URL-seen set as of a round: union of per-round append-only
-        deltas (the Iceberg-append pattern — each round adds one delta
-        instead of rewriting the 10^10-key set)."""
-        paths = [
+        """The URL-seen set as of a round: the latest compacted base (if
+        any) plus the per-round append-only deltas after it (the
+        Iceberg-append + periodic-rewrite pattern — each round adds one
+        delta instead of rewriting the 10^10-key set; compaction bounds
+        the delta-file count)."""
+        base = self.seen_base_round(upto_rnd)
+        paths = []
+        if base is not None:
+            paths.append(os.path.join(self._round_dir(base), "url_seen_base"))
+        start = 0 if base is None else base + 1
+        paths += [
             os.path.join(self._round_dir(r), "url_seen_delta")
-            for r in range(upto_rnd + 1)
+            for r in range(start, upto_rnd + 1)
         ]
         return spark.read.parquet(*[p for p in paths if os.path.exists(p)])
+
+    def read_seen_deltas(
+        self, spark: SparkSession, from_rnd: int, upto_rnd: int
+    ) -> DataFrame:
+        """Just the per-round deltas in [from_rnd, upto_rnd] (used as the
+        small anti-join side for Bloom-rejected candidates). Returns an
+        empty seen-key relation when no deltas exist in the range."""
+        paths = [
+            os.path.join(self._round_dir(r), "url_seen_delta")
+            for r in range(from_rnd, upto_rnd + 1)
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return spark.createDataFrame([], "seen_key bigint")
+        return spark.read.parquet(*paths)
+
+    def compact_seen(
+        self,
+        spark: SparkSession,
+        upto_rnd: int,
+        n_partitions: int = 4,
+        bloom_bits_per_key: int = 10,
+    ) -> None:
+        """Merge base + deltas up to ``upto_rnd`` into a single
+        hash-partitioned ``url_seen_base`` under that round's directory,
+        and materialize the Bloom prefilter beside it. Idempotent: safe to
+        re-run after a crash (tmp + rename into place); read_seen prefers
+        the newest base, so an interrupted compaction never loses keys —
+        the old deltas remain until the new base is in place."""
+        from .bloom import build_bloom, save_bloom
+
+        seen = self.read_seen(spark, upto_rnd)
+        rdir = self._round_dir(upto_rnd)
+        tmp = os.path.join(rdir, "url_seen_base.tmp")
+        final = os.path.join(rdir, "url_seen_base")
+        seen.repartition(n_partitions, "seen_key").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        bloom = build_bloom(
+            spark.read.parquet(tmp), bits_per_key=bloom_bits_per_key
+        )
+        save_bloom(bloom, os.path.join(rdir, "url_seen_bloom.npy"))
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+
+    def bloom_path(self, upto_rnd: int) -> str | None:
+        """Path of the newest materialized Bloom filter ≤ upto_rnd."""
+        base = self.seen_base_round(upto_rnd)
+        if base is None:
+            return None
+        p = os.path.join(self._round_dir(base), "url_seen_bloom.npy")
+        return p if os.path.exists(p) else None
 
     def manifest(self, rnd: int) -> dict:
         with open(os.path.join(self._round_dir(rnd), MANIFEST)) as f:

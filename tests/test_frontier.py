@@ -110,9 +110,16 @@ def test_politeness_gate(spark, store):
         assert keys == sorted(keys)
 
 
-def test_round_stats_emitted(spark, store):
+def test_round_stats_semantics(spark, store):
+    """Pins the documented one-fetch-per-URL-per-round stats semantics:
+    pages == urls on EVERY row (a deduplicating frontier fetches each
+    scheduled URL exactly once per round), the size row equals the
+    schedule count, each histogram's pages sum to the schedule count, and
+    the http_status histogram reflects the scheduled URLs' earliest-fetch
+    attributes (url_universe min_by) exactly."""
     scheduler.run_round(spark, store, SF_SMOKE)
     stats = store.read(spark, 1, "round_stats").toPandas()
+    sched = store.read(spark, 1, "schedule").toPandas()
     types = set(stats.type)
     assert {
         "size",
@@ -123,9 +130,105 @@ def test_round_stats_emitted(spark, store):
         "primary_language",
         "http_status",
     } <= types
-    assert (stats.pages >= stats.urls).all() or True  # histogram rows: pages>=urls
+    # one fetch per scheduled URL per round
+    assert (stats.pages == stats.urls).all()
     g = stats[stats.type == "size"]
-    assert len(g) == 1 and int(g.pages.iloc[0]) > 0
+    assert len(g) == 1 and int(g.pages.iloc[0]) == len(sched)
+    for typ in ("host", "tld", "http_status"):
+        hist = stats[stats.type == typ]
+        assert int(hist.pages.sum()) == len(sched), typ
+    # attribute fidelity: the status histogram equals the earliest-fetch
+    # status of each scheduled URL, recomputed independently from pages
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+
+    expected = (
+        scheduler.url_universe(pages_df(spark, SF_SMOKE))
+        .join(
+            spark.createDataFrame(sched[["url"]]), "url", "left_semi"
+        )
+        .groupBy("status")
+        .count()
+        .toPandas()
+        .set_index("status")["count"]
+        .to_dict()
+    )
+    got = (
+        stats[stats.type == "http_status"]
+        .assign(key=lambda d: d.key.astype(int))
+        .set_index("key")["pages"]
+        .to_dict()
+    )
+    assert got == expected
+
+
+def test_compaction_and_bloom_bit_identical(spark, tmp_path):
+    """Seen-set compaction + the materialized Bloom prefilter change the
+    physical plan, never the results: running with compact_every=1 (a
+    compacted base + Bloom from round 1 on) produces bit-identical
+    schedules and seen sets to the uncompacted store, and round dirs hold
+    the base/bloom artifacts."""
+    import os
+
+    a = SnapshotStore(str(tmp_path / "plain"))
+    b = SnapshotStore(str(tmp_path / "compacted"))
+    for rnd in range(1, 4):
+        scheduler.run_round(spark, a, SF_SMOKE, compact_every=0)
+        scheduler.run_round(spark, b, SF_SMOKE, compact_every=1)
+        assert schedule_rows(spark, a, rnd) == schedule_rows(spark, b, rnd)
+    assert b.seen_base_round(3) == 3
+    assert b.bloom_path(3) is not None
+    assert os.path.exists(os.path.join(b.root, "round=0002", "url_seen_base"))
+    seen_a = {r.seen_key for r in a.read_seen(spark, 3).collect()}
+    seen_b = {r.seen_key for r in b.read_seen(spark, 3).collect()}
+    assert seen_a == seen_b
+
+
+def test_bloom_no_false_negatives(spark):
+    """Membership over the built Bloom: every inserted key tests positive
+    (no false negatives ever); a disjoint key set has a low positive rate
+    (~1% at 10 bits/key)."""
+    from cc_crawl_statistics_spark.frontier.bloom import (
+        build_bloom,
+        might_contain_udf,
+    )
+
+    keys = spark.range(0, 5000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("seen_key")
+    )
+    bloom = build_bloom(keys)
+    might = might_contain_udf(spark, bloom)
+    hits = keys.select(might(F.col("seen_key")).alias("m")).toPandas()
+    assert hits.m.all()
+    other = spark.range(10000, 20000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("seen_key")
+    )
+    fp = other.select(might(F.col("seen_key")).alias("m")).toPandas().m.mean()
+    assert fp < 0.05
+
+
+def test_resume_legacy_store_without_universe(spark, store):
+    """Stores committed before the persisted-universe format resume via
+    the recompute fallback instead of failing (ADVICE r1): delete the
+    round-0 universe table and n_docs/n_seen metrics, then run a round."""
+    import json
+    import shutil as sh
+
+    st = model.seed(N_DOCS)
+    scheduler.run_round(spark, store, SF_SMOKE)
+    model.run_round(st)
+    # simulate a legacy layout
+    sh.rmtree(os.path.join(store.root, "round=0000", "universe"))
+    for rnd in ("round=0000", "round=0001"):
+        mpath = os.path.join(store.root, rnd, MANIFEST)
+        with open(mpath) as f:
+            man = json.load(f)
+        man["metrics"].pop("n_docs", None)
+        man["metrics"].pop("n_seen", None)
+        with open(mpath, "w") as f:
+            json.dump(man, f)
+    scheduler.run_round(spark, store, SF_SMOKE)
+    msched = model.run_round(st)
+    assert schedule_rows(spark, store, 2) == model_rows(msched)
 
 
 def test_fetch_extract_invariant(spark, store):

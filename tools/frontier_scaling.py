@@ -28,7 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PINS = {2: "0-1", 8: "0-7", 16: "0-15", 32: "0-31"}
+
+
+def _pins(cpus: int) -> str:
+    """CPU list for taskset at any level (first ``cpus`` cores)."""
+    return f"0-{cpus - 1}" if cpus > 1 else "0"
 
 
 def worker() -> None:
@@ -120,12 +124,14 @@ def main() -> None:
                 os.path.join(REPO, "tools", "frontier_scaling.py"),
                 "worker",
             ]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", PINS[cpus]] + cmd
+            pinned = bool(shutil.which("taskset"))
+            if pinned:
+                cmd = ["taskset", "-c", _pins(cpus)] + cmd
             out = subprocess.run(
                 cmd, env=env, capture_output=True, text=True, check=True
             )
             levels[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+            levels[cpus]["pinned"] = pinned
             print(json.dumps(levels[cpus]))
             shutil.rmtree(store_dir, ignore_errors=True)
 
@@ -141,7 +147,9 @@ def main() -> None:
                 }
         print(json.dumps(result, indent=2))
         rows_md = "\n".join(
-            f"| local[{c}] (taskset {PINS[c]}) | {levels[c]['round_sec']} | "
+            f"| local[{c}]"
+            + (f" (taskset {_pins(c)})" if levels[c]["pinned"] else "")
+            + f" | {levels[c]['round_sec']} | "
             f"{levels[c]['urls_scheduled']:,} | {levels[c]['urls_per_sec']:,} |"
             for c in level_list
         )
