@@ -118,11 +118,8 @@ def surt_domain_of(surt_key_col):
     return F.substring_index(surt_key_col, ")", 1)
 
 
-def seen_key_of(surt_key_col):
-    """64-bit URL-seen key over the canonical SURT form (xxhash64 —
-    Spark's built-in vectorized 64-bit hash)."""
-    return F.xxhash64(surt_key_col)
-
+# the URL-seen key (xxhash64 over the canonical form) lives with its
+# consumer: frontier/scheduler.py::seen_key
 
 # public-suffix split lives in functions/psl.py (full vendored PSL rules,
 # arbitrary-depth longest match incl. wildcard/exception rules, applied as

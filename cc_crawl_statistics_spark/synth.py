@@ -19,7 +19,9 @@ pages-vs-unique-urls twin counts (crawlstats.py:585-595), the
 fetches-per-URL histogram (crawlstats.py:817-820), and the crawl-set /
 new-items semantics (crawlstats.py:841-863).
 
-Dialect-neutrality rules used here (verified by tests/test_synth.py):
+Dialect-neutrality rules used here (verified end-to-end by every
+oracle-compared query in tools/check_parity.py / tests/test_oracle_parity.py,
+which evaluate this SQL in both engines):
   - only ``||`` concat, CASE WHEN, %, CAST(x AS STRING), comparison ops
   - no timestamps (fetch time is an epoch-seconds BIGINT)
   - no floats
