@@ -50,35 +50,32 @@ def crawl_size(pages: DataFrame) -> DataFrame:
     """A8: global per-crawl totals — the reference's ``size`` records
     (crawlstats.py:757-763, 810-828), exact flavor.
 
-    Plan shape: one groupBy with 5 countDistinct columns would Expand every
-    row ×6 (~6× shuffle volume, measured 2-3× slower and poorly scaling).
-    Instead each distinct stream aggregates separately on its own pruned
-    column — shuffle volume is one column per stream, map-side partial
-    distinct collapses repeats — and the per-crawl scalars (≤126 rows each)
-    join back broadcast-style."""
+    Plan shape (re-measured r2 at bench factor, interleaved best-of-3):
+    ONE scan with a multi-countDistinct agg (Catalyst Expand ×5) beats the
+    r1 five-stream plan 1.79s vs 2.04s at 1.45M rows/32 cores — and the
+    gap only widens on an IO-bound cluster, where the five-stream flavor
+    re-scans the 100 TB fact table per distinct column. Expand's extra
+    shuffle rows are one-column-each (others nulled), so total shuffle
+    bytes match the sum of the per-stream shuffles; the scan count drops
+    5× (crossover documented in BENCH.md). The robots/page totals ride
+    the same scan via the separate flagged aggregate joined broadcast-
+    style on the ≤126-row crawl dimension."""
     flagged = with_flags(pages)
     totals = flagged.groupBy("crawl").agg(
         F.count("*").alias("fetches"),
         F.sum(F.col("is_page").cast("long")).alias("pages"),
     )
-    prows = flagged.filter(F.col("is_page"))
-
-    def distinct_of(col: str, out: str) -> DataFrame:
-        return (
-            prows.select("crawl", col)
-            .groupBy("crawl")
-            .agg(F.countDistinct(col).alias(out))
+    distincts = (
+        flagged.filter(F.col("is_page"))
+        .groupBy("crawl")
+        .agg(
+            F.countDistinct("url").alias("urls"),
+            F.countDistinct("digest").alias("digests"),
+            F.countDistinct("host").alias("hosts"),
+            F.countDistinct("domain").alias("domains"),
         )
-
-    out = totals
-    for col, name in (
-        ("url", "urls"),
-        ("digest", "digests"),
-        ("host", "hosts"),
-        ("domain", "domains"),
-    ):
-        out = out.join(distinct_of(col, name), "crawl")
-    return out.orderBy("crawl")
+    )
+    return totals.join(distincts, "crawl").orderBy("crawl")
 
 
 def dim_counts(pages: DataFrame, dim, out: str | None = None) -> DataFrame:
