@@ -145,16 +145,23 @@ def trailing_distinct_union(
         .groupBy("crawl")
         .agg(
             F.hll_sketch_agg("url", F.lit(lgk)).alias("sk"),
+            F.hll_sketch_agg("digest", F.lit(lgk)).alias("sk_digest"),
             F.sum(F.lit(1)).alias("pages"),
         )
     )
     w = Window.orderBy("crawl").rowsBetween(-(n - 1), 0)
     cnt = F.count("*").over(w)
     est = F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
+    est_digest = F.hll_sketch_estimate(F.hll_union_agg("sk_digest").over(w))
     pages_n = F.sum("pages").over(w)
     return per_crawl.select(
         "crawl",
         F.when(cnt >= n, est).otherwise(0).alias(f"urls_est_last_{n}"),
+        # the reference slides every hll item type ('url estim.',
+        # 'digest estim.' — crawl_size.py cumulative_size loop)
+        F.when(cnt >= n, est_digest).otherwise(0).alias(
+            f"digests_est_last_{n}"
+        ),
         F.when(cnt >= n, pages_n).otherwise(0).alias(f"pages_last_{n}"),
         F.when(cnt >= n, F.floor(F.lit(1000) * est / pages_n))
         .otherwise(0)
@@ -163,7 +170,9 @@ def trailing_distinct_union(
     ).orderBy("crawl")
 
 
-def crawl_overlap_sketch(pages: DataFrame, lgk: int = 14) -> DataFrame:
+def crawl_overlap_sketch(
+    pages: DataFrame, lgk: int = 14, item_col: str = "url"
+) -> DataFrame:
     """W7 sketch flavor — the reference's actual overlap computation
     (overlap.py:47-68): pairwise |A∩B| = |A|+|B|−|A∪B| over per-crawl HLL
     sketches, never over raw URLs.
@@ -173,11 +182,13 @@ def crawl_overlap_sketch(pages: DataFrame, lgk: int = 14) -> DataFrame:
     dimension — no per-URL shuffle at all, unlike the exact flavor
     (crawl_overlap), which is retained as the small-scale verifier.
     Emits the same [intersection, union, size1, size2, containment,
-    jaccard] tuple as overlap.py:64-66, ratios as integer permille."""
+    jaccard] tuple as overlap.py:64-66, ratios as integer permille.
+    ``item_col`` selects the sketched item type — the reference computes
+    the matrix per item type ('url estim.', 'digest estim.')."""
     per_crawl = (
         page_rows(pages)
         .groupBy("crawl")
-        .agg(F.hll_sketch_agg("url", F.lit(lgk)).alias("sk"))
+        .agg(F.hll_sketch_agg(item_col, F.lit(lgk)).alias("sk"))
     )
     a = per_crawl.select(
         F.col("crawl").alias("c1"), F.col("sk").alias("sk1")
@@ -386,7 +397,10 @@ def cumulative_distinct_estimates(pages: DataFrame, lgk: int = 14) -> DataFrame:
     per_crawl = (
         page_rows(pages)
         .groupBy("crawl")
-        .agg(F.hll_sketch_agg("url", F.lit(lgk)).alias("sk"))
+        .agg(
+            F.hll_sketch_agg("url", F.lit(lgk)).alias("sk"),
+            F.hll_sketch_agg("digest", F.lit(lgk)).alias("sk_digest"),
+        )
     )
     w = Window.orderBy("crawl").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_crawl.select(
@@ -394,10 +408,16 @@ def cumulative_distinct_estimates(pages: DataFrame, lgk: int = 14) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
             "cum_urls_est"
         ),
+        # 'digest estim.' cumulates alongside urls in the reference's
+        # per-item-type loop (crawl_size.py cumulative_size)
+        F.hll_sketch_estimate(F.hll_union_agg("sk_digest").over(w)).alias(
+            "cum_digests_est"
+        ),
     )
     return cum.select(
         "crawl",
         "cum_urls_est",
+        "cum_digests_est",
         F.greatest(
             F.col("cum_urls_est")
             - F.coalesce(

@@ -191,6 +191,11 @@ def q_crawl_overlap_hll(spark: SparkSession, sf: str) -> DataFrame:
     return TS.crawl_overlap_sketch(pages_df(spark, sf))
 
 
+def q_crawl_overlap_hll_digest(spark: SparkSession, sf: str) -> DataFrame:
+    # the reference's second overlap item type ('digest estim.')
+    return TS.crawl_overlap_sketch(pages_df(spark, sf), item_col="digest")
+
+
 def q_host_pages_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return TS.pseudo_log_histogram(C.host_counts(pages_df(spark, sf)), "pages")
 
@@ -432,6 +437,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "trailing_hll_2": q_trailing_hll_2,
     "trailing_hll_3": q_trailing_hll_3,
     "crawl_overlap_hll": q_crawl_overlap_hll,
+    "crawl_overlap_hll_digest": q_crawl_overlap_hll_digest,
     "host_pages_histogram": q_host_pages_histogram,
     "tld_classified": q_tld_classified,
     "cumulative_distinct": q_cumulative_distinct,

@@ -102,22 +102,28 @@ def test_trailing_hll_union_close_to_exact(spark):
         .toPandas()
         .set_index("crawl")
     )
-    # exact trailing distinct over the same window
+    # exact trailing distinct over the same window, urls AND digests
+    # (the reference slides every hll item type)
     rows = (
         C.page_rows(p)
-        .select("crawl", "url")
+        .select("crawl", "url", "digest")
         .distinct()
         .toPandas()
     )
     crawls = sorted(rows.crawl.unique())
     for i, c in enumerate(crawls):
-        est = sk.loc[c][f"urls_est_last_2"]
         if i == 0:
-            assert est == 0  # under-full window
+            assert sk.loc[c]["urls_est_last_2"] == 0  # under-full window
+            assert sk.loc[c]["digests_est_last_2"] == 0
             continue
         window = {c, crawls[i - 1]}
-        exact = rows[rows.crawl.isin(window)].url.nunique()
-        assert abs(est - exact) <= 0.05 * exact, (c, est, exact)
+        in_w = rows[rows.crawl.isin(window)]
+        for col, exact in (
+            ("urls_est_last_2", in_w.url.nunique()),
+            ("digests_est_last_2", in_w.digest.nunique()),
+        ):
+            est = sk.loc[c][col]
+            assert abs(est - exact) <= max(0.05 * exact, 2), (c, col, est, exact)
 
 
 def test_crawl_overlap_sketch_close_to_exact(spark):
