@@ -76,8 +76,14 @@ def old_minhash(docs, n_hashes=64, bands=16, jaccard_threshold=0.5):
 
 def shuffle_bytes_since(log_glob: str, marker: float) -> int:
     total = 0
-    for path in glob.glob(log_glob):
-        if os.path.getmtime(path) < marker - 5:
+    paths = []
+    for p in glob.glob(log_glob):
+        if os.path.isdir(p):
+            paths += [os.path.join(p, f) for f in os.listdir(p)]
+        else:
+            paths.append(p)
+    for path in paths:
+        if os.path.getmtime(path) < marker - 5 or path.endswith("appstatus"):
             continue
         with open(path) as f:
             for line in f:
@@ -100,8 +106,8 @@ def main() -> None:
     per_plan = {}
     for name, fn_name in (
         ("minhash_r2_ids_only", "new"),
-        ("minhash_r1_arrays_through_bands", "old"),
         ("ngram_r2_capped", "ngram"),
+        ("minhash_r1_arrays_through_bands", "old"),
     ):
         logdir = tempfile.mkdtemp(prefix="dedup_evlog_")
         spark = get_spark(
@@ -110,6 +116,8 @@ def main() -> None:
             shuffle_partitions=32,
             extra_conf={
                 "spark.eventLog.enabled": "true",
+                "spark.eventLog.compress": "false",
+                "spark.eventLog.rolling.enabled": "false",
                 "spark.eventLog.dir": logdir,
                 "spark.ui.showConsoleProgress": "false",
             },
@@ -124,12 +132,16 @@ def main() -> None:
         )
         docs.cache().count()
         marker = time.time()
-        if fn_name == "new":
-            n = D.minhash_lsh_pairs(docs).count()
-        elif fn_name == "old":
-            n = old_minhash(docs).count()
-        else:
-            n = D.ngram_jaccard_pairs(docs).count()
+        try:
+            if fn_name == "new":
+                n = D.minhash_lsh_pairs(docs).count()
+            elif fn_name == "old":
+                n = old_minhash(docs).count()
+            else:
+                n = D.ngram_jaccard_pairs(docs).count()
+            err = None
+        except Exception as e:  # the r1 shape OOMs beyond small factors
+            n, err = None, str(e).split("\n")[0][:120]
         t = time.time() - marker
         spark.stop()
         time.sleep(2)
@@ -139,6 +151,8 @@ def main() -> None:
             "sec": round(t, 1),
             "shuffle_write_bytes": sb,
         }
+        if err:
+            per_plan[name]["failed"] = err
         shutil.rmtree(logdir, ignore_errors=True)
     print(
         json.dumps(
