@@ -285,6 +285,73 @@ def q_languages_floor(spark: SparkSession, sf: str) -> DataFrame:
     return C.language_counts_floor(pages_df(spark, sf), min_lang_comb_freq=5)
 
 
+def q_cdx_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/P1/P2 driver-checked end-to-end: render every pages row as a CDX
+    index line (surt_key, timestamp, JSON metadata blob), run the REAL
+    ingest path (parse_cdx_lines: zone split, null-tolerant from_json,
+    urlparse host/scheme, full-PSL domain/tld split), and aggregate from
+    the PARSED columns only. The oracle computes the same aggregate
+    straight from the source table — any parsing/PSL/url-derivation drift
+    breaks value parity."""
+    from pyspark.sql import functions as F
+
+    from ..sources.cdx import parse_cdx_lines
+
+    p = pages_df(spark, sf)
+    json_blob = F.concat(
+        F.lit('{"url": "'),
+        F.col("url"),
+        F.lit('", "status": "'),
+        F.col("status").cast("string"),
+        F.lit('", "digest": "'),
+        F.col("digest"),
+        F.lit('", "filename": "'),
+        F.col("warc_filename"),
+        F.lit('"}'),
+    )
+    lines = p.select(
+        F.concat_ws(
+            " ", F.col("surt_key"), F.col("fetch_ts").cast("string"), json_blob
+        ).alias("value")
+    )
+    parsed = parse_cdx_lines(lines)
+    return (
+        parsed.filter(F.col("is_valid"))
+        .groupBy("scheme", "tld", "status")
+        .agg(
+            F.count("*").alias("fetches"),
+            F.countDistinct("url").alias("urls"),
+            F.countDistinct("domain").alias("domains"),
+            F.countDistinct("surt_domain").alias("surt_domains"),
+        )
+        .orderBy("scheme", "tld", "status")
+    )
+
+
+def q_stats_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S2/S4/A13 driver-checked: host counts → reference JSON\\tJSON wire
+    lines (emit_stats_lines, incl. the MultiCount trailing-equal
+    compression) → parsed back (read_stats_lines, expand) → re-emitted as
+    rows. The oracle computes the host counts directly, so a codec or
+    formatting regression (compress/expand asymmetry, key ordering)
+    breaks value parity."""
+    from pyspark.sql import functions as F
+
+    from ..sources.compat import emit_stats_lines, read_stats_lines
+
+    counts = C.host_counts(pages_df(spark, sf)).select(
+        F.lit("host").alias("type"),
+        F.col("host").alias("key"),
+        "crawl",
+        "pages",
+        "urls",
+    )
+    lines = emit_stats_lines(counts)
+    return read_stats_lines(lines, value_col="line").orderBy(
+        "type", "key", "crawl"
+    )
+
+
 def q_spearman_benchmark(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl TLD page-frequencies rank-correlated against the vendored
     Alexa/Cisco/Majestic top-1M TLD tables (tld.py:187-229)."""
@@ -452,6 +519,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spearman_benchmark": q_spearman_benchmark,
     "frequent_hosts": q_frequent_hosts,
     "languages_floor": q_languages_floor,
+    "cdx_roundtrip": q_cdx_roundtrip,
+    "stats_wire_roundtrip": q_stats_wire_roundtrip,
     "cc_pages_extract": q_cc_pages_extract,
 }
 
@@ -936,6 +1005,24 @@ SELECT t.crawl, '<unknown>' AS charset,
 FROM totals t JOIN covered c USING (crawl)
 WHERE t.page_total - c.covered > 0
 ORDER BY crawl, charset
+"""
+        ),
+        "cdx_roundtrip": _oracle(
+            """
+SELECT scheme, tld, status,
+  CAST(COUNT(*) AS BIGINT) AS fetches,
+  CAST(COUNT(DISTINCT url) AS BIGINT) AS urls,
+  CAST(COUNT(DISTINCT domain) AS BIGINT) AS domains,
+  CAST(COUNT(DISTINCT surt_domain) AS BIGINT) AS surt_domains
+FROM flagged GROUP BY scheme, tld, status ORDER BY scheme, tld, status
+"""
+        ),
+        "stats_wire_roundtrip": _oracle(
+            """
+SELECT 'host' AS type, host AS key, crawl,
+  CAST(COUNT(*) AS BIGINT) AS pages,
+  CAST(COUNT(DISTINCT url) AS BIGINT) AS urls
+FROM prows GROUP BY host, crawl ORDER BY type, key, crawl
 """
         ),
         "frequent_hosts": _oracle(
