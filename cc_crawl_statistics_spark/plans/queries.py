@@ -352,6 +352,94 @@ def q_stats_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_crawler_metrics_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """S5/P11 driver-checked: deterministic Nutch-style counter lines are
+    rendered from the pages table (crawl_status counters from the status
+    histogram, size page/url totals, per-scheme unique-URL vectors), pushed
+    through the REAL side-input reader (parse_crawler_metric_lines: wire
+    split, vector element-1 selection) and the reference's selection +
+    METRICS_MAP roll-up (crawler_metrics_stats), then titled via
+    display_title. The oracle recomputes every row, titles via explicit
+    CASE (the title regex uses lookbehind, which RE2/DuckDB lacks)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.crawler_metrics import (
+        crawler_metrics_stats,
+        display_title,
+        parse_crawler_metric_lines,
+    )
+
+    p = C.with_flags(pages_df(spark, sf))
+    status_ctr = (
+        p.filter(~F.col("is_robotstxt"))
+        .groupBy(
+            "crawl",
+            F.when(F.col("status") == 200, "fetcher:success")
+            .when(F.col("status") == 301, "fetcher:temp_moved")
+            .when(F.col("status") == 404, "fetcher:notfound")
+            .otherwise("fetcher:exception")
+            .alias("counter"),
+        )
+        .agg(F.count("*").alias("value"))
+        .select(
+            F.lit("crawl_status").alias("type"), "counter", "crawl", "value"
+        )
+    )
+    size_ctr = (
+        p.filter(F.col("is_page"))
+        .groupBy("crawl")
+        .agg(
+            F.count("*").alias("page"), F.countDistinct("url").alias("url")
+        )
+        .selectExpr(
+            "'size' AS type",
+            "stack(2, 'page', page, 'url', url) AS (counter, value)",
+            "crawl",
+        )
+        .select("type", "counter", "crawl", "value")
+    )
+    # scheme records carry a [pages, urls] vector; the reader must pick
+    # element 1 (unique URLs)
+    scheme_ctr = (
+        p.filter(F.col("is_page"))
+        .groupBy("crawl", "scheme")
+        .agg(F.count("*").alias("pages"), F.countDistinct("url").alias("urls"))
+        .select(
+            F.lit("scheme").alias("type"),
+            F.col("scheme").alias("counter"),
+            "crawl",
+            F.concat(
+                F.lit("["),
+                F.col("pages").cast("string"),
+                F.lit(", "),
+                F.col("urls").cast("string"),
+                F.lit("]"),
+            ).alias("vec"),
+        )
+    )
+    line = lambda df, val: df.select(  # noqa: E731
+        F.concat(
+            F.lit('["'),
+            F.col("type"),
+            F.lit('", "'),
+            F.col("counter"),
+            F.lit('", "'),
+            F.col("crawl"),
+            F.lit('"]\t'),
+            val,
+        ).alias("value")
+    )
+    lines = (
+        line(status_ctr, F.col("value").cast("string"))
+        .unionByName(line(size_ctr, F.col("value").cast("string")))
+        .unionByName(line(scheme_ctr, F.col("vec")))
+    )
+    stats = crawler_metrics_stats(parse_crawler_metric_lines(lines))
+    return stats.withColumn("title", display_title(F.col("item_type"))).orderBy(
+        "crawl", "item_type"
+    )
+
+
 def q_spearman_benchmark(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl TLD page-frequencies rank-correlated against the vendored
     Alexa/Cisco/Majestic top-1M TLD tables (tld.py:187-229)."""
@@ -521,6 +609,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "languages_floor": q_languages_floor,
     "cdx_roundtrip": q_cdx_roundtrip,
     "stats_wire_roundtrip": q_stats_wire_roundtrip,
+    "crawler_metrics_roundtrip": q_crawler_metrics_roundtrip,
     "cc_pages_extract": q_cc_pages_extract,
 }
 
@@ -1005,6 +1094,59 @@ SELECT t.crawl, '<unknown>' AS charset,
 FROM totals t JOIN covered c USING (crawl)
 WHERE t.page_total - c.covered > 0
 ORDER BY crawl, charset
+"""
+        ),
+        "crawler_metrics_roundtrip": _oracle(
+            """
+, nr AS (SELECT * FROM flagged WHERE NOT is_robotstxt),
+cs AS (
+  SELECT crawl,
+    CASE WHEN status = 200 THEN 'fetcher:success'
+         WHEN status = 301 THEN 'fetcher:temp_moved'
+         WHEN status = 404 THEN 'fetcher:notfound'
+         ELSE 'fetcher:exception' END AS item_type,
+    CAST(COUNT(*) AS BIGINT) AS value
+  FROM nr GROUP BY 1, 2
+),
+sz AS (
+  SELECT crawl, 'page' AS item_type, CAST(COUNT(*) AS BIGINT) AS value
+  FROM prows GROUP BY crawl
+  UNION ALL
+  SELECT crawl, 'url', CAST(COUNT(DISTINCT url) AS BIGINT)
+  FROM prows GROUP BY crawl
+),
+sch AS (
+  SELECT crawl, 'scheme:' || scheme AS item_type,
+         CAST(COUNT(DISTINCT url) AS BIGINT) AS value
+  FROM prows GROUP BY crawl, scheme
+),
+base AS (
+  SELECT * FROM cs UNION ALL SELECT * FROM sz UNION ALL SELECT * FROM sch
+),
+roll AS (
+  SELECT crawl, 'fetcher:aggr:redirect' AS item_type,
+         CAST(SUM(value) AS BIGINT) AS value
+  FROM base WHERE item_type = 'fetcher:temp_moved' GROUP BY crawl
+  UNION ALL
+  SELECT crawl, 'fetcher:aggr:failed', CAST(SUM(value) AS BIGINT)
+  FROM base WHERE item_type IN ('fetcher:notfound', 'fetcher:exception')
+  GROUP BY crawl
+),
+allr AS (SELECT * FROM base UNION ALL SELECT * FROM roll)
+SELECT crawl, item_type, value,
+  CASE item_type
+    WHEN 'page' THEN 'pages released'
+    WHEN 'url' THEN 'url'
+    WHEN 'fetcher:success' THEN 'fetch success'
+    WHEN 'fetcher:temp_moved' THEN 'fetch temp moved'
+    WHEN 'fetcher:notfound' THEN 'fetch notfound'
+    WHEN 'fetcher:exception' THEN 'fetch exception'
+    WHEN 'fetcher:aggr:redirect' THEN 'fetch redirect'
+    WHEN 'fetcher:aggr:failed' THEN 'fetch failed'
+    WHEN 'scheme:http' THEN 'scheme http'
+    WHEN 'scheme:https' THEN 'scheme https'
+  END AS title
+FROM allr ORDER BY crawl, item_type
 """
         ),
         "cdx_roundtrip": _oracle(

@@ -57,18 +57,19 @@ METRICS_MAP: dict[str, tuple[str, ...]] = {
 }
 
 
-def read_crawler_metrics(spark: SparkSession, path: str) -> DataFrame:
+def parse_crawler_metric_lines(
+    lines: DataFrame, value_col: str = "value"
+) -> DataFrame:
     """Parse counter-dump lines → (type, counter, crawl, value).
 
     Count-vector values (scheme records) take the unique-URL element: index 1
     of the expanded vector, falling back to index 0 / the bare scalar for
     run-length-compressed values (MultiCount.get_count(1, val) semantics,
     crawler_metrics.py:86)."""
-    lines = spark.read.text(path)
     key = F.from_json(
-        F.substring_index("value", "\t", 1), "array<string>"
+        F.substring_index(value_col, "\t", 1), "array<string>"
     )
-    raw_val = F.substring_index("value", "\t", -1)
+    raw_val = F.substring_index(value_col, "\t", -1)
     vec = F.from_json(raw_val, "array<long>")
     value = F.coalesce(
         F.element_at(vec, 2), F.element_at(vec, 1), raw_val.cast("long")
@@ -79,6 +80,11 @@ def read_crawler_metrics(spark: SparkSession, path: str) -> DataFrame:
         key.getItem(2).alias("crawl"),
         value.alias("value"),
     )
+
+
+def read_crawler_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """File flavor of parse_crawler_metric_lines (the S5 side input)."""
+    return parse_crawler_metric_lines(spark.read.text(path))
 
 
 def crawler_metrics_stats(metrics: DataFrame) -> DataFrame:
