@@ -87,6 +87,136 @@ def hyperplane_bucket(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """IVF coarse quantizer: k centroids via Lloyd iterations, fully
+    deterministic — seeds are the k vectors with the smallest
+    xxhash64(vec_id) (a seeded pseudo-random sample independent of
+    partitioning), each assignment step is one broadcast join + min_by,
+    each update step one groupBy mean. Returns (centroid_id, centroid).
+
+    Scale: k is small (≤ thousands); every iteration is one scan of the
+    corpus with a broadcast of k centroids — no shuffle of the embedding
+    table beyond the k-way mean aggregation."""
+    seeds = (
+        emb.select("vec_id", vec_col)
+        .orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+    )
+    cents = seeds.select(
+        F.row_number()
+        .over(Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id"))
+        .alias("centroid_id"),
+        F.col(vec_col).alias("centroid"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _assign(emb, cents, vec_col)
+        exploded = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("i", "x")
+        )
+        means = (
+            exploded.groupBy("centroid_id", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("im"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("im"), lambda s: s.getField("m")).alias(
+                    "centroid"
+                ),
+            )
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.select("centroid_id", F.col("centroid").alias("prev"))
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("centroid", "prev").alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _assign(emb: DataFrame, cents: DataFrame, vec_col: str) -> DataFrame:
+    """Nearest centroid per vector (cosine): broadcast the k centroids,
+    min_by over the per-centroid distance — one corpus scan."""
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "cos",
+        _dot(F.col(vec_col), F.col("centroid"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("centroid")) + F.lit(1e-12)),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .drop("r", "cos", "centroid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    centroid (the inverted file); each query scores only the buckets of
+    its ``n_probe`` nearest centroids. Recall is tuned by n_probe
+    (n_probe == n_centroids degenerates to exact brute force).
+
+    Scale: the index assignment is one corpus scan against k broadcast
+    centroids; the query join is an equi-join on centroid_id — shuffle
+    keyed on bucket like lsh_topk, but with data-adaptive buckets (learned
+    centroids follow the embedding distribution, where hyperplane buckets
+    are data-oblivious)."""
+    cents = ivf_centroids(emb, k=n_centroids, vec_col=vec_col)
+    indexed = _assign(emb, cents, vec_col).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+        "centroid_id",
+    )
+    q_scored = queries.join(F.broadcast(cents)).withColumn(
+        "qcos",
+        _dot(F.col(vec_col), F.col("centroid"))
+        / (_norm(F.col(vec_col)) * _norm(F.col("centroid")) + F.lit(1e-12)),
+    )
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.desc("qcos"), F.asc("centroid_id")
+    )
+    probes = (
+        q_scored.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            _norm(F.col(vec_col)).alias("qn"),
+            "centroid_id",
+        )
+    )
+    scored = (
+        probes.join(indexed, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "centroid_id")
+        .orderBy("query_id", "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

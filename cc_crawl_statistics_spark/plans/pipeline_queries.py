@@ -90,6 +90,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF (learned coarse quantizer) scale path: rows-only (float centroid
+    # training has no SQL oracle); recall vs brute force pinned in tests
+    emb = emb_corpus_df(spark, sf)
+    return SIM.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_centroids=8, n_probe=3
+    )
+
+
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return TX.token_stats(corpus_df(spark, sf))
 
@@ -209,6 +218,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "language_id": q_language_id,

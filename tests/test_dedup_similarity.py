@@ -180,3 +180,38 @@ def test_minhash_lsh_plan_does_not_shuffle_shingles_through_bands(spark):
     # arrays join back in
     assert "dropDuplicates" not in plan  # logical name is Deduplicate
     assert plan.count("Join") >= 3  # bucket join + two array join-backs
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with a learned coarse quantizer: planted exact copies must be
+    found at rank 1 (copy and original always share the nearest centroid),
+    and overall rank-1 recall vs brute force is high at n_probe=4/8
+    (synthetic embeddings are near-uniform random, the hardest case for a
+    coarse quantizer — real embedding manifolds cluster far better)."""
+    emb = emb_corpus_df(spark, SF_SMOKE)
+    q = emb.filter(F.col("vec_id") < 30)
+    bf = SIM.brute_force_topk(emb, q, k=1).toPandas().set_index("query_id")
+    ivf = (
+        SIM.ivf_topk(emb, q, k=1, n_centroids=8, n_probe=4)
+        .toPandas()
+        .set_index("query_id")
+    )
+    # planted exact copies (vec_id % 11 == 0 has a copy at +1000000)
+    for qid in bf.index:
+        if qid % 11 == 0:
+            assert ivf.loc[qid].neighbor_id == bf.loc[qid].neighbor_id
+    agree = sum(
+        1
+        for qid in bf.index
+        if qid in ivf.index and ivf.loc[qid].neighbor_id == bf.loc[qid].neighbor_id
+    )
+    assert agree / len(bf) >= 0.7, f"rank-1 agreement {agree}/{len(bf)}"
+
+
+def test_ivf_centroids_deterministic(spark):
+    emb = emb_corpus_df(spark, SF_SMOKE)
+    a = SIM.ivf_centroids(emb, k=8).toPandas().sort_values("centroid_id")
+    b = SIM.ivf_centroids(emb, k=8).toPandas().sort_values("centroid_id")
+    assert list(a.centroid_id) == list(b.centroid_id)
+    for ca, cb in zip(a.centroid, b.centroid, strict=True):
+        assert list(ca) == list(cb)
