@@ -286,6 +286,7 @@ def run_round(
     pages: DataFrame | None = None,
     docs: DataFrame | None = None,
     compact_every: int = 16,
+    bloom_min_seen: int = 10_000_000,
 ) -> dict:
     """Execute the next scheduling round from the latest committed snapshot
     and commit round+1. Returns the round metrics (computed from the
@@ -393,8 +394,14 @@ def run_round(
     # against the full seen set. Results are bit-identical either way
     # (test_frontier.py::test_compaction_and_bloom_bit_identical); what the
     # Bloom buys at 10^10 keys is that the common case (brand-new URL)
-    # never shuffles against the base table.
-    bloom_file = store.bloom_path(latest)
+    # never shuffles against the base table. Below ``bloom_min_seen`` keys
+    # the plain anti-join wins (measured 11.4s vs 12.9s/round at 4×10^5
+    # seen keys, BENCH.md: the Arrow stage + candidate split costs more
+    # than a small in-memory anti-join saves), so the prefilter engages
+    # only once the seen set is large enough to matter.
+    bloom_file = (
+        store.bloom_path(latest) if prev_seen >= bloom_min_seen else None
+    )
     if bloom_file is not None:
         from .bloom import load_bloom, might_contain_udf
 

@@ -173,7 +173,11 @@ def test_compaction_and_bloom_bit_identical(spark, tmp_path):
     b = SnapshotStore(str(tmp_path / "compacted"))
     for rnd in range(1, 4):
         scheduler.run_round(spark, a, SF_SMOKE, compact_every=0)
-        scheduler.run_round(spark, b, SF_SMOKE, compact_every=1)
+        # bloom_min_seen=0 forces the Bloom path at fixture scale (the
+        # default engages it only past 10^7 seen keys)
+        scheduler.run_round(
+            spark, b, SF_SMOKE, compact_every=1, bloom_min_seen=0
+        )
         assert schedule_rows(spark, a, rnd) == schedule_rows(spark, b, rnd)
     assert b.seen_base_round(3) == 3
     assert b.bloom_path(3) is not None
