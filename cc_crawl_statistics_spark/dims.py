@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .dims_data import (
     monthly_crawl_registry,
     tld_continent_rows,
+    tld_first_level_rows,
     tld_type_rows,
 )
 
@@ -74,15 +75,21 @@ def tld_continent_dim(spark: SparkSession) -> DataFrame:
 
 
 def tld_dim(spark: SparkSession) -> DataFrame:
-    """Full IANA TLD classification joined with the continent map:
-    (tld, tld_type, continent). Registered-but-unmapped TLDs get
-    '(other)' — the reference's tld2continent fallback
-    (plot/tld_by_continent.py:127-133)."""
+    """Full IANA TLD classification joined with the continent map and the
+    IDN first-level rollup: (tld, tld_type, continent, first_level).
+    Registered-but-unmapped TLDs get '(other)' continent — the reference's
+    tld2continent fallback (plot/tld_by_continent.py:127-133).
+    ``first_level`` rolls an IDN ccTLD (either form: 'xn--p1ai' or 'рф')
+    up to its country code ('ru'), mirroring TopLevelDomain.first_level
+    (top_level_domain.py:24-42); for every other TLD it is the TLD
+    itself."""
     continents = dict(tld_continent_rows())
+    first_levels = dict(tld_first_level_rows())
     rows = [
-        (tld, typ, continents.get(tld, "(other)"))
+        (tld, typ, continents.get(tld, "(other)"), first_levels.get(tld, tld))
         for tld, typ in tld_type_rows()
     ]
     return spark.createDataFrame(
-        rows, "tld string, tld_type string, continent string"
+        rows, "tld string, tld_type string, continent string, "
+        "first_level string"
     )

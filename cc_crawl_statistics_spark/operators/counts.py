@@ -263,39 +263,69 @@ def primary_language_counts(pages: DataFrame) -> DataFrame:
     )
 
 
-def url_crawl_set(pages: DataFrame) -> DataFrame:
-    """A14 exact mode: per-URL bitmask of crawls containing it
-    (MonthlyCrawlSet, crawlstats.py:205-270, 841-859). Spark-native:
-    bit_or(1 << crawl_id) — no custom type needed."""
-    return (
-        page_rows(pages)
-        .groupBy("url")
-        .agg(
-            F.bit_or(F.expr("shiftleft(1L, crawl_id)")).alias("crawl_set"),
-            F.min("crawl_id").alias("first_crawl_id"),
-            F.countDistinct("crawl_id").alias("n_crawls"),
-        )
-        # newest crawl in set = highest set bit (is_newest(c) ≡
-        # newest_crawl_id == c, crawlstats.py:265-270's
-        # bits.bit_length() == crawl+1) — integer-exact via the binary
-        # string length, no float log2
-        .withColumn(
-            "newest_crawl_id",
-            (F.length(F.bin("crawl_set")) - 1).cast("long"),
-        )
+def item_crawl_set(pages: DataFrame, item_col: str = "url") -> DataFrame:
+    """A14 exact mode: per-item bitmask of crawls containing it
+    (MonthlyCrawlSet, crawlstats.py:205-270, 841-859), for both item
+    types the reference iterates (CST.url and CST.digest,
+    crawlstats.py:841-863).
+
+    The reference's set is an arbitrary-precision Python int; the crawl
+    registry (dims_data.monthly_crawl_registry) carries ids 0-125, so a
+    single LongType word overflows (JVM shift counts wrap mod 64 — crawl
+    64 would alias crawl 0). Representation here: TWO long words covering
+    ids 0-127 — ``crawl_set_lo`` (bits 0-63) and ``crawl_set_hi`` (bits
+    64-127). Ids ≥ 128 raise rather than silently alias.
+
+    ``newest_crawl_id`` is simply max(crawl_id): is_newest(c) ≡
+    bits.bit_length() == c+1 (crawlstats.py:265-270) ≡ c is the largest
+    id present — no bit tricks needed."""
+    cid = F.col("crawl_id")
+    # assert_true returns NULL on pass and raises on fail, so routing the
+    # branch condition through it makes out-of-range ids loud, not aliased
+    checked = F.when(F.assert_true(cid < 128).isNull(), cid)
+    lo = F.when(checked < 64, F.expr("shiftleft(1L, crawl_id)")).otherwise(
+        F.lit(0).cast("long")
+    )
+    hi = F.when(
+        checked >= 64, F.expr("shiftleft(1L, crawl_id - 64)")
+    ).otherwise(F.lit(0).cast("long"))
+    return page_rows(pages).groupBy(item_col).agg(
+        F.bit_or(lo).alias("crawl_set_lo"),
+        F.bit_or(hi).alias("crawl_set_hi"),
+        F.min("crawl_id").alias("first_crawl_id"),
+        F.countDistinct("crawl_id").alias("n_crawls"),
+        F.max("crawl_id").alias("newest_crawl_id"),
     )
 
 
-def new_items_per_crawl(pages: DataFrame) -> DataFrame:
-    """A15: count of URLs first seen in each crawl (is_new popcount trick,
-    crawlstats.py:249-263, 860-863) ≡ groupBy(url).min(crawl_id)."""
-    first = page_rows(pages).groupBy("url").agg(F.min("crawl_id").alias("crawl_id"))
+def url_crawl_set(pages: DataFrame) -> DataFrame:
+    """A14 over CST.url (crawlstats.py:841-859)."""
+    return item_crawl_set(pages, "url")
+
+
+def digest_crawl_set(pages: DataFrame) -> DataFrame:
+    """A14 over CST.digest — content continuity across crawls
+    (crawlstats.py:841-863 iterates both item types)."""
+    return item_crawl_set(pages, "digest")
+
+
+def new_items_per_crawl(
+    pages: DataFrame, item_col: str = "url", out: str = "new_urls"
+) -> DataFrame:
+    """A15: count of items first seen in each crawl (is_new popcount trick,
+    crawlstats.py:249-263, 860-863) ≡ groupBy(item).min(crawl_id); runs
+    over CST.url and CST.digest like the reference's exact mode."""
+    first = (
+        page_rows(pages)
+        .groupBy(item_col)
+        .agg(F.min("crawl_id").alias("crawl_id"))
+    )
     crawls = page_rows(pages).select("crawl_id", "crawl").distinct()
     return (
         first.groupBy("crawl_id")
-        .agg(F.count("*").alias("new_urls"))
+        .agg(F.count("*").alias(out))
         .join(F.broadcast(crawls), "crawl_id")
-        .select("crawl", "new_urls")
+        .select("crawl", out)
         .orderBy("crawl")
     )
 

@@ -428,11 +428,15 @@ def cumulative_distinct_estimates(pages: DataFrame, lgk: int = 14) -> DataFrame:
     ).orderBy("crawl")
 
 
-def pseudo_log_histogram(counts: DataFrame, col: str) -> DataFrame:
+def pseudo_log_histogram(
+    counts: DataFrame, col: str, per: tuple[str, ...] = ()
+) -> DataFrame:
     """W10: pseudo-log bins 1,2,5,10,20,50,... (histogram.py:29-32).
     Bin = largest edge ≤ value. Integer-only arithmetic (the power of ten
     comes from the decimal string length), so results are bit-identical
-    across engines — no libm log10 at bin boundaries."""
+    across engines — no libm log10 at bin boundaries. ``per`` keeps
+    grouping dimensions (the reference's histogram key carries the crawl,
+    crawlstats.py:371-374)."""
     v = F.col(col).cast("long")
     p10 = F.expr(
         f"CAST(power(10, length(CAST({col} AS STRING)) - 1) AS BIGINT)"
@@ -441,13 +445,78 @@ def pseudo_log_histogram(counts: DataFrame, col: str) -> DataFrame:
     edge = (
         F.when(mant >= 5, 5).when(mant >= 2, 2).otherwise(1) * p10
     ).cast("long")
+    keys = [*per, "bin"]
     return (
         counts.filter(v > 0)
-        .select(edge.alias("bin"))
-        .groupBy("bin")
+        .select(*per, edge.alias("bin"))
+        .groupBy(*keys)
         .agg(F.count("*").alias("n"))
-        .orderBy("bin")
+        .orderBy(*keys)
     )
+
+
+def frequency_histogram_matrix(pages: DataFrame) -> DataFrame:
+    """A19, full family: the reference's stats phase emits a pseudo-log
+    frequency histogram for EVERY (item_type × counted_per) combination —
+    ``<(histogram, item_type, crawl, page|url|host|domain, count), freq>``
+    (crawlstats.py:982-993, consumed by plot/histogram.py:69-133):
+    host×{pages,urls}, domain×{pages,urls,hosts},
+    surt_domain×{pages,urls,hosts}, tld×{pages,urls,hosts,domains}.
+
+    Scale: ONE per-(crawl, tld, domain, surt_domain, host) base aggregate
+    (host determines the other three, so this is the host-cardinality
+    rollup — one fact-table scan + one shuffle); every item-type rollup
+    and all 12 histograms derive from that base, never re-touching the
+    fact table. Within the unioned plan Spark's ReuseExchange shares the
+    identical base aggregation subtree across branches."""
+    from .counts import page_rows
+
+    base = (
+        page_rows(pages)
+        .groupBy("crawl", "tld", "domain", "surt_domain", "host")
+        .agg(
+            F.count("*").alias("pages"),
+            F.countDistinct("url").alias("urls"),
+        )
+    )
+    host = base.select("crawl", "host", "pages", "urls")
+    domain = base.groupBy("crawl", "domain").agg(
+        F.sum("pages").alias("pages"),
+        F.sum("urls").alias("urls"),
+        F.count("*").alias("hosts"),
+    )
+    surt = base.groupBy("crawl", "surt_domain").agg(
+        F.sum("pages").alias("pages"),
+        F.sum("urls").alias("urls"),
+        F.count("*").alias("hosts"),
+    )
+    tld = base.groupBy("crawl", "tld").agg(
+        F.sum("pages").alias("pages"),
+        F.sum("urls").alias("urls"),
+        F.count("*").alias("hosts"),
+        F.countDistinct("domain").alias("domains"),
+    )
+    parts = []
+    for item_type, rollup, counted in (
+        ("host", host, ("pages", "urls")),
+        ("domain", domain, ("pages", "urls", "hosts")),
+        ("surt_domain", surt, ("pages", "urls", "hosts")),
+        ("tld", tld, ("pages", "urls", "hosts", "domains")),
+    ):
+        for c in counted:
+            parts.append(
+                pseudo_log_histogram(rollup, c, per=("crawl",)).select(
+                    F.lit(item_type).alias("item_type"),
+                    "crawl",
+                    F.lit(c).alias("counted_per"),
+                    "bin",
+                    "n",
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("item_type", "crawl", "counted_per", "bin")
 
 
 def url_status_by_crawl(pages: DataFrame) -> DataFrame:

@@ -16,13 +16,61 @@ def test_crawl_set_bitmask_semantics(spark):
     popcount == n_crawls, is_new ≡ lowest set bit == 1 << first_crawl_id."""
     cs = C.url_crawl_set(pages_df(spark, SF_SMOKE))
     bad = cs.filter(
-        (F.bit_count("crawl_set") != F.col("n_crawls"))
+        (
+            F.bit_count("crawl_set_lo") + F.bit_count("crawl_set_hi")
+            != F.col("n_crawls")
+        )
         | (
-            F.expr("crawl_set & (shiftleft(1L, first_crawl_id) - 1)")
+            F.expr("crawl_set_lo & (shiftleft(1L, first_crawl_id) - 1)")
             != 0
         )
+        | (F.col("crawl_set_hi") != 0)  # fixture ids 0-2 live in the lo word
     )
     assert bad.count() == 0
+
+
+def test_crawl_set_bit_placement_full_registry(spark):
+    """Bit placement pinned for registry-scale ids — exactly where the
+    round-2 single-long bitmask silently wrapped (JVM shifts mod 64).
+    One URL per id in {0, 1, 63, 64, 125, 127}; each must land in the
+    right word/bit of the 128-bit (two-long) set, matching the
+    reference's arbitrary-precision MonthlyCrawlSet (crawlstats.py:
+    205-270) over registration ids up to 125."""
+    ids = [0, 1, 63, 64, 125, 127]
+    rows = [
+        (f"https://x.example/{i}", f"crawl-{i}", i, 200, "f/warc/p.warc.gz")
+        for i in ids
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, crawl string, crawl_id long, status int, "
+        "warc_filename string"
+    )
+    got = {
+        r["url"]: r
+        for r in C.url_crawl_set(pages).collect()
+    }
+    for i in ids:
+        r = got[f"https://x.example/{i}"]
+        expect = 1 << i
+        mask = (r["crawl_set_hi"] % (1 << 64)) << 64 | (
+            r["crawl_set_lo"] % (1 << 64)
+        )
+        assert mask == expect, (i, hex(mask))
+        assert r["newest_crawl_id"] == i
+        assert r["first_crawl_id"] == i
+        assert r["n_crawls"] == 1
+
+
+def test_crawl_set_rejects_out_of_range_ids(spark):
+    import pytest
+
+    pages = spark.createDataFrame(
+        [("https://x.example/a", "c", 128, 200, "f/warc/p.warc.gz")],
+        "url string, crawl string, crawl_id long, status int, "
+        "warc_filename string",
+    )
+    with pytest.raises(Exception, match="crawl_id < 128"):
+        C.url_crawl_set(pages).collect()
 
 
 def test_new_items_sum_equals_distinct_urls(spark):

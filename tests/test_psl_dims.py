@@ -110,6 +110,81 @@ def test_monthly_crawl_dim_shape(spark):
     assert dim.crawl_id.is_unique
 
 
+def test_vendored_tld_tables_token_integrity():
+    """Pins against the round-2 corruption class: blob wrapping must never
+    shear a token ('xn-- ' + '4dbrk0ce'). No token equals 'xn--'/'xn', no
+    duplicates, ASCII tokens match ^[a-z0-9-]+$, and the row counts are
+    pinned against the reference snapshot (top_level_domain.py:122ff =
+    1767 classifications; plot/tld_by_continent.py = 464 mappings incl.
+    'aq'; tld_ccs = 128 IDN first-level rows)."""
+    import re
+
+    from cc_crawl_statistics_spark.dims_data import (
+        _CONTINENT_GROUPS,
+        _TLD_TYPE_GROUPS,
+        tld_first_level_rows,
+    )
+
+    type_rows = tld_type_rows()
+    toks = [t for t, _ in type_rows]
+    assert len(type_rows) == 1767
+    assert len(set(toks)) == len(toks), "duplicate TLD tokens"
+    cont_all = [
+        t for blob in _CONTINENT_GROUPS.values() for t in blob.split()
+    ]
+    assert len(cont_all) == 464
+    assert len(set(cont_all)) == len(cont_all)
+    fl = tld_first_level_rows()
+    assert len(fl) == 128
+    for tok in [*toks, *cont_all, *(t for t, _ in fl)]:
+        assert tok not in ("xn--", "xn"), f"sheared token: {tok!r}"
+        if tok.isascii():
+            assert re.fullmatch(r"[a-z0-9-]+", tok), tok
+        if tok.startswith("xn--"):
+            assert len(tok) > 4, tok
+    # the IDN ccTLD set matches the reference count (102 xn-- ccTLDs +
+    # unicode forms); spot-pin entries the corrupted table lost
+    types = dict(type_rows)
+    for lost in ("xn--4dbrk0ce", "xn--lgbbat1ad8j", "xn--clchc0ea0b2g2a9gcd",
+                 "xn--fpcrj9c3d", "xn--80ao21a"):
+        assert types[lost] == "IDN ccTLD", lost
+
+
+def test_idn_first_level_rollup():
+    """TopLevelDomain.first_level semantics (top_level_domain.py:24-42):
+    both forms of an IDN ccTLD roll up to the ASCII country code."""
+    from cc_crawl_statistics_spark.dims_data import tld_first_level_rows
+
+    fl = dict(tld_first_level_rows())
+    assert fl["xn--p1ai"] == "ru"
+    assert fl["рф"] == "ru"
+    assert fl["xn--fiqs8s"] == "cn"
+    assert fl["中国"] == "cn"
+    assert fl["xn--wgbh1c"] == "eg"
+
+
+def test_idn_continent_inheritance():
+    """tld_by_continent.py:122-124: each IDN ccTLD inherits its country's
+    continent — xn--p1ai (ru) -> Europe, xn--fiqs8s (cn) -> Asia."""
+    conts = dict(tld_continent_rows())
+    assert conts["xn--p1ai"] == "Europe"
+    assert conts["xn--fiqs8s"] == "Asia"
+    assert conts["xn--lgbbat1ad8j"] == "Africa"  # dz
+
+
+def test_idn_split_host_end_to_end(spark):
+    """IDN hosts through the full PSL splitter — the exact path the
+    round-2 corrupted table broke (missing 1-label suffix rules made
+    domain/tld splits wrong for ~26 IDN TLDs)."""
+    got = _split(
+        spark,
+        ["www.site1.xn--p1ai", "shop.пример.рф", "a.b.xn--4dbrk0ce"],
+    )
+    assert got["www.site1.xn--p1ai"] == ("site1.xn--p1ai", "xn--p1ai")
+    assert got["shop.пример.рф"] == ("пример.рф", "рф")
+    assert got["a.b.xn--4dbrk0ce"] == ("b.xn--4dbrk0ce", "xn--4dbrk0ce")
+
+
 def test_tld_dim_full_coverage(spark):
     types = dict(tld_type_rows())
     assert len(types) > 1700
