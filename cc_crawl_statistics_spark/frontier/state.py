@@ -161,10 +161,17 @@ class SnapshotStore:
                 raise ValueError(f"round {rnd} already committed")
             shutil.rmtree(rdir)
         os.makedirs(rdir)
+        import time as _time
+
+        self.last_commit_timings = {}
         lineage = {}
         for name, df in tables.items():
             path = os.path.join(rdir, name)
+            t0 = _time.time()
             df.write.mode("overwrite").parquet(path)
+            self.last_commit_timings[f"write_{name}"] = round(
+                _time.time() - t0, 3
+            )
             lineage[name] = sorted(
                 f for f in os.listdir(path) if f.endswith(".parquet")
             )
@@ -172,9 +179,11 @@ class SnapshotStore:
             from pyspark.sql import SparkSession
 
             spark = SparkSession.getActiveSession()
+            t0 = _time.time()
             metrics = metrics(
                 lambda name: spark.read.parquet(os.path.join(rdir, name))
             )
+            self.last_commit_timings["metrics"] = round(_time.time() - t0, 3)
         tmp = os.path.join(rdir, MANIFEST + ".tmp")
         with open(tmp, "w") as f:
             json.dump(

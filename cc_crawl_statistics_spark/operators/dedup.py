@@ -150,23 +150,23 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold_permille: int = 500,
-    max_doc_freq: int = 1000,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard duplicate pairs via a *document-frequency-capped*
-    inverted shingle index: explode shingles → drop shingles appearing in
-    more than ``max_doc_freq`` docs → self-join on the cold shingles for
-    candidate pairs → exact intersection/union re-computed from the full
-    (uncapped) shingle arrays per candidate pair. Integer-only output.
+    """Exact n-gram Jaccard duplicate pairs via an inverted shingle index:
+    explode shingles → self-join for candidate pairs → exact
+    intersection/union re-computed from the full shingle arrays per
+    candidate pair. Integer-only output.
 
-    The cap affects CANDIDATE GENERATION only — inter/uni come from
-    array_intersect over the complete shingle sets, so the emitted values
-    are identical to the uncapped plan as long as each true pair shares at
-    least one sub-cap shingle (a ≥50%-Jaccard pair sharing *only*
-    stopword-grade shingles does not exist in practice; tested).
-
-    Scale: without the cap, one stopword trigram in 10⁶ docs creates a
-    10¹²-row join bucket. With it, the self-join's worst bucket is
-    max_doc_freq², and the count aggregate collapses candidates map-side."""
+    ``max_doc_freq`` (default None = exact) optionally drops shingles
+    appearing in more than that many docs from CANDIDATE GENERATION only —
+    inter/uni still come from array_intersect over the complete shingle
+    sets, so emitted values are identical to the uncapped plan, but a true
+    ≥threshold pair whose shared shingles ALL exceed the cap is never
+    emitted. That false-negative class is why the cap is opt-in: callers
+    at corpus scale MUST set it (one stopword trigram in 10⁶ docs creates
+    a 10¹²-row join bucket; with the cap the worst bucket is
+    max_doc_freq²) and accept the documented approximation, while the
+    default stays exact."""
     sh_arrays = docs.select(
         "doc_id", word_shingles(text_col, shingle_n).alias("sh")
     ).filter(F.size("sh") > 0)
@@ -452,6 +452,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         labels = updated.select("doc_id", "component")
         if n_changed == 0:
             break
+    else:
+        # partially propagated labels are silently WRONG components —
+        # dedup_keep_canonical would keep non-canonical duplicates
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({n_changed} labels still changing); the graph "
+            "diameter exceeds max_iter — raise it"
+        )
     return labels
 
 

@@ -221,26 +221,71 @@ def crawl_overlap_sketch(
     )
 
 
-def domain_coverage(domain_counts: DataFrame) -> DataFrame:
-    """W8: cumulative share of pages covered by the top domains
+def domain_coverage(
+    domain_counts: DataFrame, k: int = 1000, n_salts: int = 8
+) -> DataFrame:
+    """W8: cumulative share of pages covered by the top-k domains
     (histogram.py:125-143): sort domains by pages desc, running sums,
-    permille of total."""
-    w = Window.partitionBy("crawl").orderBy(
-        F.desc("pages"), F.desc("urls"), F.desc("domain")
+    permille of total; the uncovered remainder closes the curve as one
+    ``<other>`` row at rank k+1 / permille 1000.
+
+    Scale shape: the reference's input is already floored to frequent
+    domains (crawlstats.py:919-935, min 100 urls); here the domain
+    dimension is unbounded (~10^8 per crawl at 100 TB), so ranking it in
+    ONE window partition is a single-task sort. Selection is therefore
+    two-phase salted top-k (the frontier's host_bucketed_topk shape):
+    phase 1 ranks within (crawl, salt) — ≤ k survivors per salt — and
+    only the ≤ n_salts·k survivors per crawl see the global-per-crawl
+    window. The per-crawl totals come from a plain map-side-combined
+    aggregation, never a whole-dimension window."""
+    order = (F.desc("pages"), F.desc("urls"), F.desc("domain"))
+    w1 = Window.partitionBy("crawl", "_salt").orderBy(*order)
+    w2 = Window.partitionBy("crawl").orderBy(*order)
+    survivors = (
+        domain_counts.withColumn(
+            "_salt", F.pmod(F.xxhash64("domain"), F.lit(n_salts))
+        )
+        .withColumn("_sr", F.row_number().over(w1))
+        .filter(F.col("_sr") <= k)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
     )
-    total = Window.partitionBy("crawl")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    return domain_counts.select(
+    totals = domain_counts.groupBy("crawl").agg(
+        F.sum("pages").alias("total_pages")
+    )
+    run = w2.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = survivors.select(
         "crawl",
         "domain",
-        F.row_number().over(w).alias("rank"),
+        F.col("rank").cast("long").alias("rank"),
         F.sum("pages").over(run).alias("cum_pages"),
-        F.floor(
-            F.lit(1000) * F.sum("pages").over(run) / F.sum("pages").over(total)
-        )
+    )
+    top = ranked.join(F.broadcast(totals), "crawl").select(
+        "crawl",
+        "domain",
+        "rank",
+        "cum_pages",
+        F.floor(F.lit(1000) * F.col("cum_pages") / F.col("total_pages"))
         .cast("long")
         .alias("cum_pages_permille"),
-    ).orderBy("crawl", "rank")
+    )
+    other = (
+        ranked.groupBy("crawl")
+        .agg(
+            F.max("cum_pages").alias("cum_topk"),
+            F.count("*").alias("k_rows"),
+        )
+        .join(F.broadcast(totals), "crawl")
+        .filter(F.col("total_pages") > F.col("cum_topk"))
+        .select(
+            "crawl",
+            F.lit("<other>").alias("domain"),
+            (F.col("k_rows") + 1).cast("long").alias("rank"),
+            F.col("total_pages").alias("cum_pages"),
+            F.lit(1000).cast("long").alias("cum_pages_permille"),
+        )
+    )
+    return top.unionByName(other).orderBy("crawl", "rank")
 
 
 def top_n_with_other(
@@ -306,8 +351,11 @@ def spearman_rank_x1000(
     over the key dimension, per crawl — via the exact rank-difference
     formula 1 − 6·Σd²/(n(n²−1)), integers until one final division, scaled
     ×1000 and floored (bit-identical across engines). Ranks tie-break on
-    the key, matching the reference's pandas default of deterministic
-    ordering on equal values."""
+    the key via row_number — deterministic, but NOT pandas' average-rank
+    tie semantics: groups with ties in the measure can differ from
+    ``DataFrame.corr(method='spearman')``. Groups with n < 2 are dropped
+    (the formula divides by n(n²−1) = 0 there; no correlation is defined
+    over a single rank)."""
     wa = Window.partitionBy("crawl").orderBy(F.desc(col_a), F.asc(key))
     wb = Window.partitionBy("crawl").orderBy(F.desc(col_b), F.asc(key))
     ranked = counts.select(
@@ -320,6 +368,7 @@ def spearman_rank_x1000(
     return (
         ranked.groupBy("crawl")
         .agg(F.sum(d2).alias("sum_d2"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
         .select(
             "crawl",
             "n",
@@ -351,8 +400,10 @@ def spearman_vs_benchmark(
     inner join against the already-aggregated TLD dimension, ranks are
     windows per (crawl, benchmark), and the rank-difference formula stays
     integer until one final ×1000 floor — bit-identical across engines.
-    Ranks tie-break on the tld string (deterministic row_number, as in
-    spearman_rank_x1000)."""
+    Ranks tie-break on the tld string (deterministic row_number — not
+    pandas' average-rank tie handling; see spearman_rank_x1000). Groups
+    with fewer than 2 shared TLDs are dropped: the formula's n(n²−1)
+    denominator is 0 at n=1 and no correlation is defined."""
     joined = tld_counts_df.join(F.broadcast(benchmark_dim), "tld")
     wa = Window.partitionBy("crawl", "benchmark").orderBy(
         F.desc(measure), F.asc("tld")
@@ -371,6 +422,7 @@ def spearman_vs_benchmark(
     return (
         ranked.groupBy("crawl", "benchmark")
         .agg(F.sum(d2).alias("sum_d2"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
         .select(
             "crawl",
             "benchmark",

@@ -55,7 +55,11 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(corpus_df(spark, sf), threshold_permille=500)
+    # explicit opt-in to the doc-frequency cap: the scale path (exact
+    # values, capped candidate generation — see ngram_jaccard_pairs)
+    return D.ngram_jaccard_pairs(
+        corpus_df(spark, sf), threshold_permille=500, max_doc_freq=1000
+    )
 
 
 def q_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:

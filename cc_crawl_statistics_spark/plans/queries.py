@@ -313,7 +313,9 @@ def q_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_domain_coverage(spark: SparkSession, sf: str) -> DataFrame:
-    return TS.domain_coverage(C.domain_counts(pages_df(spark, sf)))
+    # k=25 < the fixture's ~34 domains/crawl so the '<other>' tail row is
+    # oracle-exercised, not just the covered prefix
+    return TS.domain_coverage(C.domain_counts(pages_df(spark, sf)), k=25)
 
 
 def q_top_mime_other(spark: SparkSession, sf: str) -> DataFrame:
@@ -1090,15 +1092,28 @@ dom AS (
   SELECT crawl, domain, SUM(pages) AS pages, SUM(urls) AS urls
   FROM dc GROUP BY crawl, domain
 ),
+tot AS (SELECT crawl, SUM(pages) AS total_pages FROM dom GROUP BY crawl),
+topk AS (
+  SELECT * FROM (
+    SELECT crawl, domain, pages,
+      row_number() OVER (PARTITION BY crawl
+                         ORDER BY pages DESC, urls DESC, domain DESC) AS rank,
+      SUM(pages) OVER (PARTITION BY crawl
+                       ORDER BY pages DESC, urls DESC, domain DESC
+                       ROWS UNBOUNDED PRECEDING) AS cum_pages
+    FROM dom
+  ) WHERE rank <= 25
+),
 ranked AS (
-  SELECT crawl, domain, pages,
-    row_number() OVER (PARTITION BY crawl
-                       ORDER BY pages DESC, urls DESC, domain DESC) AS rank,
-    SUM(pages) OVER (PARTITION BY crawl
-                     ORDER BY pages DESC, urls DESC, domain DESC
-                     ROWS UNBOUNDED PRECEDING) AS cum_pages,
-    SUM(pages) OVER (PARTITION BY crawl) AS total_pages
-  FROM dom
+  SELECT t.crawl, t.domain, t.rank, t.cum_pages, tt.total_pages
+  FROM topk t JOIN tot tt ON t.crawl = tt.crawl
+  UNION ALL
+  SELECT j.crawl, '<other>' AS domain, j.k_rows + 1 AS rank,
+         tt.total_pages AS cum_pages, tt.total_pages
+  FROM (SELECT crawl, MAX(cum_pages) AS cum_topk, COUNT(*) AS k_rows
+        FROM topk GROUP BY crawl) j
+  JOIN tot tt ON j.crawl = tt.crawl
+  WHERE tt.total_pages > j.cum_topk
 )
 SELECT crawl, domain, CAST(rank AS BIGINT) AS rank,
   CAST(cum_pages AS BIGINT) AS cum_pages,
@@ -1238,7 +1253,7 @@ SELECT crawl, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(FLOOR(1000 - 6000 * CAST(SUM((ra-rb)*(ra-rb)) AS BIGINT)
              / (COUNT(*) * (COUNT(*) * COUNT(*) - 1))) AS BIGINT)
     AS spearman_x1000
-FROM ranked GROUP BY crawl ORDER BY crawl
+FROM ranked GROUP BY crawl HAVING COUNT(*) >= 2 ORDER BY crawl
 """
         ),
 
@@ -1510,7 +1525,8 @@ SELECT crawl, benchmark, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(FLOOR(1000 - 6000 * CAST(SUM((ra-rb)*(ra-rb)) AS BIGINT)
              / (COUNT(*) * (COUNT(*) * COUNT(*) - 1))) AS BIGINT)
     AS spearman_x1000
-FROM ranked GROUP BY crawl, benchmark ORDER BY crawl, benchmark
+FROM ranked GROUP BY crawl, benchmark HAVING COUNT(*) >= 2
+ORDER BY crawl, benchmark
 """
         ),
         "url_parse_parity": _oracle(

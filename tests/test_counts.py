@@ -188,3 +188,36 @@ def test_crawl_overlap_sketch_close_to_exact(spark):
     for idx in ex.index:
         est, exact = sk.loc[idx].inter_est, ex.loc[idx].inter
         assert abs(est - exact) <= max(0.05 * exact, 2), (idx, est, exact)
+
+
+def test_domain_coverage_bounded_plan_and_other_row(spark):
+    """W8 scale shape (VERDICT r2 item 7): domain_coverage must never rank
+    the unbounded domain dimension in an unpartitioned window, and the
+    '<other>' tail row must close the curve at permille 1000."""
+    from cc_crawl_statistics_spark.operators import timeseries as TS
+
+    dc = C.domain_counts(pages_df(spark, SF_SMOKE))
+    cov = TS.domain_coverage(dc, k=5)
+    # plan audit: every Window node carries a partition spec. In the
+    # executed-plan string an unpartitioned window prints only two bracket
+    # groups (functions, ordering); partitioned ones print three.
+    plan = cov._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: *")
+        if s.startswith("Window "):
+            assert s.count("], [") >= 2, f"unpartitioned window: {s}"
+    rows = cov.toPandas()
+    totals = dc.groupBy("crawl").agg(F.sum("pages").alias("t")).toPandas()
+    n_domains = dc.select("crawl", "domain").distinct().toPandas()
+    for crawl, grp in rows.groupby("crawl"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        nd = (n_domains.crawl == crawl).sum()
+        if nd > 5:  # tail exists -> one <other> row closing at 1000
+            assert grp.iloc[-1]["domain"] == "<other>"
+            assert grp.iloc[-1]["cum_pages_permille"] == 1000
+            t = totals[totals.crawl == crawl].iloc[0]["t"]
+            assert grp.iloc[-1]["cum_pages"] == t
+        # covered prefix cum_pages strictly increasing
+        cp = list(grp["cum_pages"])
+        assert all(a < b for a, b in zip(cp, cp[1:]))
