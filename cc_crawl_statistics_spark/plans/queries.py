@@ -318,6 +318,14 @@ def q_domain_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return TS.domain_coverage(C.domain_counts(pages_df(spark, sf)), k=25)
 
 
+def q_mime_share_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    # S7 presentation pivot (table.py:146-153): percent-of-crawl mimetype
+    # shares as one row per mimetype × one micro-percent column per crawl
+    from ..sources.presentation import percentage_pivot
+
+    return percentage_pivot(C.mimetype_counts(pages_df(spark, sf)), "mimetype")
+
+
 def q_top_mime_other(spark: SparkSession, sf: str) -> DataFrame:
     return TS.top_n_with_other(
         C.mimetype_counts(pages_df(spark, sf)), "mimetype", n=3
@@ -863,6 +871,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_coverage": q_domain_coverage,
     "top_mime_other": q_top_mime_other,
     "mime_share": q_mime_share,
+    "mime_share_pivot": q_mime_share_pivot,
     "pages_by_year": q_pages_by_year,
     "spearman_tld": q_spearman_tld,
     "trailing_2": q_trailing_2,
@@ -1226,6 +1235,24 @@ SELECT crawl, mimetype, CAST(pages AS BIGINT) AS pages,
   CAST(FLOOR(1000 * pages / SUM(pages) OVER (PARTITION BY crawl)) AS BIGINT)
     AS share_permille
 FROM mc ORDER BY crawl, mimetype
+"""
+        ),
+        # S7 presentation pivot: fixture crawls are pinned (synth.py:34),
+        # so the crawl columns are static conditional aggregates here while
+        # the Spark side pivots relationally
+        "mime_share_pivot": _oracle(
+            f""", {_MIME_CTE},
+mtot AS (SELECT crawl, SUM(pages) AS t FROM mc GROUP BY crawl),
+mpct AS (
+  SELECT mc.crawl, mc.mimetype,
+         CAST(FLOOR(1000000 * mc.pages / mt.t) AS BIGINT) AS p
+  FROM mc JOIN mtot mt ON mc.crawl = mt.crawl
+)
+SELECT mimetype,
+  MAX(CASE WHEN crawl = 'CC-MAIN-2024-10' THEN p END) AS "CC-MAIN-2024-10",
+  MAX(CASE WHEN crawl = 'CC-MAIN-2024-14' THEN p END) AS "CC-MAIN-2024-14",
+  MAX(CASE WHEN crawl = 'CC-MAIN-2024-18' THEN p END) AS "CC-MAIN-2024-18"
+FROM mpct GROUP BY mimetype ORDER BY mimetype
 """
         ),
         "pages_by_year": _oracle(
@@ -1629,8 +1656,8 @@ _PRIORITY = [
     # dimension joins (§2.6), incl. the IDN end-to-end row
     "tld_classified", "tld_classified_idn", "tld_continent",
     "spearman_benchmark",
-    # stats-phase filters (§2.3)
-    "large_surt_domains", "frequent_hosts", "languages_floor",
+    # stats-phase filters (§2.3) + S7 presentation pivot (§2.1)
+    "large_surt_domains", "mime_share_pivot", "languages_floor",
     # sources/sinks + byte-compat (§2.1, §2.9)
     "cdx_roundtrip", "stats_wire_roundtrip", "crawler_metrics_roundtrip",
     "cc_pages_extract",

@@ -190,3 +190,55 @@ def test_crawler_metrics_side_input(spark, tmp_path):
     assert titles["generator:fetch_list"] == "fetch list"
     assert titles["fetcher:aggr:redirect"] == "fetch redirect"
     assert titles["page"] == "pages released"
+
+
+def test_presentation_csv_golden(spark, tmp_path):
+    """S7 CSV sink (crawl_size.py:162-165 / table.py:121-135): pinned bytes
+    for a pinned aggregate."""
+    from cc_crawl_statistics_spark.sources import presentation as P
+
+    df = spark.createDataFrame(
+        [("CC-MAIN-2024-10", "text/html", 80, 70),
+         ("CC-MAIN-2024-10", "app/pdf", 20, 18),
+         ("CC-MAIN-2024-18", "text/html", 50, 50)],
+        "crawl string, mimetype string, pages long, urls long",
+    ).orderBy("crawl", "mimetype")
+    out = str(tmp_path / "t.csv")
+    P.write_csv(df, out)
+    assert open(out).read() == (
+        "crawl,mimetype,pages,urls\n"
+        "CC-MAIN-2024-10,app/pdf,20,18\n"
+        "CC-MAIN-2024-10,text/html,80,70\n"
+        "CC-MAIN-2024-18,text/html,50,50\n"
+    )
+
+
+def test_presentation_html_percentage_pivot(spark, tmp_path):
+    """S7 HTML sink (table.py:146-160): percentage pivot computed in Spark,
+    rendered with the reference's formatters + CSS classes."""
+    from cc_crawl_statistics_spark.sources import presentation as P
+
+    df = spark.createDataFrame(
+        [("CC-MAIN-2024-10", "text/html", 80),
+         ("CC-MAIN-2024-10", "app/pdf", 20),
+         ("CC-MAIN-2024-18", "text/html", 50)],
+        "crawl string, mimetype string, pages long",
+    )
+    piv = P.percentage_pivot(df, "mimetype").toPandas().set_index("mimetype")
+    assert piv.loc["text/html"]["CC-MAIN-2024-10"] == 800000  # 80.0000%
+    assert piv.loc["app/pdf"]["CC-MAIN-2024-10"] == 200000
+    assert piv.loc["text/html"]["CC-MAIN-2024-18"] == 1000000
+    out = str(tmp_path / "t.html")
+    P.write_percentage_html(df, out, "mimetype")
+    html = open(out).read()
+    assert 'class="dataframe tablesorter tablepercentage"' in html
+    assert "80.0000" in html and "20.0000" in html and "100.0000" in html
+
+
+def test_presentation_sink_refuses_unaggregated(spark):
+    from cc_crawl_statistics_spark.sources import presentation as P
+    import pytest
+
+    big = spark.range(200)
+    with pytest.raises(ValueError, match="aggregate first"):
+        P.write_csv(big, "/tmp/never.csv", max_rows=100)
