@@ -221,3 +221,17 @@ def test_domain_coverage_bounded_plan_and_other_row(spark):
         # covered prefix cum_pages strictly increasing
         cp = list(grp["cum_pages"])
         assert all(a < b for a, b in zip(cp, cp[1:]))
+
+
+def test_spearman_drops_single_member_groups(spark):
+    """A23 edge (ADVICE r2): a (crawl) group with one key row has no
+    defined correlation (n(n²−1)=0) — it must be dropped, not NULL/error."""
+    from cc_crawl_statistics_spark.operators import timeseries as TS
+
+    df = spark.createDataFrame(
+        [("c1", "com", 10, 8), ("c1", "org", 5, 5), ("c2", "com", 7, 7)],
+        "crawl string, tld string, pages long, urls long",
+    )
+    out = TS.spearman_rank_x1000(df, "tld").toPandas()
+    assert list(out.crawl) == ["c1"]  # c2 has n=1 -> dropped
+    assert out.iloc[0]["spearman_x1000"] == 1000  # identical rank order

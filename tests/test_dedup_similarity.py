@@ -215,3 +215,19 @@ def test_ivf_centroids_deterministic(spark):
     assert list(a.centroid_id) == list(b.centroid_id)
     for ca, cb in zip(a.centroid, b.centroid, strict=True):
         assert list(ca) == list(cb)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """ADVICE r2: exiting the propagation loop with labels still changing
+    must raise, not silently return wrong components."""
+    import pytest
+
+    # a 6-node chain has diameter 5: min-label propagation moves the label
+    # one hop per iteration, so max_iter=2 cannot converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=2)
+    comp = D.connected_components(chain, max_iter=30).toPandas()
+    assert set(comp.component) == {0}  # one chain, canonical label 0
