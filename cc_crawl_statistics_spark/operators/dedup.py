@@ -29,19 +29,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def word_shingles(text_col: str, n: int = 3):
-    """Distinct n-word shingles as an array column (JVM-side: split +
-    transform over a position sequence)."""
-    words = F.split(F.lower(F.col(text_col)), "\\s+")
+def with_word_shingles(
+    docs: DataFrame, text_col: str, n: int = 3, out: str = "sh"
+) -> DataFrame:
+    """``docs`` plus a distinct n-word-shingle array column (JVM-side:
+    split + transform over a position sequence).
+
+    The words array is staged behind its own projection: higher-order
+    functions evaluate non-lambda subexpressions per element, so inlining
+    the split into the transform lambda would re-split the full text for
+    every shingle position — O(words·chars) per document. The staged alias
+    is referenced more than once and is non-cheap, so CollapseProject keeps
+    the boundary (same pathology + fix as textstats.fingerprint)."""
+    words = F.col("_ws_words")
     k = F.size(words) - (n - 1)
     # sequence(0, -1) would DESCEND in Spark — guard the empty case
     positions = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    return F.array_distinct(
-        F.transform(
-            positions, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    return (
+        docs.withColumn(
+            "_ws_words", F.split(F.lower(F.col(text_col)), "\\s+")
         )
+        .withColumn(
+            out,
+            F.array_distinct(
+                F.transform(
+                    positions,
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+                )
+            ),
+        )
+        .drop("_ws_words")
     )
 
 
@@ -80,7 +99,8 @@ def minhash_lsh_pairs(
     """
     rows = n_hashes // bands
     sig = (
-        docs.select("doc_id", word_shingles(text_col, shingle_n).alias("sh"))
+        with_word_shingles(docs, text_col, shingle_n)
+        .select("doc_id", "sh")
         .filter(F.size("sh") > 0)
         .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     )
@@ -167,17 +187,22 @@ def ngram_jaccard_pairs(
     a 10¹²-row join bucket; with the cap the worst bucket is
     max_doc_freq²) and accept the documented approximation, while the
     default stays exact."""
-    sh_arrays = docs.select(
-        "doc_id", word_shingles(text_col, shingle_n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sh = sh_arrays.select("doc_id", F.explode("sh").alias("s"))
-    cold = (
-        sh.groupBy("s")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= max_doc_freq)
-        .select("s")
+    sh_arrays = (
+        with_word_shingles(docs, text_col, shingle_n)
+        .select("doc_id", "sh")
+        .filter(F.size("sh") > 0)
     )
-    sh_cold = sh.join(cold, "s", "left_semi")
+    sh = sh_arrays.select("doc_id", F.explode("sh").alias("s"))
+    if max_doc_freq is None:
+        sh_cold = sh  # exact: every shingle generates candidates
+    else:
+        cold = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("s")
+        )
+        sh_cold = sh.join(cold, "s", "left_semi")
     a = sh_cold.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh_cold.select(F.col("doc_id").alias("doc_b"), "s")
     cand = (

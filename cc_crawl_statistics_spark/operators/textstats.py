@@ -111,24 +111,49 @@ def fingerprint(
     """Winnowing document fingerprint: k-gram token hashes → min hash per
     sliding window → distinct set, plus a single 64-bit rollup. Built from
     array higher-order functions (transform/slice/array_min) — one pass,
-    no explode, no UDF."""
+    no explode, no UDF.
+
+    Each array stage is materialized behind its own projection: higher-order
+    functions evaluate non-lambda-variable subexpressions PER ELEMENT, so
+    inlining the k-gram array into the sliding-window transform re-derives
+    the whole O(n·k) array for every window position — O(n²·k) per document
+    (measured 94s for 569 sf0.01 docs vs ~1s staged). The intermediate
+    aliases are referenced more than once and are non-cheap, which keeps
+    CollapseProject from re-inlining them."""
     def positions(n):
         # sequence(0, -1) would DESCEND in Spark — guard the empty case
         return F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
             F.array().cast("array<int>")
         )
 
-    words = F.split(F.lower(F.col(text_col)), "\\s+")
-    kgram_hashes = F.transform(
-        positions(F.size(words) - (k - 1)),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
+    words = F.col("_fp_words")
+    kgrams = F.col("_fp_kgrams")
+    mins = F.col("_fp_mins")
+    staged = (
+        docs.select(
+            "doc_id",
+            F.split(F.lower(F.col(text_col)), "\\s+").alias("_fp_words"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                positions(F.size(words) - (k - 1)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(words, i + 1, k))
+                ),
+            ).alias("_fp_kgrams"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                positions(F.size(kgrams) - (window - 1)),
+                lambda i: F.array_min(F.slice(kgrams, i + 1, window)),
+            ).alias("_fp_mins"),
+        )
+        .select("doc_id", F.array_distinct(mins).alias("_fp_set"))
     )
-    mins = F.transform(
-        positions(F.size(kgram_hashes) - (window - 1)),
-        lambda i: F.array_min(F.slice(kgram_hashes, i + 1, window)),
-    )
-    fp_set = F.array_distinct(mins)
-    return docs.select(
+    fp_set = F.col("_fp_set")
+    return staged.select(
         "doc_id",
         F.size(fp_set).alias("n_fingerprints"),
         F.aggregate(

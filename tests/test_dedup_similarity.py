@@ -231,3 +231,70 @@ def test_connected_components_raises_on_non_convergence(spark):
         D.connected_components(chain, max_iter=2)
     comp = D.connected_components(chain, max_iter=30).toPandas()
     assert set(comp.component) == {0}  # one chain, canonical label 0
+
+
+def test_fingerprint_matches_python_winnowing_model(spark):
+    """Winnowing semantics vs an independent Python model: Spark's xxhash64
+    is the shared trusted primitive (hashing each k-gram string directly);
+    the windowed-min / distinct / xor staging under test is re-derived in
+    plain Python. Also pins the staged-projection rewrite (the O(n²·k)
+    inlined form produced identical values, just ~13x slower)."""
+    from cc_crawl_statistics_spark.operators.textstats import fingerprint
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "a b c d e f g h i j k l m n o p"),
+        (2, "tiny"),  # fewer words than k -> zero k-grams
+        (3, "one two three four five"),  # exactly k words -> one k-gram
+    ]
+    k, window = 5, 4
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_fingerprints, r.fingerprint64)
+        for r in fingerprint(docs, k=k, window=window).collect()
+    }
+
+    # trusted primitive: hash each k-gram string with the same Spark builtin
+    def kgram_hashes(text: str) -> list[int]:
+        words = text.lower().split()
+        grams = [
+            " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+        ]
+        if not grams:
+            return []
+        rows = spark.createDataFrame(
+            [(i, g) for i, g in enumerate(grams)], "i long, g string"
+        )
+        out = rows.select("i", F.xxhash64("g").alias("h")).collect()
+        return [r.h for r in sorted(out, key=lambda r: r.i)]
+
+    for doc_id, text in texts:
+        hashes = kgram_hashes(text)
+        mins = [
+            min(hashes[i : i + window])
+            for i in range(max(0, len(hashes) - window + 1))
+        ]
+        fp_set = list(dict.fromkeys(mins))  # array_distinct keeps order
+        acc = 0
+        for h in fp_set:
+            acc ^= h & 0xFFFFFFFFFFFFFFFF
+            acc &= 0xFFFFFFFFFFFFFFFF
+        expected64 = acc - (1 << 64) if acc >= (1 << 63) else acc
+        assert got[doc_id] == (len(fp_set), expected64), f"doc {doc_id}"
+
+
+def test_ngram_jaccard_exact_default_emits_pairs(spark):
+    """Regression: max_doc_freq=None (the exact default) must mean 'no
+    doc-frequency cap', not 'df <= NULL' — the latter silently filtered
+    every shingle out of candidate generation and returned zero pairs."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q r")],
+        "doc_id long, text string",
+    )
+    exact = D.ngram_jaccard_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b, r.inter, r.uni) for r in exact] == [
+        (1, 2, 3, 5)
+    ]
+    # a generous cap must agree with the exact plan on this fixture
+    capped = D.ngram_jaccard_pairs(docs, max_doc_freq=10).collect()
+    assert exact == capped

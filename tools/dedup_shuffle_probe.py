@@ -28,7 +28,8 @@ def old_minhash(docs, n_hashes=64, bands=16, jaccard_threshold=0.5):
     """r1 shape: shingle arrays ride the ×bands explode and bucket join."""
     rows = n_hashes // bands
     sig = (
-        docs.select("doc_id", D.word_shingles("text", 3).alias("sh"))
+        D.with_word_shingles(docs, "text", 3)
+        .select("doc_id", "sh")
         .filter(F.size("sh") > 0)
         .withColumn("sig", D.minhash_signature(F.col("sh"), n_hashes))
     )
