@@ -79,23 +79,27 @@ LANG_PROFILES = {
 }
 
 
-def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-profile language ID: count profile hits per language
-    (codegen regexp_count), argmax with deterministic tie-break on the
-    language code; 'und' (undetermined) when no profile hits."""
-    t = F.lower(F.col(text_col))
+def _lang_best(lowered_text):
+    """(score, lang) struct of the winning stopword profile: highest hit
+    count wins, ties broken deterministically by the highest language code
+    (array_max compares struct fields in order)."""
     scores = [
         F.struct(
             F.regexp_count(
-                t, F.lit(r"\b(" + "|".join(words) + r")\b")
+                lowered_text, F.lit(r"\b(" + "|".join(words) + r")\b")
             ).alias("score"),
             F.lit(lang).alias("lang"),
         )
         for lang, words in sorted(LANG_PROFILES.items())
     ]
-    # array_max compares struct fields in order: highest score wins, ties
-    # broken deterministically by the highest language code
-    best = F.array_max(F.array(*scores))
+    return F.array_max(F.array(*scores))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID: count profile hits per language
+    (codegen regexp_count), argmax with deterministic tie-break on the
+    language code; 'und' (undetermined) when no profile hits."""
+    best = _lang_best(F.lower(F.col(text_col)))
     return docs.select(
         "doc_id",
         F.when(best.getField("score") > 0, best.getField("lang"))
@@ -162,3 +166,61 @@ def fingerprint(
             lambda acc, x: acc.bitwiseXOR(x),
         ).alias("fingerprint64"),
     ).orderBy("doc_id")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_keep: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """End-to-end training-data curation verdict per document, combining
+    the pipeline's three row filters in reference-pipeline precedence:
+
+      1. exact duplicate (md5 digest; the lowest doc_id of a group is
+         canonical and survives, the rest are 'duplicate')
+      2. quality gate (same C4/Gopher-style thresholds as quality_scores)
+      3. language filter (stopword-profile argmax not in ``lang_keep``)
+
+    Scale shape: ONE row-wise projection computes every signal (digest,
+    token count, mean word length, language argmax — all codegen), then
+    ONE shuffle (the digest-partitioned row_number window) resolves
+    duplicates. The signals never re-join on doc_id, so the plan is a
+    scan + single hash-partition exchange regardless of corpus size."""
+    t = F.col(text_col)
+    n_tok = F.regexp_count(t, F.lit(WS_TOKEN_RE))
+    base = docs.select(
+        "doc_id",
+        F.md5(t).alias("_digest"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.floor(
+            10 * F.length(t) / F.greatest(n_tok, F.lit(1))
+        ).alias("_mwl_x10"),
+        _lang_best(F.lower(t)).alias("_best"),
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("_digest").orderBy("doc_id")
+    )
+    lang_pred = F.when(
+        F.col("_best").getField("score") > 0, F.col("_best").getField("lang")
+    ).otherwise(F.lit("und"))
+    quality_ok = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("_mwl_x10") >= 20)
+        & (F.col("_mwl_x10") <= 120)
+    )
+    return (
+        base.withColumn("_rn", rn)
+        .select(
+            "doc_id",
+            "n_tokens",
+            lang_pred.alias("lang_pred"),
+            F.when(F.col("_rn") > 1, F.lit("duplicate"))
+            .when(~quality_ok, F.lit("quality"))
+            .when(~lang_pred.isin(*lang_keep), F.lit("language"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )

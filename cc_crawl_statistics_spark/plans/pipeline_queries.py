@@ -213,7 +213,14 @@ def q_surt_hll(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation verdict (dup/quality/language precedence) —
+    one scan + one digest shuffle, see textstats.curate_corpus."""
+    return TX.curate_corpus(corpus_df(spark, sf))
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "curate_corpus": q_curate_corpus,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -254,6 +261,55 @@ ex AS (SELECT doc_id, unnest(s) AS s FROM sh)
 """
 
 PIPELINE_ORACLES: dict[str, str] = {
+    "curate_corpus": _corpus_oracle(
+        """
+, m AS (
+  SELECT doc_id, md5(text) AS digest,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         length(text) AS n_chars,
+         lower(text) AS lt
+  FROM corpus
+),
+scores AS (
+  SELECT doc_id, 'de' AS lang,
+         len(regexp_extract_all(lt,
+             '\\b(der|die|und|das|ist|nicht)\\b')) AS score FROM m
+  UNION ALL
+  SELECT doc_id, 'en',
+         len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is)\\b')) FROM m
+  UNION ALL
+  SELECT doc_id, 'es',
+         len(regexp_extract_all(lt, '\\b(el|la|de|que|los|es)\\b')) FROM m
+  UNION ALL
+  SELECT doc_id, 'fr',
+         len(regexp_extract_all(lt, '\\b(le|la|et|les|des|est)\\b')) FROM m
+),
+best AS (
+  SELECT doc_id,
+         CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS lrn
+  FROM scores
+),
+ranked AS (
+  SELECT doc_id, n_tok, n_chars,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS drn
+  FROM m
+)
+SELECT r.doc_id,
+  CAST(r.n_tok AS BIGINT) AS n_tokens,
+  b.lang_pred,
+  CASE WHEN r.drn > 1 THEN 'duplicate'
+       WHEN NOT (r.n_tok >= 10
+                 AND FLOOR(10 * r.n_chars / greatest(r.n_tok, 1)) >= 20
+                 AND FLOOR(10 * r.n_chars / greatest(r.n_tok, 1)) <= 120)
+         THEN 'quality'
+       WHEN b.lang_pred <> 'en' THEN 'language'
+       ELSE 'kept' END AS verdict
+FROM ranked r JOIN best b ON r.doc_id = b.doc_id AND b.lrn = 1
+ORDER BY r.doc_id
+"""
+    ),
     "dedup_exact": _corpus_oracle(
         """
 SELECT md5(text) AS digest,

@@ -16,7 +16,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", cores=4, shuffle_partitions=8)
+    # 8 local threads: the fixtures are tiny, so beyond ~8 the per-test
+    # fixed costs dominate; shuffle_partitions stays pinned at 8 so plans
+    # (and any partitioning-sensitive goldens) are unchanged
+    import os
+
+    cores = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    s = get_spark(app_name="tests", cores=cores, shuffle_partitions=8)
     yield s
     s.stop()
 

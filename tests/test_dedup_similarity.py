@@ -298,3 +298,37 @@ def test_ngram_jaccard_exact_default_emits_pairs(spark):
     # a generous cap must agree with the exact plan on this fixture
     capped = D.ngram_jaccard_pairs(docs, max_doc_freq=10).collect()
     assert exact == capped
+
+
+def test_curate_corpus_verdict_precedence(spark):
+    """duplicate > quality > language > kept, on a planted fixture."""
+    from cc_crawl_statistics_spark.operators.textstats import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and runs on"
+    docs = spark.createDataFrame(
+        [
+            (0, good),                      # kept (en, 12 tokens, sane mwl)
+            (1, good),                      # duplicate of 0
+            (2, "too short"),               # quality (n_tokens < 10)
+            (3, "le chat et le chien et les oiseaux des bois est la"),  # fr
+            (4, good + " extra"),           # kept (distinct digest)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.verdict for r in curate_corpus(docs).collect()
+    }
+    assert got == {
+        0: "kept",
+        1: "duplicate",
+        2: "quality",
+        3: "language",
+        4: "kept",
+    }
+    # duplicate wins over any later gate: a dup of a low-quality doc is
+    # still 'duplicate' (canonical row takes the quality verdict)
+    dup_of_bad = spark.createDataFrame(
+        [(10, "too short"), (11, "too short")], "doc_id long, text string"
+    )
+    got2 = {r.doc_id: r.verdict for r in curate_corpus(dup_of_bad).collect()}
+    assert got2 == {10: "quality", 11: "duplicate"}
