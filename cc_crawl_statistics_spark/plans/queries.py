@@ -1647,9 +1647,11 @@ _PRIORITY = [
     # registry-id-scale bitmask fixture (ids 0/63/126)
     "new_items", "new_digests", "url_crawl_set", "digest_crawl_set",
     "url_crawl_set_registry",
-    # plot-layer time series (§2.5)
+    # plot-layer time series (§2.5); trailing_3 yields its slot to the
+    # end-to-end curation verdict — the family stays driver-visible via
+    # trailing_6 (reference width) and oracle-tested via trailing_2/_3
     "crawl_overlap", "dup_ratio", "domain_coverage", "top_mime_other",
-    "charset_top_unknown", "trailing_3", "trailing_6",
+    "charset_top_unknown", "trailing_6", "curate_corpus",
     # full frequency-histogram family (A19)
     "host_pages_histogram", "domain_pages_histogram", "host_urls_histogram",
     "digest_dup_histogram",
