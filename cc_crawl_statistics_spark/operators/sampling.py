@@ -1,0 +1,106 @@
+"""Corpus sampling and mixture-weighting operators for training-data
+pipelines.
+
+``stratified_sample`` — deterministic hash-ordered K-per-stratum document
+sample: the distributed analogue of a seeded reservoir sample. The
+"random" order is ``md5(key)``, reproducible across engines, runs and
+cluster sizes, so train/eval splits are stable under re-execution and the
+same rows are chosen on a laptop and on a 1000-executor cluster. Two-phase
+salted ranking (the same skew-safe shape as the frontier's per-host top-B,
+frontier/scheduler.py): top-K under a total order is distributive, so
+phase 1 keeps K per (stratum, salt) and only ≤ n_salts·K rows per stratum
+reach the final per-stratum window — a 10⁸-document stratum never lands in
+a single window task.
+
+``domain_mixture_weights`` — temperature-scaled mixing weights over a
+grouping column: w_d ∝ tokens_d^0.5, the standard recipe for flattening a
+web crawl's power-law domain distribution before sampling training
+batches. Integer sqrt and integer permille division keep the output
+bit-exact across engines (no float accumulation anywhere). The global
+normalizer is a broadcast one-row aggregate, not an unpartitioned window,
+so the plan stays shuffle-bounded at any number of domains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from .textstats import WS_TOKEN_RE
+
+
+def stratified_sample(
+    docs: DataFrame,
+    stratum_col: str = "source",
+    k: int = 20,
+    key_col: str = "doc_id",
+    n_salts: int = 8,
+) -> DataFrame:
+    """K lowest-md5 documents per stratum, rank included.
+
+    Equivalent to ``row_number() OVER (PARTITION BY stratum ORDER BY
+    md5(key), key) <= k`` but evaluated in two phases so no stratum is a
+    single task. md5 over the decimal string of the key is portable
+    (DuckDB and Spark both emit lowercase hex) and collision-free in
+    practice; ``key`` itself breaks any residual tie deterministically.
+    """
+    h = F.md5(F.col(key_col).cast("string")).alias("_h")
+    salted = docs.select(stratum_col, key_col, h).withColumn(
+        "_salt", F.pmod(F.xxhash64(key_col), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(stratum_col, "_salt").orderBy("_h", key_col)
+    survivors = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k)
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy("_h", key_col)
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .where(F.col("sample_rank") <= k)
+        .select(
+            stratum_col,
+            key_col,
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+        )
+        .orderBy(stratum_col, "sample_rank")
+    )
+
+
+def domain_mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group document/token totals and a √tokens-proportional mixing
+    weight in integer permille.
+
+    isqrt = floor(sqrt(tokens)) is exact for tokens < 2⁵² (IEEE sqrt of an
+    exactly-representable integer; perfect squares are exact); the permille
+    share uses BIGINT division only, so Spark and DuckDB agree bit-for-bit.
+    One shuffle (the groupBy); the normalizer joins back as a broadcast
+    single row.
+    """
+    per_group = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_RE)))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    scaled = per_group.withColumn(
+        "isqrt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    total = scaled.agg(F.sum("isqrt").cast("long").alias("_total"))
+    return (
+        scaled.crossJoin(broadcast(total))
+        .select(
+            group_col,
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((1000 * isqrt) DIV _total AS BIGINT)").alias(
+                "weight_permille"
+            ),
+        )
+        .orderBy(group_col)
+    )

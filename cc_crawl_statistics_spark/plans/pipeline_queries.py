@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..frontier.scheduler import first_round_schedule
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import sampling as SA
 from ..operators import similarity as SIM
 from ..operators import textstats as TX
 from ..sources.tables import load_table, pages_df
@@ -219,8 +220,22 @@ def q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
     return TX.curate_corpus(corpus_df(spark, sf))
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20-per-source corpus sample (sampling.py) — the
+    hash-ordered reservoir a training pipeline uses for stable splits."""
+    return SA.stratified_sample(corpus_df(spark, sf), k=20)
+
+
+def q_domain_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """√tokens-proportional per-source mixing weights in integer
+    permille (sampling.py)."""
+    return SA.domain_mixture_weights(corpus_df(spark, sf))
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
+    "stratified_sample": q_stratified_sample,
+    "domain_weights": q_domain_weights,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -308,6 +323,37 @@ SELECT r.doc_id,
        ELSE 'kept' END AS verdict
 FROM ranked r JOIN best b ON r.doc_id = b.doc_id AND b.lrn = 1
 ORDER BY r.doc_id
+"""
+    ),
+    "stratified_sample": _corpus_oracle(
+        """
+, h AS (
+  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM corpus
+),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY hh, doc_id)
+           AS sample_rank
+  FROM h
+)
+SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(sample_rank AS BIGINT) AS sample_rank
+FROM r WHERE sample_rank <= 20 ORDER BY source, sample_rank
+"""
+    ),
+    "domain_weights": _corpus_oracle(
+        """
+, g AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS n_tokens
+  FROM corpus GROUP BY source
+),
+s AS (SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS isqrt FROM g),
+t AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS total FROM s)
+SELECT source, n_docs, n_tokens,
+       CAST((1000 * isqrt) // total AS BIGINT) AS weight_permille
+FROM s, t ORDER BY source
 """
     ),
     "dedup_exact": _corpus_oracle(

@@ -332,3 +332,41 @@ def test_curate_corpus_verdict_precedence(spark):
     )
     got2 = {r.doc_id: r.verdict for r in curate_corpus(dup_of_bad).collect()}
     assert got2 == {10: "quality", 11: "duplicate"}
+
+
+def test_stratified_sample_semantics(spark):
+    """Two-phase salted sample == single-window definition: exactly k per
+    stratum (when the stratum has >= k docs), rank contiguous from 1, and
+    selection invariant to n_salts (the phase split must not change the
+    chosen set)."""
+    from cc_crawl_statistics_spark.operators.sampling import stratified_sample
+
+    corpus = corpus_df(spark, SF_SMOKE)
+    s8 = stratified_sample(corpus, k=5, n_salts=8).toPandas()
+    s1 = stratified_sample(corpus, k=5, n_salts=1).toPandas()
+    assert s8.equals(s1)
+    per = s8.groupby("source").agg(n=("doc_id", "size"),
+                                   lo=("sample_rank", "min"),
+                                   hi=("sample_rank", "max"))
+    assert (per.n == 5).all() and (per.lo == 1).all() and (per.hi == 5).all()
+    # deterministic across invocations (the whole point: stable splits)
+    assert s8.equals(stratified_sample(corpus, k=5, n_salts=8).toPandas())
+
+
+def test_domain_mixture_weights_flatten_powerlaw(spark):
+    """sqrt-temperature weights: permille shares sum to <= 1000 (floor
+    division), every group with tokens gets a weight, and the weight
+    ratio between the largest and smallest group is compressed vs the
+    raw token ratio (that is what the temperature is for)."""
+    from cc_crawl_statistics_spark.operators.sampling import (
+        domain_mixture_weights,
+    )
+
+    w = domain_mixture_weights(corpus_df(spark, SF_SMOKE)).toPandas()
+    assert w.weight_permille.sum() <= 1000
+    assert (w.n_tokens > 0).all() and (w.weight_permille >= 0).all()
+    big, small = w.n_tokens.max(), w.n_tokens.min()
+    wbig = int(w.loc[w.n_tokens.idxmax(), "weight_permille"])
+    wsmall = int(w.loc[w.n_tokens.idxmin(), "weight_permille"])
+    if small > 0 and wsmall > 0:
+        assert wbig / wsmall <= big / small
