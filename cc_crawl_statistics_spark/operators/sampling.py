@@ -68,6 +68,44 @@ def stratified_sample(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    doc_id order within each group and split into fixed ``budget``-token
+    context windows; each document reports the window (shard) its first
+    token lands in and its token offset within the group's stream.
+
+    shard_id = floor(start_offset / budget) with start_offset the
+    exclusive running token sum — all integer arithmetic, so the oracle is
+    bit-exact. The running sum is windowed per group (same bounded-stratum
+    shape as the per-host frontier queue); packing across groups would
+    serialize the whole corpus through one task, which is exactly what a
+    100-TB packer must not do — real pipelines pack per shard/source and
+    so does this.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_tok = F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_RE)).cast("long")
+    return (
+        docs.select(group_col, "doc_id", n_tok.alias("n_tokens"))
+        .withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(F.col("start_offset") / F.lit(budget)).cast("long"),
+        )
+        .orderBy(group_col, "doc_id")
+    )
+
+
 def domain_mixture_weights(
     docs: DataFrame,
     group_col: str = "source",

@@ -232,10 +232,17 @@ def q_domain_weights(spark: SparkSession, sf: str) -> DataFrame:
     return SA.domain_mixture_weights(corpus_df(spark, sf))
 
 
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token context windows
+    per source (sampling.py)."""
+    return SA.pack_sequences(corpus_df(spark, sf), budget=2048)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "stratified_sample": q_stratified_sample,
     "domain_weights": q_domain_weights,
+    "pack_sequences": q_pack_sequences,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -354,6 +361,26 @@ t AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS total FROM s)
 SELECT source, n_docs, n_tokens,
        CAST((1000 * isqrt) // total AS BIGINT) AS weight_permille
 FROM s, t ORDER BY source
+"""
+    ),
+    "pack_sequences": _corpus_oracle(
+        """
+, m AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM corpus
+),
+o AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM m
+)
+SELECT source, doc_id, n_tokens, start_offset,
+       CAST(FLOOR(start_offset / 2048) AS BIGINT) AS shard_id
+FROM o ORDER BY source, doc_id
 """
     ),
     "dedup_exact": _corpus_oracle(

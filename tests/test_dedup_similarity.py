@@ -370,3 +370,19 @@ def test_domain_mixture_weights_flatten_powerlaw(spark):
     wsmall = int(w.loc[w.n_tokens.idxmin(), "weight_permille"])
     if small > 0 and wsmall > 0:
         assert wbig / wsmall <= big / small
+
+
+def test_pack_sequences_offsets_and_shards(spark):
+    """Concat-and-chunk invariants: offsets telescope (each doc starts
+    where the previous one ended, per group), shard_id is the window the
+    first token lands in, and shard_ids are non-decreasing in doc order."""
+    from cc_crawl_statistics_spark.operators.sampling import pack_sequences
+
+    p = pack_sequences(corpus_df(spark, SF_SMOKE), budget=64).toPandas()
+    for _, g in p.groupby("source"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        assert g.start_offset.iloc[0] == 0
+        expected = (g.n_tokens.cumsum() - g.n_tokens).astype("int64")
+        assert (g.start_offset == expected).all()
+        assert (g.shard_id == g.start_offset // 64).all()
+        assert g.shard_id.is_monotonic_increasing
