@@ -115,10 +115,18 @@ def domain_mixture_weights(
     weight in integer permille.
 
     isqrt = floor(sqrt(tokens)) is exact for tokens < 2⁵² (IEEE sqrt of an
-    exactly-representable integer; perfect squares are exact); the permille
-    share uses BIGINT division only, so Spark and DuckDB agree bit-for-bit.
-    One shuffle (the groupBy); the normalizer joins back as a broadcast
-    single row.
+    exactly-representable integer; perfect squares are exact); shares use
+    BIGINT division only, so Spark and DuckDB agree bit-for-bit.
+
+    Weights sum to exactly 1000 by largest-remainder (Hamilton)
+    apportionment: each group gets floor((1000·isqrt)/total) and the
+    deficit units go to the largest division remainders (ties broken by
+    group name). The deficit is < 1000 by construction, so only a
+    bounded top-1000-by-remainder set — obtained with the same salted
+    two-phase top-K as the frontier queue, never a global sort of all
+    groups — is ever ranked in one window task; with 10⁸ domains the plan
+    is one groupBy shuffle, two broadcast scalars and a constant-size
+    rank.
     """
     per_group = docs.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -126,19 +134,47 @@ def domain_mixture_weights(
         .cast("long")
         .alias("n_tokens"),
     )
-    scaled = per_group.withColumn(
-        "isqrt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    total = (
+        per_group.select(
+            F.floor(F.sqrt(F.col("n_tokens"))).cast("long").alias("i")
+        )
+        .agg(F.sum("i").cast("long").alias("_total"))
     )
-    total = scaled.agg(F.sum("isqrt").cast("long").alias("_total"))
+    base = (
+        per_group.crossJoin(broadcast(total))
+        .withColumn("_isqrt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
+        .withColumn("_base", F.expr("CAST((1000 * _isqrt) DIV _total AS BIGINT)"))
+        .withColumn("_rem", F.expr("CAST((1000 * _isqrt) % _total AS BIGINT)"))
+    )
+    deficit = base.agg(
+        (F.lit(1000) - F.sum("_base")).cast("long").alias("_deficit")
+    )
+    # bounded candidate set: the deficit is < 1000, so units can only land
+    # in the top-1000 remainders; phase 1 keeps 1000 per salt bucket
+    w1 = Window.partitionBy("_salt").orderBy(
+        F.col("_rem").desc(), F.col(group_col)
+    )
+    w2 = Window.orderBy(F.col("_rem").desc(), F.col(group_col))
+    topups = (
+        base.withColumn(
+            "_salt", F.pmod(F.xxhash64(group_col), F.lit(8))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= 1000)
+        .withColumn("_rank", F.row_number().over(w2))
+        .crossJoin(broadcast(deficit))
+        .where(F.col("_rank") <= F.col("_deficit"))
+        .select(group_col, F.lit(1).cast("long").alias("_topup"))
+    )
     return (
-        scaled.crossJoin(broadcast(total))
+        base.join(broadcast(topups), group_col, "left")
         .select(
             group_col,
             "n_docs",
             "n_tokens",
-            F.expr("CAST((1000 * isqrt) DIV _total AS BIGINT)").alias(
-                "weight_permille"
-            ),
+            (F.col("_base") + F.coalesce(F.col("_topup"), F.lit(0)))
+            .cast("long")
+            .alias("weight_permille"),
         )
         .orderBy(group_col)
     )

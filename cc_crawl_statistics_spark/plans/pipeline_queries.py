@@ -357,10 +357,24 @@ FROM r WHERE sample_rank <= 20 ORDER BY source, sample_rank
   FROM corpus GROUP BY source
 ),
 s AS (SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS isqrt FROM g),
-t AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS total FROM s)
-SELECT source, n_docs, n_tokens,
-       CAST((1000 * isqrt) // total AS BIGINT) AS weight_permille
-FROM s, t ORDER BY source
+t AS (SELECT CAST(SUM(isqrt) AS BIGINT) AS total FROM s),
+b AS (
+  SELECT source, n_docs, n_tokens,
+         CAST((1000 * isqrt) // total AS BIGINT) AS base,
+         CAST((1000 * isqrt) % total AS BIGINT) AS rem
+  FROM s, t
+),
+d AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS deficit FROM b),
+r AS (
+  SELECT source,
+         row_number() OVER (ORDER BY rem DESC, source) AS rk
+  FROM b
+)
+SELECT b.source, b.n_docs, b.n_tokens,
+       CAST(b.base + CASE WHEN r.rk <= d.deficit THEN 1 ELSE 0 END
+            AS BIGINT) AS weight_permille
+FROM b JOIN r ON b.source = r.source, d
+ORDER BY b.source
 """
     ),
     "pack_sequences": _corpus_oracle(

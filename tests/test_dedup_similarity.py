@@ -354,16 +354,16 @@ def test_stratified_sample_semantics(spark):
 
 
 def test_domain_mixture_weights_flatten_powerlaw(spark):
-    """sqrt-temperature weights: permille shares sum to <= 1000 (floor
-    division), every group with tokens gets a weight, and the weight
-    ratio between the largest and smallest group is compressed vs the
-    raw token ratio (that is what the temperature is for)."""
+    """sqrt-temperature weights: Hamilton apportionment makes the permille
+    shares sum to exactly 1000, every group with tokens gets a weight, and
+    the weight ratio between the largest and smallest group is compressed
+    vs the raw token ratio (that is what the temperature is for)."""
     from cc_crawl_statistics_spark.operators.sampling import (
         domain_mixture_weights,
     )
 
     w = domain_mixture_weights(corpus_df(spark, SF_SMOKE)).toPandas()
-    assert w.weight_permille.sum() <= 1000
+    assert w.weight_permille.sum() == 1000
     assert (w.n_tokens > 0).all() and (w.weight_permille >= 0).all()
     big, small = w.n_tokens.max(), w.n_tokens.min()
     wbig = int(w.loc[w.n_tokens.idxmax(), "weight_permille"])
