@@ -496,3 +496,51 @@ def dedup_keep_canonical(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     comp = connected_components(pairs)
     drop = comp.filter(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(drop, "doc_id", "left_anti")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct n-word shingles it shares with the eval set, plus a
+    contaminated flag (any hit).
+
+    Scale shape: eval sets are tiny next to the corpus (MBs vs TBs), so
+    the distinct eval shingles are BROADCAST and the corpus side is a
+    scan + explode + broadcast-hash semi-join — the corpus never shuffles
+    on shingles. Only the (rare) hits shuffle, keyed by doc_id, for the
+    per-document count. Reuses the staged shingle derivation of
+    with_word_shingles (O(n) per document, not O(n²)).
+    """
+    from pyspark.sql.functions import broadcast
+
+    eval_sh = (
+        with_word_shingles(eval_set, text_col, n=n, out="_sh")
+        .select(F.explode("_sh").alias("_s"))
+        .distinct()
+    )
+    corpus_sh = with_word_shingles(corpus, text_col, n=n, out="_sh").select(
+        "doc_id", F.explode("_sh").alias("_s")
+    )
+    hits = (
+        corpus_sh.join(broadcast(eval_sh), "_s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0))
+            .cast("long")
+            .alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

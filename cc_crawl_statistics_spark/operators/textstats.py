@@ -224,3 +224,28 @@ def curate_corpus(
         )
         .orderBy("doc_id")
     )
+
+
+# deliberately simple, fully portable regexes (no lookaround — DuckDB RE2
+# lacks it): enough to demonstrate the codegen scrub-counting shape
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+URL_RE = r"https?://[^\s]+"
+LONG_DIGITS_RE = r"[0-9]{7,}"
+
+
+def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document counts of scrub-target spans (emails, URLs, long digit
+    runs) and a needs_scrub flag — the inventory pass a redaction pipeline
+    runs before rewriting text. Pure regexp_count: whole-stage codegen,
+    one scan, no shuffle."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(EMAIL_RE)).cast("long")
+    n_url = F.regexp_count(t, F.lit(URL_RE)).cast("long")
+    n_digits = F.regexp_count(t, F.lit(LONG_DIGITS_RE)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        n_url.alias("n_urls"),
+        n_digits.alias("n_long_digit_runs"),
+        ((n_email + n_url + n_digits) > 0).cast("int").alias("needs_scrub"),
+    ).orderBy("doc_id")

@@ -238,11 +238,41 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return SA.pack_sequences(corpus_df(spark, sf), budget=2048)
 
 
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (dedup.py:decontaminate): corpus docs
+    sharing any 8-word shingle with a deterministic eval slice
+    (base documents with doc_id % 31 = 0) are flagged."""
+    corpus = corpus_df(spark, sf)
+    eval_set = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0"
+    )
+    return D.decontaminate(corpus, eval_set, n=8)
+
+
+_PII_SUFFIX = " contact bob@example.com via https://example.com/x id 12345678"
+
+
+def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Scrub-target inventory (textstats.py:pii_counts) over the corpus
+    with deterministic planted PII on doc_id % 23 = 0 (the synthetic text
+    contains none)."""
+    corpus = corpus_df(spark, sf).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(F.col("text"), F.lit(_PII_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return TX.pii_counts(corpus)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_corpus": q_curate_corpus,
     "stratified_sample": q_stratified_sample,
     "domain_weights": q_domain_weights,
     "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "pii_counts": q_pii_counts,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -375,6 +405,70 @@ SELECT b.source, b.n_docs, b.n_tokens,
             AS BIGINT) AS weight_permille
 FROM b JOIN r ON b.source = r.source, d
 ORDER BY b.source
+"""
+    ),
+    "decontaminate": _corpus_oracle(
+        """
+, cw AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM corpus
+),
+csh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(greatest(len(w) - 7, 0)),
+                          i -> array_to_string(w[i+1:i+8], ' '))
+         ) AS s
+  FROM cw
+),
+cex AS (SELECT doc_id, unnest(s) AS s FROM csh),
+ew AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS w
+  FROM documents WHERE doc_id % 31 = 0
+),
+esh AS (
+  SELECT DISTINCT unnest(
+           list_distinct(
+             list_transform(range(greatest(len(w) - 7, 0)),
+                            i -> array_to_string(w[i+1:i+8], ' '))
+           )
+         ) AS s
+  FROM ew
+),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM cex JOIN esh USING (s) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(h.n_shared, 0) > 0 AS INT) AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+ORDER BY c.doc_id
+"""
+    ),
+    "pii_counts": _corpus_oracle(
+        """
+, aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 0 THEN text ||
+           ' contact bob@example.com via https://example.com/x id 12345678'
+         ELSE text END AS text
+  FROM corpus
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT)
+      AS n_emails,
+    CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS BIGINT)
+      AS n_urls,
+    CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT)
+      AS n_long_digit_runs
+  FROM aug
+)
+SELECT doc_id, n_emails, n_urls, n_long_digit_runs,
+       CAST((n_emails + n_urls + n_long_digit_runs) > 0 AS INT)
+         AS needs_scrub
+FROM m ORDER BY doc_id
 """
     ),
     "pack_sequences": _corpus_oracle(

@@ -386,3 +386,53 @@ def test_pack_sequences_offsets_and_shards(spark):
         assert (g.start_offset == expected).all()
         assert (g.shard_id == g.start_offset // 64).all()
         assert g.shard_id.is_monotonic_increasing
+
+
+def test_decontaminate_flags_eval_docs_and_copies(spark):
+    """Every eval-slice doc present in the corpus is contaminated by its
+    own shingles; the planted +1000000 exact copy of an eval doc is too;
+    a doc sharing no 8-gram with the eval slice stays clean."""
+    from cc_crawl_statistics_spark.operators.dedup import decontaminate
+
+    corpus = corpus_df(spark, SF_SMOKE)
+    eval_set = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0"
+    )
+    out = decontaminate(corpus, eval_set, n=8).toPandas().set_index("doc_id")
+    eval_ids = [r.doc_id for r in eval_set.collect()]
+    assert (out.loc[eval_ids].contaminated == 1).all()
+    copies = [i + 1000000 for i in eval_ids if i % 17 == 0]
+    if copies:
+        assert (out.loc[copies].contaminated == 1).all()
+    assert (out.n_shared >= 0).all()
+    assert ((out.n_shared > 0) == (out.contaminated == 1)).all()
+
+
+def test_pii_counts_planted_targets(spark):
+    """Planted suffix yields exactly one email, one URL, one long digit
+    run; unplanted synthetic docs contain none."""
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.textstats import pii_counts
+
+    corpus = corpus_df(spark, SF_SMOKE).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " contact bob@example.com via https://example.com/x"
+                    " id 12345678"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = pii_counts(corpus).toPandas()
+    planted = out[out.doc_id % 23 == 0]
+    clean = out[out.doc_id % 23 != 0]
+    assert (planted.n_emails == 1).all()
+    assert (planted.n_urls == 1).all()
+    assert (planted.n_long_digit_runs == 1).all()
+    assert (planted.needs_scrub == 1).all()
+    assert (clean.needs_scrub == 0).all()
