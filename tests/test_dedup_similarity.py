@@ -436,3 +436,24 @@ def test_pii_counts_planted_targets(spark):
     assert (planted.n_long_digit_runs == 1).all()
     assert (planted.needs_scrub == 1).all()
     assert (clean.needs_scrub == 0).all()
+
+
+def test_decontaminate_plan_broadcasts_eval_shingles(spark):
+    """The eval-shingle join must be a broadcast hash join (the corpus
+    never shuffles on shingles) and the plan must contain no sort-merge
+    or cartesian join."""
+    from cc_crawl_statistics_spark.operators.dedup import decontaminate
+
+    corpus = corpus_df(spark, SF_SMOKE)
+    eval_set = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0"
+    )
+    plan = (
+        decontaminate(corpus, eval_set, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
