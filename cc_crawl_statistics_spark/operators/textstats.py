@@ -249,3 +249,65 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
         n_digits.alias("n_long_digit_runs"),
         ((n_email + n_url + n_digits) > 0).cast("int").alias("needs_scrub"),
     ).orderBy("doc_id")
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters, integer permille: the share of the
+    document's word bigrams taken by its single most frequent bigram, and
+    the share of word occurrences that are repeats of an earlier word.
+
+    The duplicate-word share is pure higher-order-function arithmetic (no
+    shuffle); the top-bigram share explodes bigrams and aggregates per
+    (doc_id, bigram) then per doc_id — the same bounded two-level shape as
+    the shingle operators, partial-aggregated map-side. The words array is
+    staged behind its own projection (HOF lambdas re-evaluate non-lambda
+    subexpressions per element — see fingerprint)."""
+    words = F.col("_rep_words")
+    k = F.size(words) - 1
+    positions = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    staged = docs.withColumn(
+        "_rep_words", F.split(F.lower(F.col(text_col)), "\\s+")
+    ).select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.transform(
+            positions,
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+            ),
+        ).alias("_bigrams"),
+    )
+    per_bigram = staged.select(
+        "doc_id", F.explode_outer("_bigrams").alias("_g")
+    ).groupBy("doc_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_bigram.groupBy("doc_id").agg(
+        F.max(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_top"),
+        F.sum(F.when(F.col("_g").isNotNull(), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("_n_bigrams"),
+    )
+    return (
+        staged.select("doc_id", "n_words", "n_distinct")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                1000 * F.col("_top") / F.greatest(F.col("_n_bigrams"), F.lit(1))
+            )
+            .cast("long")
+            .alias("top_bigram_permille"),
+            F.floor(
+                1000
+                * (F.col("n_words") - F.col("n_distinct"))
+                / F.greatest(F.col("n_words"), F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_word_permille"),
+        )
+        .orderBy("doc_id")
+    )

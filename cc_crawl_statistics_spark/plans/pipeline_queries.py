@@ -249,6 +249,11 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return D.decontaminate(corpus, eval_set, n=8)
 
 
+def q_repetition_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (textstats.py:repetition_scores)."""
+    return TX.repetition_scores(corpus_df(spark, sf))
+
+
 _PII_SUFFIX = " contact bob@example.com via https://example.com/x id 12345678"
 
 
@@ -273,6 +278,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "pii_counts": q_pii_counts,
+    "repetition_scores": q_repetition_scores,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
@@ -469,6 +475,32 @@ SELECT doc_id, n_emails, n_urls, n_long_digit_runs,
        CAST((n_emails + n_urls + n_long_digit_runs) > 0 AS INT)
          AS needs_scrub
 FROM m ORDER BY doc_id
+"""
+    ),
+    "repetition_scores": _corpus_oracle(
+        """
+, w AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM corpus
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(greatest(len(w) - 1, 0)),
+                               i -> w[i+1] || ' ' || w[i+2])) AS g
+  FROM w
+),
+cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+agg AS (SELECT doc_id, MAX(c) AS top, SUM(c) AS nb FROM cnt GROUP BY doc_id),
+base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+  FROM w
+)
+SELECT b.doc_id,
+  CAST(FLOOR(1000 * COALESCE(a.top, 0) / greatest(COALESCE(a.nb, 0), 1))
+       AS BIGINT) AS top_bigram_permille,
+  CAST(FLOOR(1000 * (b.n_words - b.n_distinct) / greatest(b.n_words, 1))
+       AS BIGINT) AS dup_word_permille
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+ORDER BY b.doc_id
 """
     ),
     "pack_sequences": _corpus_oracle(

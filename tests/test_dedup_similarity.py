@@ -457,3 +457,33 @@ def test_decontaminate_plan_broadcasts_eval_shingles(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_scores_semantics(spark):
+    """Hand-checkable docs: an all-same-word doc maxes both scores; an
+    all-distinct-words doc has dup share 0 and top-bigram share 1/(n-1);
+    a single-word doc (no bigrams) scores 0/0."""
+    from cc_crawl_statistics_spark.operators.textstats import (
+        repetition_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "alpha beta gamma delta"),
+            (3, "word"),
+        ],
+        "doc_id long, text string",
+    )
+    out = (
+        repetition_scores(docs).toPandas().set_index("doc_id").sort_index()
+    )
+    # doc 1: 3 bigrams, all "spam spam" -> 1000; 3 of 4 words repeats -> 750
+    assert out.loc[1].top_bigram_permille == 1000
+    assert out.loc[1].dup_word_permille == 750
+    # doc 2: 3 distinct bigrams, top share 1/3 -> 333; no repeats
+    assert out.loc[2].top_bigram_permille == 333
+    assert out.loc[2].dup_word_permille == 0
+    # doc 3: no bigrams
+    assert out.loc[3].top_bigram_permille == 0
+    assert out.loc[3].dup_word_permille == 0
