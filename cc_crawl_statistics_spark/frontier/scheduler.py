@@ -478,16 +478,25 @@ def run_round(
     )
 
     def metrics_from_snapshot(read) -> dict:
-        n_new = read("url_seen_delta").count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        # parquet-metadata counts over the written snapshot — independent
+        # jobs, submitted concurrently so their per-job fixed latency
+        # overlaps (same rationale as the concurrent commit writes)
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            n_new, n_sched, n_blocked, n_pending = pool.map(
+                lambda t: read(t).count(),
+                ["url_seen_delta", "schedule", "blocked", "frontier"],
+            )
         m = {
             "round": rnd,
-            "n_scheduled": read("schedule").count(),
-            "n_blocked": read("blocked").count(),
+            "n_scheduled": n_sched,
+            "n_blocked": n_blocked,
             "n_discovered_new": n_new,
             # every surviving frontier row is pending by construction
             # (scheduled/blocked rows are removed, not flagged), so this is
             # a parquet-metadata count, not a data scan
-            "n_frontier_pending": read("frontier").count(),
+            "n_frontier_pending": n_pending,
             # incremental: deltas are append-only, so the running total never
             # needs a full rescan of the 10^10-key seen set
             "n_seen": prev_seen + n_new,
