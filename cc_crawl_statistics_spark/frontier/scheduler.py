@@ -348,7 +348,7 @@ def run_round(
             timings[label] = round(_time.time() - t0, 3)
         return out
 
-    frontier = store.read(spark, latest, "frontier")
+    frontier = store.read_frontier(spark, latest)
     seen = store.read_seen(spark, latest)
     # the ledger is corpus-derived dimension state: like the universe it is
     # written once at seed time and read from round 0 (a real deployment
@@ -366,7 +366,17 @@ def run_round(
         universe = url_universe(pages).localCheckpoint(eager=True)
     m0 = store.manifest(0)["metrics"]
     n_docs = m0.get("n_docs") or universe.count()
-    prev_seen = store.manifest(latest)["metrics"].get("n_seen") or seen.count()
+    mprev = store.manifest(latest)["metrics"]
+    prev_seen = mprev.get("n_seen") or seen.count()
+    # pending count carries forward incrementally (retired rows and the
+    # appended delta are all exactly counted), like n_seen — the frontier
+    # is never rescanned for a metric; legacy manifests fall back to a
+    # one-time count
+    prev_pending = (
+        mprev.get("n_frontier_pending")
+        or mprev.get("n_seeded")
+        or frontier.count()
+    )
 
     pending = frontier.filter(F.col("state") == "pending")
     gated = pending.join(F.broadcast(ledger), "host")
@@ -446,28 +456,15 @@ def run_round(
             "new_urls_ckpt", lambda: nu.localCheckpoint(eager=True)
         )
 
-    # Retire scheduled + blocked rows without shuffling the corpus-scale
-    # frontier: the schedule is budget-bounded (hosts × max budget) so its
-    # url anti-join broadcasts; blocked rows are by construction exactly the
-    # pending rows on robots-403 hosts, so they retire via a host-level
-    # anti-join against the (ledger-sized, broadcast-by-design) blocked-host
-    # list — never a url-level join against an unbounded relation. The
-    # frontier's only shuffle in a round is the final repartitionByRange
-    # write clustering.
-    blocked_hosts = ledger.filter(F.col("robots_status") == 403).select("host")
-    # Persisted before the repartitionByRange write: the range partitioner
-    # runs a sampling pass over its input, which would otherwise RE-EXECUTE
-    # the whole anti-join lineage (including rebuilding the broadcasts) a
-    # second time per round — measured as a large share of the round's
-    # fixed cost. (An Iceberg deployment gets the same effect from
-    # write-ordered tables: one pass, sort order in table metadata.)
-    new_frontier = (
-        frontier.join(F.broadcast(sched.select("url")), "url", "left_anti")
-        .join(F.broadcast(blocked_hosts), "host", "left_anti")
-        .select(*FRONTIER_COLS)
-        .unionByName(new_urls.select(*FRONTIER_COLS))
-        .persist()
-    )
+    # Retirement is LOGICAL, not a rewrite: the corpus-scale frontier is
+    # never rebuilt or reshuffled in a round. The round appends one
+    # bounded discovery delta (frontier_delta below); scheduled rows
+    # retire via the already-written schedule table and blocked rows via
+    # the blocked table (by construction exactly the pending rows on
+    # robots-403 hosts) — read_frontier anti-joins those budget-bounded,
+    # broadcastable retire lists at read time, and compact_frontier
+    # periodically rewrites one materialized base to bound the chain (the
+    # Iceberg merge-on-read delete + rewrite_data_files pattern).
 
     # round statistics over the fetched slice (reference counting
     # semantics). The schedule rows already carry the page attributes from
@@ -483,20 +480,20 @@ def run_round(
         # parquet-metadata counts over the written snapshot — independent
         # jobs, submitted concurrently so their per-job fixed latency
         # overlaps (same rationale as the concurrent commit writes)
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            n_new, n_sched, n_blocked, n_pending = pool.map(
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            n_new, n_sched, n_blocked = pool.map(
                 lambda t: read(t).count(),
-                ["url_seen_delta", "schedule", "blocked", "frontier"],
+                ["url_seen_delta", "schedule", "blocked"],
             )
         m = {
             "round": rnd,
             "n_scheduled": n_sched,
             "n_blocked": n_blocked,
             "n_discovered_new": n_new,
-            # every surviving frontier row is pending by construction
-            # (scheduled/blocked rows are removed, not flagged), so this is
-            # a parquet-metadata count, not a data scan
-            "n_frontier_pending": n_pending,
+            # incremental, exactly like n_seen: retired rows (scheduled +
+            # blocked) and the appended discovery delta are each exactly
+            # counted, so the pending total never rescans the frontier
+            "n_frontier_pending": prev_pending - n_sched - n_blocked + n_new,
             # incremental: deltas are append-only, so the running total never
             # needs a full rescan of the 10^10-key seen set
             "n_seen": prev_seen + n_new,
@@ -510,7 +507,9 @@ def run_round(
         return m
 
     tables = {
-        "frontier": new_frontier.repartitionByRange(
+        # hash-partitioned on surt_key (no range-sampling pass over a
+        # small delta); compaction restores range clustering for the base
+        "frontier_delta": new_urls.select(*FRONTIER_COLS).repartition(
             n_partitions, "surt_key"
         ),
         # hash-partitioned, not range: seen keys are uniform 64-bit hashes,
@@ -527,12 +526,10 @@ def run_round(
     }
     if docs is not None:
         tables["fetched"] = fetch_extract(sched, docs)
-    try:
-        out = _timed(
-            "commit", lambda: store.commit(rnd, tables, metrics_from_snapshot)
-        )
-    finally:
-        new_frontier.unpersist()
+    out = _timed(
+        "commit", lambda: store.commit(rnd, tables, metrics_from_snapshot)
+    )
     if compact_every and rnd % compact_every == 0:
         store.compact_seen(spark, rnd, n_partitions)
+        store.compact_frontier(spark, rnd, n_partitions)
     return out

@@ -107,6 +107,71 @@ class SnapshotStore:
             return spark.createDataFrame([], "seen_key bigint")
         return spark.read.parquet(*paths)
 
+    def frontier_base_round(self, upto_rnd: int) -> int | None:
+        """Highest round ≤ upto_rnd holding a materialized full frontier
+        (the seed round, a compaction rewrite, or any round committed by
+        the pre-delta engine format)."""
+        for r in range(upto_rnd, -1, -1):
+            if os.path.exists(os.path.join(self._round_dir(r), "frontier")):
+                return r
+        return None
+
+    def read_frontier(self, spark: SparkSession, upto_rnd: int) -> DataFrame:
+        """The pending frontier as of a round — same append-only +
+        periodic-rewrite pattern as read_seen, because at 10¹⁰ URLs the
+        frontier must not be rewritten per round any more than the seen
+        set: latest materialized base, plus the per-round discovery deltas
+        after it, minus the per-round retire lists. The retire lists are
+        the ALREADY-PERSISTED schedule and blocked tables (scheduled rows
+        retire by url; blocked rows are by construction exactly the
+        pending rows on robots-403 hosts that round), budget-bounded per
+        round (hosts × budget, plus newly-discovered blocked-host rows),
+        so the anti-join side broadcasts. Compaction bounds the chain
+        length. Bit-identical to the full-rewrite layout
+        (test_frontier.py::test_three_rounds_bit_for_bit)."""
+        from pyspark.sql import functions as F
+
+        base = self.frontier_base_round(upto_rnd)
+        if base is None:
+            raise FileNotFoundError(f"no frontier base ≤ round {upto_rnd}")
+        cur = self.read(spark, base, "frontier")
+        deltas = [
+            os.path.join(self._round_dir(r), "frontier_delta")
+            for r in range(base + 1, upto_rnd + 1)
+        ]
+        deltas = [p for p in deltas if os.path.exists(p)]
+        if deltas:
+            cur = cur.unionByName(spark.read.parquet(*deltas))
+        retired = []
+        for r in range(base + 1, upto_rnd + 1):
+            for t in ("schedule", "blocked"):
+                p = os.path.join(self._round_dir(r), t)
+                if os.path.exists(p):
+                    retired.append(spark.read.parquet(p).select("url"))
+        if retired:
+            ret = retired[0]
+            for x in retired[1:]:
+                ret = ret.unionByName(x)
+            cur = cur.join(F.broadcast(ret), "url", "left_anti")
+        return cur
+
+    def compact_frontier(
+        self, spark: SparkSession, upto_rnd: int, n_partitions: int = 4
+    ) -> None:
+        """Materialize the reconstructed frontier as the new base under
+        ``upto_rnd`` (tmp + rename — idempotent post-commit maintenance; a
+        crash loses nothing, read_frontier keeps using the older
+        base+deltas). repartitionByRange restores the contiguous-SURT
+        clustering the hash-partitioned deltas don't maintain."""
+        out = os.path.join(self._round_dir(upto_rnd), "frontier")
+        if os.path.exists(out):
+            return
+        tmp = out + ".tmp"
+        self.read_frontier(spark, upto_rnd).repartitionByRange(
+            n_partitions, "surt_key"
+        ).write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, out)
+
     def compact_seen(
         self,
         spark: SparkSession,
