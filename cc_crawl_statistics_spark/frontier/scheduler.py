@@ -380,8 +380,30 @@ def run_round(
 
     pending = frontier.filter(F.col("state") == "pending")
     gated = pending.join(F.broadcast(ledger), "host")
-    blocked = gated.filter(F.col("robots_status") == 403)
     eligible = gated.filter(F.col("robots_status") != 403)
+
+    # Blocked rows (pending ∩ robots-403 hosts) WITHOUT re-executing the
+    # frontier reconstruction a second time for the blocked-table write:
+    # any 403-host row appended before the previous round was already
+    # retired by that round, so the only 403-host pending rows are the
+    # ones appended since the last retirement — the latest round's
+    # discovery delta, or the materialized base itself when the base IS
+    # the latest round (the seed, a fresh compaction — whose reconstructed
+    # pending already contains that round's delta — or every round of a
+    # legacy full-rewrite store, where the rewrite kept exactly the
+    # last round's new urls on blocked hosts). Bit-identical to filtering
+    # the reconstruction (model test + compaction-identity test, which
+    # exercises the base==latest branch every round).
+    blocked_hosts = ledger.filter(F.col("robots_status") == 403).select(
+        "host"
+    )
+    if store.frontier_base_round(latest) == latest:
+        last_appended = store.read(spark, latest, "frontier")
+    else:
+        last_appended = store.read(spark, latest, "frontier_delta")
+    blocked = last_appended.filter(F.col("state") == "pending").join(
+        F.broadcast(blocked_hosts), "host", "semi"
+    )
 
     # the ranked schedule is budget-bounded (hosts × max budget) — broadcast
     # it so the corpus-sized universe is scanned map-side, never shuffled;
