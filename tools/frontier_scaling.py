@@ -54,6 +54,8 @@ def worker() -> None:
             "spark.sql.files.maxPartitionBytes": "16m",
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
             "spark.local.dir": os.environ.get("SPARK_LOCAL_DIR", "/tmp"),
+            "spark.network.timeout": "600s",
+            "spark.rpc.askTimeout": "600s",
         },
     )
     pages = spark.read.parquet(pages_dir)
@@ -95,7 +97,13 @@ def main() -> None:
             app_name="fscale-setup",
             cores=32,
             shuffle_partitions=64,
-            extra_conf={"spark.ui.showConsoleProgress": "false"},
+            extra_conf={
+                "spark.ui.showConsoleProgress": "false",
+                # large-factor bootstraps can hit multi-minute full-GC
+                # pauses; don't let an RPC ask timeout kill the run
+                "spark.network.timeout": "600s",
+                "spark.rpc.askTimeout": "600s",
+            },
         )
         pages_dir = os.path.join(tmp, "pages")
         materialize_scaled_pages(spark, SF_DIR, factor, pages_dir, 32)
