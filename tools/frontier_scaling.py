@@ -103,6 +103,9 @@ def main() -> None:
                 # pauses; don't let an RPC ask timeout kill the run
                 "spark.network.timeout": "600s",
                 "spark.rpc.askTimeout": "600s",
+                # factor-64000 seed shuffles spill >80G — spread scratch
+                # across disk AND tmpfs so neither fills alone
+                "spark.local.dir": "/tmp/fscale-scratch,/dev/shm/fscale-scratch",
             },
         )
         pages_dir = os.path.join(tmp, "pages")
@@ -177,6 +180,8 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree("/dev/shm/spark-fscale", ignore_errors=True)
+        shutil.rmtree("/dev/shm/fscale-scratch", ignore_errors=True)
+        shutil.rmtree("/tmp/fscale-scratch", ignore_errors=True)
 
 
 if __name__ == "__main__":
