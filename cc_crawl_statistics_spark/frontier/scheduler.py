@@ -274,6 +274,24 @@ def fetch_extract(sched: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+# One broadcast of the (immutable, written-once) Bloom bit array per
+# compaction epoch per driver process — not one per round: at 10^10 seen
+# keys rebuilding the broadcast every round re-serializes gigabytes of bit
+# array through the driver as pure serial cost. Keyed by file path; a new
+# compaction writes a new path, which evicts the old entry.
+_BLOOM_UDF_CACHE: dict = {}
+
+
+def _cached_bloom_udf(spark, path: str):
+    key = (spark.sparkContext.applicationId, path)
+    if key not in _BLOOM_UDF_CACHE:
+        from .bloom import load_bloom, might_contain_udf
+
+        _BLOOM_UDF_CACHE.clear()
+        _BLOOM_UDF_CACHE[key] = might_contain_udf(spark, load_bloom(path))
+    return _BLOOM_UDF_CACHE[key]
+
+
 def run_round(
     spark: SparkSession,
     store: SnapshotStore,
@@ -444,9 +462,9 @@ def run_round(
         store.bloom_path(latest) if prev_seen >= bloom_min_seen else None
     )
     if bloom_file is not None:
-        from .bloom import load_bloom, might_contain_udf
-
-        might = might_contain_udf(spark, load_bloom(bloom_file))
+        might = _timed(
+            "bloom_load", lambda: _cached_bloom_udf(spark, bloom_file)
+        )
         base_rnd = store.seen_base_round(latest)
         recent = store.read_seen_deltas(spark, base_rnd + 1, latest)
         cand = discovered.withColumn(
@@ -462,20 +480,12 @@ def run_round(
             seen_key(cand.url) == seen.seen_key,
             "left_anti",
         )
-        new_urls = _timed(
-            "new_urls_ckpt",
-            lambda: clean.unionByName(maybe)
-            .drop("_maybe")
-            .localCheckpoint(eager=True),
-        )
+        new_urls = clean.unionByName(maybe).drop("_maybe")
     else:
-        nu = discovered.join(
+        new_urls = discovered.join(
             seen,
             seen_key(discovered.url) == seen.seen_key,
             "left_anti",
-        )
-        new_urls = _timed(
-            "new_urls_ckpt", lambda: nu.localCheckpoint(eager=True)
         )
 
     # Retirement is LOGICAL, not a rewrite: the corpus-scale frontier is
@@ -530,16 +540,22 @@ def run_round(
 
     tables = {
         # hash-partitioned on surt_key (no range-sampling pass over a
-        # small delta); compaction restores range clustering for the base
+        # small delta); compaction restores range clustering for the base.
+        # This write IS the materialization of the expand + seen-anti-join
+        # lineage (no eager checkpoint upstream), so the round's heaviest
+        # remaining job overlaps the schedule/blocked/stats writes inside
+        # the concurrent commit instead of serializing before it.
         "frontier_delta": new_urls.select(*FRONTIER_COLS).repartition(
             n_partitions, "surt_key"
         ),
         # hash-partitioned, not range: seen keys are uniform 64-bit hashes,
         # so hash partitioning gives the same clustering/pruning as range
-        # WITHOUT the range partitioner's sampling pass
-        "url_seen_delta": new_urls.select(
-            seen_key(F.col("url")).alias("seen_key")
-        ).repartition(n_partitions, "seen_key"),
+        # WITHOUT the range partitioner's sampling pass. Derived (callable)
+        # table: projects the just-written bounded frontier_delta parquet,
+        # so the discovery lineage executes exactly once.
+        "url_seen_delta": lambda read: read("frontier_delta")
+        .select(seen_key(F.col("url")).alias("seen_key"))
+        .repartition(n_partitions, "seen_key"),
         "schedule": sched.select(
             "round", "url", "host", "depth", "score", "rank"
         ),
@@ -551,6 +567,9 @@ def run_round(
     out = _timed(
         "commit", lambda: store.commit(rnd, tables, metrics_from_snapshot)
     )
+    if timings is not None:
+        for k, v in getattr(store, "last_commit_timings", {}).items():
+            timings[f"c_{k}"] = v
     if compact_every and rnd % compact_every == 0:
         store.compact_seen(spark, rnd, n_partitions)
         store.compact_frontier(spark, rnd, n_partitions)

@@ -214,12 +214,22 @@ class SnapshotStore:
         with open(os.path.join(self._round_dir(rnd), MANIFEST)) as f:
             return json.load(f)
 
-    def commit(self, rnd: int, tables: dict[str, DataFrame], metrics) -> dict:
+    def commit(self, rnd: int, tables: dict, metrics) -> dict:
         """Write all tables, then the manifest last (atomic rename) — the
         snapshot-commit point. ``metrics`` may be a dict or a callable
         ``(read: table_name -> DataFrame) -> dict`` evaluated *after* the
         data is on disk, so metric counts scan written parquet instead of
-        re-executing the round's whole lineage."""
+        re-executing the round's whole lineage.
+
+        A table value may be a DataFrame or a CALLABLE ``read -> DataFrame``
+        evaluated after every DataFrame-valued table is on disk (``read``
+        resolves already-written tables of this round). Callables express
+        derived tables (e.g. the seen-key projection of the discovery
+        delta): the heavy lineage executes exactly once, inside the write
+        of the DataFrame-valued table it derives from, and the derived
+        write re-reads that bounded parquet instead of forcing an eager
+        checkpoint upstream — so the expensive write overlaps the other
+        concurrent writes instead of serializing before them."""
         rdir = self._round_dir(rnd)
         if os.path.exists(rdir):  # crashed, uncommitted attempt: redo
             if os.path.exists(os.path.join(rdir, MANIFEST)):
@@ -253,8 +263,24 @@ class SnapshotStore:
         workers = int(
             os.environ.get("SPARK_GRAFT_COMMIT_WORKERS", "0")
         ) or max(len(tables), 1)
+        eager = {n: df for n, df in tables.items() if not callable(df)}
+        derived = {n: fn for n, fn in tables.items() if callable(fn)}
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            list(pool.map(_write, tables.items()))
+            list(pool.map(_write, eager.items()))
+            if derived:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+
+                def _read(name):
+                    return spark.read.parquet(os.path.join(rdir, name))
+
+                list(
+                    pool.map(
+                        _write,
+                        [(n, fn(_read)) for n, fn in derived.items()],
+                    )
+                )
         self.last_commit_timings["writes_wall"] = round(_time.time() - t0, 3)
         lineage = {
             name: sorted(

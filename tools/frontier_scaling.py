@@ -61,23 +61,30 @@ def worker() -> None:
     pages = spark.read.parquet(pages_dir)
     store = SnapshotStore(store_dir)
     best, n_sched = float("inf"), 0
+    want_timings = bool(os.environ.get("SPARK_GRAFT_TIMINGS"))
+    all_timings = []
     for _ in range(rounds):
+        timings: dict | None = {} if want_timings else None
         t0 = time.time()
         m = scheduler.run_round(
-            spark, store, SF_DIR, n_partitions=cpus, pages=pages
+            spark, store, SF_DIR, n_partitions=cpus, pages=pages,
+            timings=timings,
         )
-        best = min(best, time.time() - t0)
+        wall = time.time() - t0
+        best = min(best, wall)
         n_sched = m["n_scheduled"]
-    print(
-        json.dumps(
-            {
-                "cpus": cpus,
-                "round_sec": round(best, 2),
-                "urls_scheduled": n_sched,
-                "urls_per_sec": round(n_sched / best),
-            }
-        )
-    )
+        if want_timings:
+            timings["round_wall"] = round(wall, 2)
+            all_timings.append(timings)
+    out = {
+        "cpus": cpus,
+        "round_sec": round(best, 2),
+        "urls_scheduled": n_sched,
+        "urls_per_sec": round(n_sched / best),
+    }
+    if want_timings:
+        out["timings"] = all_timings
+    print(json.dumps(out))
     spark.stop()
 
 
