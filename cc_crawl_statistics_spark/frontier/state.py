@@ -142,12 +142,18 @@ class SnapshotStore:
         deltas = [p for p in deltas if os.path.exists(p)]
         if deltas:
             cur = cur.unionByName(spark.read.parquet(*deltas))
+        # one multi-path read per retire table (not one reader per round:
+        # each spark.read.parquet call pays a serial driver-side listing /
+        # footer pass, which grows linearly in rounds-since-compaction)
         retired = []
-        for r in range(base + 1, upto_rnd + 1):
-            for t in ("schedule", "blocked"):
-                p = os.path.join(self._round_dir(r), t)
-                if os.path.exists(p):
-                    retired.append(spark.read.parquet(p).select("url"))
+        for t in ("schedule", "blocked"):
+            paths = [
+                os.path.join(self._round_dir(r), t)
+                for r in range(base + 1, upto_rnd + 1)
+            ]
+            paths = [p for p in paths if os.path.exists(p)]
+            if paths:
+                retired.append(spark.read.parquet(*paths).select("url"))
         if retired:
             ret = retired[0]
             for x in retired[1:]:
