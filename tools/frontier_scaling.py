@@ -51,7 +51,9 @@ def worker() -> None:
         shuffle_partitions=64,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            "spark.sql.files.maxPartitionBytes": "16m",
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"
+            ),
             "spark.sql.adaptive.coalescePartitions.enabled": "false",
             "spark.local.dir": os.environ.get("SPARK_LOCAL_DIR", "/tmp"),
             "spark.network.timeout": "600s",
@@ -93,7 +95,13 @@ def main() -> None:
     level_list = (
         [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [2, 8, 32]
     )
-    tmp = tempfile.mkdtemp(prefix="fscale_")
+    # SPARK_GRAFT_SETUP_DIR: persistent setup (pages + bootstrapped store)
+    # reused across invocations, so conf/levels experiments pay the
+    # many-minute materialization once instead of per run.
+    keep = os.environ.get("SPARK_GRAFT_SETUP_DIR")
+    tmp = keep or tempfile.mkdtemp(prefix="fscale_")
+    if keep:
+        os.makedirs(tmp, exist_ok=True)
     try:
         from bench import materialize_scaled_pages
         from cc_crawl_statistics_spark.frontier import scheduler
@@ -116,14 +124,24 @@ def main() -> None:
             },
         )
         pages_dir = os.path.join(tmp, "pages")
-        materialize_scaled_pages(spark, SF_DIR, factor, pages_dir, 32)
-        pages = spark.read.parquet(pages_dir)
-        n_rows = pages.count()
         base_store = os.path.join(tmp, "store_base")
-        # seed (round 0) + round 1: untimed bootstrap at full parallelism
-        scheduler.run_round(
-            spark, SnapshotStore(base_store), SF_DIR, n_partitions=32, pages=pages
-        )
+        if keep and os.path.exists(
+            os.path.join(base_store, "round=0001", "_MANIFEST.json")
+        ):
+            pages = spark.read.parquet(pages_dir)
+            n_rows = pages.count()
+        else:
+            materialize_scaled_pages(spark, SF_DIR, factor, pages_dir, 32)
+            pages = spark.read.parquet(pages_dir)
+            n_rows = pages.count()
+            # seed (round 0) + round 1: untimed bootstrap at full parallelism
+            scheduler.run_round(
+                spark,
+                SnapshotStore(base_store),
+                SF_DIR,
+                n_partitions=32,
+                pages=pages,
+            )
         spark.stop()
 
         levels: dict[int, dict] = {}
@@ -175,6 +193,8 @@ def main() -> None:
             f"{lo}→{hi}: **{sp:.2f}×** (efficiency **{sp / 4:.3f}**)"
             for lo, hi, sp in spans
         )
+        if os.environ.get("SPARK_GRAFT_NO_BENCHMD"):
+            return
         with open(os.path.join(REPO, "BENCH.md"), "a") as f:
             f.write(
                 f"\n## Frontier scheduling-round scaling — factor {factor} "
@@ -185,7 +205,8 @@ def main() -> None:
                 f"Frontier throughput scaling {span_md}.\n"
             )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree("/dev/shm/spark-fscale", ignore_errors=True)
         shutil.rmtree("/dev/shm/fscale-scratch", ignore_errors=True)
         shutil.rmtree("/tmp/fscale-scratch", ignore_errors=True)
