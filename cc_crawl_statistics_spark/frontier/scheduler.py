@@ -426,7 +426,16 @@ def run_round(
     # the ranked schedule is budget-bounded (hosts × max budget) — broadcast
     # it so the corpus-sized universe is scanned map-side, never shuffled;
     # the universe row carries doc_id + the page attributes, so this one
-    # join feeds link expansion, fetch/extract AND the round statistics
+    # join feeds link expansion, fetch/extract AND the round statistics.
+    # The plan is NOT eagerly checkpointed: the persisted ``schedule``
+    # table write (inside the concurrent commit) IS its one
+    # materialization — every downstream consumer (link expansion, round
+    # statistics, fetch/extract, the next round's retire list) re-reads
+    # that budget-bounded parquet. Measured (BENCH.md sched-phase
+    # decomposition): the eager localCheckpoint this replaces was the
+    # round's largest per-level-invariant cost — a separate driver job
+    # whose broadcast-build serial tail scaled 1.4–1.9× across a 4×
+    # core span while every corpus scan scaled ≥2.8×.
     sched = (
         universe.select("url", "doc_id", *ATTR_COLS)
         .join(F.broadcast(host_bucketed_topk(eligible, n_salts=n_salts)), "url")
@@ -442,47 +451,47 @@ def run_round(
             *ATTR_COLS,
         )
     )
-    sched = _timed("sched_ckpt", lambda: sched.localCheckpoint(eager=True))
-    # cut lineage: everything below reuses the materialized schedule
 
-    discovered = expand_links(sched, universe, n_docs)
-    # URL-seen filter. With a materialized Bloom (written at compaction):
-    # candidates the Bloom rejects are DEFINITELY absent from the compacted
-    # base, so they only anti-join the small post-compaction deltas
-    # (broadcastable); Bloom-positive candidates take the exact anti-join
-    # against the full seen set. Results are bit-identical either way
-    # (test_frontier.py::test_compaction_and_bloom_bit_identical); what the
-    # Bloom buys at 10^10 keys is that the common case (brand-new URL)
-    # never shuffles against the base table. Below ``bloom_min_seen`` keys
-    # the plain anti-join wins (measured 11.4s vs 12.9s/round at 4×10^5
-    # seen keys, BENCH.md: the Arrow stage + candidate split costs more
-    # than a small in-memory anti-join saves), so the prefilter engages
-    # only once the seen set is large enough to matter.
-    bloom_file = (
-        store.bloom_path(latest) if prev_seen >= bloom_min_seen else None
-    )
-    if bloom_file is not None:
-        might = _timed(
-            "bloom_load", lambda: _cached_bloom_udf(spark, bloom_file)
+    def discover_new_urls(sched_materialized: DataFrame) -> DataFrame:
+        """Expand the (parquet-materialized) schedule's links and keep the
+        never-seen URLs. With a materialized Bloom (written at compaction):
+        candidates the Bloom rejects are DEFINITELY absent from the
+        compacted base, so they only anti-join the small post-compaction
+        deltas (broadcastable); Bloom-positive candidates take the exact
+        anti-join against the full seen set. Results are bit-identical
+        either way (test_frontier.py::test_compaction_and_bloom_bit_identical);
+        what the Bloom buys at 10^10 keys is that the common case
+        (brand-new URL) never shuffles against the base table. Below
+        ``bloom_min_seen`` keys the plain anti-join wins (measured 11.4s
+        vs 12.9s/round at 4×10^5 seen keys, BENCH.md: the Arrow stage +
+        candidate split costs more than a small in-memory anti-join
+        saves), so the prefilter engages only once the seen set is large
+        enough to matter."""
+        discovered = expand_links(sched_materialized, universe, n_docs)
+        bloom_file = (
+            store.bloom_path(latest) if prev_seen >= bloom_min_seen else None
         )
-        base_rnd = store.seen_base_round(latest)
-        recent = store.read_seen_deltas(spark, base_rnd + 1, latest)
-        cand = discovered.withColumn(
-            "_maybe", might(seen_key(F.col("url")))
-        )
-        clean = cand.filter(~F.col("_maybe")).join(
-            F.broadcast(recent),
-            seen_key(cand.url) == recent.seen_key,
-            "left_anti",
-        )
-        maybe = cand.filter(F.col("_maybe")).join(
-            seen,
-            seen_key(cand.url) == seen.seen_key,
-            "left_anti",
-        )
-        new_urls = clean.unionByName(maybe).drop("_maybe")
-    else:
-        new_urls = discovered.join(
+        if bloom_file is not None:
+            might = _timed(
+                "bloom_load", lambda: _cached_bloom_udf(spark, bloom_file)
+            )
+            base_rnd = store.seen_base_round(latest)
+            recent = store.read_seen_deltas(spark, base_rnd + 1, latest)
+            cand = discovered.withColumn(
+                "_maybe", might(seen_key(F.col("url")))
+            )
+            clean = cand.filter(~F.col("_maybe")).join(
+                F.broadcast(recent),
+                seen_key(cand.url) == recent.seen_key,
+                "left_anti",
+            )
+            maybe = cand.filter(F.col("_maybe")).join(
+                seen,
+                seen_key(cand.url) == seen.seen_key,
+                "left_anti",
+            )
+            return clean.unionByName(maybe).drop("_maybe")
+        return discovered.join(
             seen,
             seen_key(discovered.url) == seen.seen_key,
             "left_anti",
@@ -497,14 +506,6 @@ def run_round(
     # broadcastable retire lists at read time, and compact_frontier
     # periodically rewrites one materialized base to bound the chain (the
     # Iceberg merge-on-read delete + rewrite_data_files pattern).
-
-    # round statistics over the fetched slice (reference counting
-    # semantics). The schedule rows already carry the page attributes from
-    # the universe scan, so the 7 aggregation branches run over the
-    # checkpointed budget-bounded schedule — no corpus rescan per round.
-    stats = round_statistics(
-        sched.select("url", "host", *ATTR_COLS)
-    )
 
     def metrics_from_snapshot(read) -> dict:
         from concurrent.futures import ThreadPoolExecutor
@@ -539,31 +540,39 @@ def run_round(
         return m
 
     tables = {
+        # The ONLY eager corpus-lineage write of the round besides
+        # ``blocked``: the persisted schedule (widened with doc_id + the
+        # page attributes — still budget-bounded rows) materializes the
+        # top-K ⋈ universe plan exactly once, overlapping the blocked
+        # write inside the concurrent commit. Everything below derives
+        # from its parquet.
+        "schedule": sched,
+        "blocked": blocked.select("url", "host"),
         # hash-partitioned on surt_key (no range-sampling pass over a
         # small delta); compaction restores range clustering for the base.
-        # This write IS the materialization of the expand + seen-anti-join
-        # lineage (no eager checkpoint upstream), so the round's heaviest
-        # remaining job overlaps the schedule/blocked/stats writes inside
-        # the concurrent commit instead of serializing before it.
-        "frontier_delta": new_urls.select(*FRONTIER_COLS).repartition(
-            n_partitions, "surt_key"
-        ),
+        # Derived: its write IS the materialization of the expand +
+        # seen-anti-join lineage over the written schedule parquet.
+        "frontier_delta": lambda read: discover_new_urls(read("schedule"))
+        .select(*FRONTIER_COLS)
+        .repartition(n_partitions, "surt_key"),
         # hash-partitioned, not range: seen keys are uniform 64-bit hashes,
         # so hash partitioning gives the same clustering/pruning as range
-        # WITHOUT the range partitioner's sampling pass. Derived (callable)
-        # table: projects the just-written bounded frontier_delta parquet,
-        # so the discovery lineage executes exactly once.
+        # WITHOUT the range partitioner's sampling pass. Second-level
+        # derived table: projects the just-written bounded frontier_delta
+        # parquet, so the discovery lineage executes exactly once.
         "url_seen_delta": lambda read: read("frontier_delta")
         .select(seen_key(F.col("url")).alias("seen_key"))
         .repartition(n_partitions, "seen_key"),
-        "schedule": sched.select(
-            "round", "url", "host", "depth", "score", "rank"
+        # round statistics over the fetched slice (reference counting
+        # semantics): the written schedule rows carry the page attributes
+        # from the universe scan, so the 7 aggregation branches run over
+        # budget-bounded parquet — no corpus rescan per round.
+        "round_stats": lambda read: round_statistics(
+            read("schedule").select("url", "host", *ATTR_COLS)
         ),
-        "blocked": blocked.select("url", "host"),
-        "round_stats": stats,
     }
     if docs is not None:
-        tables["fetched"] = fetch_extract(sched, docs)
+        tables["fetched"] = lambda read: fetch_extract(read("schedule"), docs)
     out = _timed(
         "commit", lambda: store.commit(rnd, tables, metrics_from_snapshot)
     )

@@ -228,14 +228,18 @@ class SnapshotStore:
         re-executing the round's whole lineage.
 
         A table value may be a DataFrame or a CALLABLE ``read -> DataFrame``
-        evaluated after every DataFrame-valued table is on disk (``read``
+        evaluated after the tables it reads are on disk (``read``
         resolves already-written tables of this round). Callables express
         derived tables (e.g. the seen-key projection of the discovery
         delta): the heavy lineage executes exactly once, inside the write
-        of the DataFrame-valued table it derives from, and the derived
-        write re-reads that bounded parquet instead of forcing an eager
-        checkpoint upstream — so the expensive write overlaps the other
-        concurrent writes instead of serializing before them."""
+        of the table it derives from, and the derived write re-reads that
+        bounded parquet instead of forcing an eager checkpoint upstream —
+        so the expensive write overlaps the other concurrent writes
+        instead of serializing before them. Derivation chains any depth:
+        callables are resolved in waves — each wave evaluates every
+        remaining callable whose inputs exist (``read`` of an unwritten
+        table defers the callable to a later wave) and writes the wave
+        concurrently."""
         rdir = self._round_dir(rnd)
         if os.path.exists(rdir):  # crashed, uncommitted attempt: redo
             if os.path.exists(os.path.join(rdir, MANIFEST)):
@@ -271,22 +275,39 @@ class SnapshotStore:
         ) or max(len(tables), 1)
         eager = {n: df for n, df in tables.items() if not callable(df)}
         derived = {n: fn for n, fn in tables.items() if callable(fn)}
+        class _NotYetWritten(Exception):
+            pass
+
         with ThreadPoolExecutor(max_workers=workers) as pool:
             list(pool.map(_write, eager.items()))
+            written = set(eager)
             if derived:
                 from pyspark.sql import SparkSession
 
                 spark = SparkSession.getActiveSession()
 
                 def _read(name):
+                    if name not in written:
+                        raise _NotYetWritten(name)
                     return spark.read.parquet(os.path.join(rdir, name))
 
-                list(
-                    pool.map(
-                        _write,
-                        [(n, fn(_read)) for n, fn in derived.items()],
-                    )
-                )
+                remaining = dict(derived)
+                while remaining:
+                    wave = []
+                    for n, fn in list(remaining.items()):
+                        try:
+                            wave.append((n, fn(_read)))
+                        except _NotYetWritten:
+                            continue
+                    if not wave:
+                        raise ValueError(
+                            "circular derived-table dependencies: "
+                            f"{sorted(remaining)}"
+                        )
+                    list(pool.map(_write, wave))
+                    for n, _ in wave:
+                        written.add(n)
+                        del remaining[n]
         self.last_commit_timings["writes_wall"] = round(_time.time() - t0, 3)
         lineage = {
             name: sorted(
