@@ -290,3 +290,39 @@ def test_salted_topk_bounds_hot_host(spark):
         .limit(3).select("url").toPandas()["url"].tolist()
     )
     assert sorted(hot.sort_values("rank")["url"].tolist()) == sorted(direct)
+
+
+def test_commit_resolves_multi_level_derived_tables(spark, tmp_path):
+    """state.commit derived-table waves: a callable chain a -> b -> c
+    resolves across waves regardless of dict order, each level reads the
+    previous level's written parquet, and a circular chain raises instead
+    of hanging."""
+    store = SnapshotStore(str(tmp_path / "s"))
+    base = spark.range(10).toDF("x")
+    store.commit(
+        0,
+        {
+            # insertion order deliberately reversed vs dependency order
+            "c": lambda read: read("b").withColumn("x", F.col("x") + 1),
+            "b": lambda read: read("a").withColumn("x", F.col("x") + 1),
+            "a": base,
+        },
+        {"round": 0},
+    )
+    a = {r.x for r in store.read(spark, 0, "a").collect()}
+    b = {r.x for r in store.read(spark, 0, "b").collect()}
+    c = {r.x for r in store.read(spark, 0, "c").collect()}
+    assert a == set(range(10))
+    assert b == {x + 1 for x in a}
+    assert c == {x + 2 for x in a}
+
+    store2 = SnapshotStore(str(tmp_path / "s2"))
+    with pytest.raises(ValueError, match="circular"):
+        store2.commit(
+            0,
+            {
+                "p": lambda read: read("q"),
+                "q": lambda read: read("p"),
+            },
+            {"round": 0},
+        )
