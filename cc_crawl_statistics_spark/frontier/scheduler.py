@@ -50,11 +50,25 @@ from .state import SnapshotStore
 
 ATTR_COLS = ("domain", "tld", "mime_detected", "languages", "status")
 
-# Frontier rows stay narrow (measured: carrying doc_id+attributes on every
-# frontier row made the write/scan/window path ~25% slower than one
-# broadcast join against the persisted universe). The universe row carries
-# the link-graph key and page attributes instead — computed once at seed.
-FRONTIER_COLS = ("url", "surt_key", "host", "depth", "score", "state")
+# Frontier rows carry the link-graph key (doc_id) and the page attributes
+# alongside the priority fields, so the schedule is a pure frontier-side
+# plan — no per-round broadcast join back into the corpus-scale universe.
+# History: the full-rewrite engine kept the frontier narrow because wider
+# rows made its per-round corpus rewrite ~25% slower; under the delta
+# engine only the bounded discovery delta and periodic compaction pay the
+# width, while dropping the universe join removes a full corpus scan plus
+# a broadcast-build serial tail from EVERY round (BENCH.md sched-phase
+# decomposition: that tail was the round's dominant non-scaling term).
+FRONTIER_COLS = (
+    "url",
+    "surt_key",
+    "host",
+    "depth",
+    "score",
+    "state",
+    "doc_id",
+    *ATTR_COLS,
+)
 
 
 def seen_key(col):
@@ -98,6 +112,8 @@ def seed_frontier(universe: DataFrame) -> DataFrame:
         F.lit(0).alias("depth"),
         ((F.col("doc_id") * 37) % 100).alias("score"),
         F.lit("pending").alias("state"),
+        "doc_id",
+        *ATTR_COLS,
     )
 
 
@@ -148,6 +164,11 @@ def expand_links(scheduled: DataFrame, universe: DataFrame, n_docs: int) -> Data
         "depth",
         ((F.col("doc_id") * 37) % 100).alias("score"),
         F.lit("pending").alias("state"),
+        # the child's link-graph key + page attributes ride into the
+        # frontier here — the one place the universe is scanned per round —
+        # so scheduling never joins back into the corpus (FRONTIER_COLS)
+        "doc_id",
+        *ATTR_COLS,
     )
 
 
@@ -423,33 +444,28 @@ def run_round(
         F.broadcast(blocked_hosts), "host", "semi"
     )
 
-    # the ranked schedule is budget-bounded (hosts × max budget) — broadcast
-    # it so the corpus-sized universe is scanned map-side, never shuffled;
-    # the universe row carries doc_id + the page attributes, so this one
-    # join feeds link expansion, fetch/extract AND the round statistics.
-    # The plan is NOT eagerly checkpointed: the persisted ``schedule``
-    # table write (inside the concurrent commit) IS its one
-    # materialization — every downstream consumer (link expansion, round
-    # statistics, fetch/extract, the next round's retire list) re-reads
-    # that budget-bounded parquet. Measured (BENCH.md sched-phase
-    # decomposition): the eager localCheckpoint this replaces was the
-    # round's largest per-level-invariant cost — a separate driver job
-    # whose broadcast-build serial tail scaled 1.4–1.9× across a 4×
-    # core span while every corpus scan scaled ≥2.8×.
-    sched = (
-        universe.select("url", "doc_id", *ATTR_COLS)
-        .join(F.broadcast(host_bucketed_topk(eligible, n_salts=n_salts)), "url")
-        .select(
-            F.lit(rnd).alias("round"),
-            "url",
-            "surt_key",
-            "host",
-            "depth",
-            "score",
-            "rank",
-            "doc_id",
-            *ATTR_COLS,
-        )
+    # The ranked schedule is a PURE FRONTIER-SIDE plan: frontier rows carry
+    # doc_id + the page attributes (FRONTIER_COLS), so the round's
+    # scheduling never scans or joins the corpus-scale universe — one
+    # frontier scan, two bounded window stages, 78k-ish rows out. The plan
+    # is NOT eagerly checkpointed: the persisted ``schedule`` table write
+    # (inside the concurrent commit) IS its one materialization — every
+    # downstream consumer (link expansion, round statistics, fetch/extract,
+    # the next round's retire list) re-reads that budget-bounded parquet.
+    # Measured (BENCH.md sched-phase decomposition): the universe broadcast
+    # join + eager localCheckpoint this replaces were the round's largest
+    # per-level-invariant cost — a broadcast-build serial tail scaling
+    # 1.4–1.9× across a 4× core span while every corpus scan scaled ≥2.8×.
+    sched = host_bucketed_topk(eligible, n_salts=n_salts).select(
+        F.lit(rnd).alias("round"),
+        "url",
+        "surt_key",
+        "host",
+        "depth",
+        "score",
+        "rank",
+        "doc_id",
+        *ATTR_COLS,
     )
 
     def discover_new_urls(sched_materialized: DataFrame) -> DataFrame:
