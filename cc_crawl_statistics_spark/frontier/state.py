@@ -48,9 +48,45 @@ class SnapshotStore:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # Per-table-kind schema cache: every spark.read.parquet without an
+        # explicit schema pays a driver-side footer read for inference.
+        # A round reads 6-7 store tables, so at steady state those footer
+        # reads are a constant ~0.3-0.5s/round of driver latency. The
+        # schema of a table kind never changes within a store, so the
+        # first read's inferred schema is reused for the rest of the
+        # store handle's life (a resume constructs a fresh handle and
+        # re-infers once).
+        self._schemas: dict[str, object] = {}
 
     def _round_dir(self, rnd: int) -> str:
         return os.path.join(self.root, f"round={rnd:04d}")
+
+    def _read_parquet(
+        self, spark: SparkSession, kind: str, *paths: str
+    ) -> DataFrame:
+        """Read parquet path(s) of one table kind with the cached schema."""
+        schema = self._schemas.get(kind)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*paths)
+        if schema is None:
+            self._schemas[kind] = df.schema
+        return df
+
+    def table_rows(self, rnd: int, table: str) -> int:
+        """Exact row count of a written table from parquet footer metadata —
+        driver-side file reads, no Spark job (the Iceberg-manifest
+        row-count pattern: snapshot metadata answers COUNT(*) without
+        touching data). File count per table is bounded by n_partitions."""
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self._round_dir(rnd), table)
+        return sum(
+            pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
 
     def latest_round(self) -> int | None:
         """Highest round with a committed manifest, or None."""
@@ -64,7 +100,9 @@ class SnapshotStore:
         return best
 
     def read(self, spark: SparkSession, rnd: int, table: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._round_dir(rnd), table))
+        return self._read_parquet(
+            spark, table, os.path.join(self._round_dir(rnd), table)
+        )
 
     def seen_base_round(self, upto_rnd: int) -> int | None:
         """Highest round ≤ upto_rnd holding a compacted url_seen_base."""
@@ -90,7 +128,9 @@ class SnapshotStore:
             os.path.join(self._round_dir(r), "url_seen_delta")
             for r in range(start, upto_rnd + 1)
         ]
-        return spark.read.parquet(*[p for p in paths if os.path.exists(p)])
+        return self._read_parquet(
+            spark, "url_seen_delta", *[p for p in paths if os.path.exists(p)]
+        )
 
     def read_seen_deltas(
         self, spark: SparkSession, from_rnd: int, upto_rnd: int
@@ -105,7 +145,7 @@ class SnapshotStore:
         paths = [p for p in paths if os.path.exists(p)]
         if not paths:
             return spark.createDataFrame([], "seen_key bigint")
-        return spark.read.parquet(*paths)
+        return self._read_parquet(spark, "url_seen_delta", *paths)
 
     def frontier_base_round(self, upto_rnd: int) -> int | None:
         """Highest round ≤ upto_rnd holding a materialized full frontier
@@ -141,7 +181,9 @@ class SnapshotStore:
         ]
         deltas = [p for p in deltas if os.path.exists(p)]
         if deltas:
-            cur = cur.unionByName(spark.read.parquet(*deltas))
+            # same column set as the frontier base (FRONTIER_COLS) — reuse
+            # its cached schema; explicit-schema parquet reads bind by name
+            cur = cur.unionByName(self._read_parquet(spark, "frontier", *deltas))
         # one multi-path read per retire table (not one reader per round:
         # each spark.read.parquet call pays a serial driver-side listing /
         # footer pass, which grows linearly in rounds-since-compaction)
@@ -153,7 +195,9 @@ class SnapshotStore:
             ]
             paths = [p for p in paths if os.path.exists(p)]
             if paths:
-                retired.append(spark.read.parquet(*paths).select("url"))
+                retired.append(
+                    self._read_parquet(spark, t, *paths).select("url")
+                )
         if retired:
             ret = retired[0]
             for x in retired[1:]:
@@ -289,7 +333,9 @@ class SnapshotStore:
                 def _read(name):
                     if name not in written:
                         raise _NotYetWritten(name)
-                    return spark.read.parquet(os.path.join(rdir, name))
+                    return self._read_parquet(
+                        spark, name, os.path.join(rdir, name)
+                    )
 
                 remaining = dict(derived)
                 while remaining:
@@ -323,7 +369,9 @@ class SnapshotStore:
             spark = SparkSession.getActiveSession()
             t0 = _time.time()
             metrics = metrics(
-                lambda name: spark.read.parquet(os.path.join(rdir, name))
+                lambda name: self._read_parquet(
+                    spark, name, os.path.join(rdir, name)
+                )
             )
             self.last_commit_timings["metrics"] = round(_time.time() - t0, 3)
         tmp = os.path.join(rdir, MANIFEST + ".tmp")

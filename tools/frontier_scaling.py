@@ -147,6 +147,8 @@ def main() -> None:
         levels: dict[int, dict] = {}
         for cpus in level_list:
             store_dir = os.path.join(tmp, f"store_{cpus}")
+            # a killed prior run can leave a stale per-level copy behind
+            shutil.rmtree(store_dir, ignore_errors=True)
             shutil.copytree(base_store, store_dir)
             env = dict(
                 os.environ,
