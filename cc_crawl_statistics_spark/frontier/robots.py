@@ -1,0 +1,306 @@
+"""robots.txt parser + politeness-ledger builder (north_star: "per-host
+politeness ledger (robots.txt cache + crawl-delay budget)").
+
+The reference repo consumes robots.txt only as a fetch *category*
+(crawlstats.py routes robots.txt captures out of the page statistics); a
+crawl frontier additionally needs the robots *content*: which paths the
+crawler's user-agent may fetch, and how fast (Crawl-delay). This module
+parses raw robots.txt bodies into rule tables and derives the scheduler's
+host_ledger from them, entirely with vectorized Spark SQL expressions —
+no per-row Python anywhere (input_hint: "vectorized pandas/Arrow UDFs
+(no per-row Python) throughout"; here even Arrow is unnecessary).
+
+Semantics: RFC 9309 (Robots Exclusion Protocol).
+  - groups = consecutive ``User-agent`` lines followed by rules; rules
+    before the first User-agent line are ignored;
+  - group selection: longest user-agent token that is a prefix of the
+    crawler's product token; ``*`` matches with lowest specificity; ALL
+    groups tied at the winning specificity are merged (RFC 9309 §2.2.1);
+  - rule matching: longest-match wins, measured in octets of the rule
+    path; ``Allow`` wins length ties (§2.2.2); ``*`` is a wildcard and a
+    trailing ``$`` anchors the end; empty ``Disallow:`` matches nothing;
+  - no matching rule → allowed; no matching group → allowed;
+  - fetch-status of robots.txt itself: 401/403 → full disallow
+    ("blocked" host, the reference model's robots gate), other 4xx →
+    allow-all (missing file), 5xx → full disallow (conservative:
+    unreachable robots), 2xx → parse the body;
+  - ``Crawl-delay`` (de-facto standard, not in RFC 9309) is read from the
+    selected group; the ledger budget is floor(round_seconds / delay),
+    clamped to ≥ 1.
+
+Scale design: a robots body is ≤ ~500 KB (RFC 9309 §2.5 allows crawlers
+to cap there) and there is one per host, so everything here is
+host-dimension work (≤ ~10^8 rows), 3–5 orders of magnitude smaller than
+the frontier. The only per-line window runs partitioned BY HOST (bodies
+explode to ≤ ~10^4 lines each — bounded partitions, no skew). Rule→URL
+matching joins the corpus-sized URL relation against the host-keyed rule
+dimension: rules-side broadcast when it fits, else a plain equi-join on
+host with AQE — the URL side never shuffles for broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_AGENT = "ccbot"
+
+# directive lines we understand; everything else is ignored (RFC 9309 §2.2.4
+# "parsers MUST ignore unknown directives")
+_FIELDS = ("user-agent", "allow", "disallow", "crawl-delay")
+
+
+def parse_robots(robots: DataFrame, body_col: str = "robots_txt") -> DataFrame:
+    """Explode robots.txt bodies into directive rows.
+
+    Input:  (host, <body_col>) — one row per host.
+    Output: (host, pos, field, value, group_id) — field lowercased, comments
+    and blank lines dropped, group_id ≥ 1 for directives inside a
+    user-agent group (0 = before any group → ignored by rule selection).
+    """
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col(body_col), "\r?\n")).alias("pos", "raw"),
+    )
+    parsed = (
+        lines.select(
+            "host",
+            "pos",
+            F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+        )
+        .filter(F.col("line") != "")
+        .select(
+            "host",
+            "pos",
+            F.lower(
+                F.regexp_extract("line", r"^([A-Za-z][A-Za-z-]*)\s*:", 1)
+            ).alias("field"),
+            F.trim(F.regexp_extract("line", r"^[A-Za-z][A-Za-z-]*\s*:(.*)$", 1)).alias(
+                "value"
+            ),
+        )
+        .filter(F.col("field").isin(*_FIELDS))
+    )
+    # group boundary: a user-agent line whose previous directive is not
+    # user-agent (consecutive UA lines share one group, RFC 9309 §2.2.1)
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("field") == "user-agent"
+    prev = F.lag("field").over(w)
+    starts = is_ua & (prev.isNull() | (prev != F.lit("user-agent")))
+    return parsed.withColumn("group_id", F.sum(starts.cast("int")).over(w))
+
+
+def _selected_groups(directives: DataFrame, agent: str) -> DataFrame:
+    """(host, group_id) of every group the crawler's agent selects —
+    the group(s) whose user-agent token matches with the greatest
+    specificity (token length; '*' = 0)."""
+    agent = agent.lower()
+    agents = directives.filter(F.col("field") == "user-agent").select(
+        "host", "group_id", F.lower("value").alias("ua")
+    )
+    matched = agents.select(
+        "host",
+        "group_id",
+        F.when(F.col("ua") == "*", F.lit(0))
+        .when(F.lit(agent).startswith(F.col("ua")), F.length("ua"))
+        .alias("spec"),
+    ).filter(F.col("spec").isNotNull())
+    best = matched.groupBy("host").agg(F.max("spec").alias("best_spec"))
+    return (
+        matched.join(best, "host")
+        .filter(F.col("spec") == F.col("best_spec"))
+        .select("host", "group_id")
+        .distinct()
+    )
+
+
+def _path_regex(path: F.Column) -> F.Column:
+    """Translate a robots rule path to an anchored Java regex: escape
+    metacharacters, ``*`` → ``.*``, trailing ``$`` stays an end anchor."""
+    ends_anchor = path.endswith("$")
+    body = F.when(ends_anchor, path.substr(F.lit(1), F.length(path) - 1)).otherwise(
+        path
+    )
+    esc = F.regexp_replace(body, r"([.^+?(){}\[\]|\\$])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), esc, F.when(ends_anchor, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def robots_rules(directives: DataFrame, agent: str = DEFAULT_AGENT) -> DataFrame:
+    """Allow/Disallow rules of the selected group(s) per host:
+    (host, rule, rule_path, prec, rx) — prec = octet length of the rule
+    path (longest-match precedence), rx = anchored regex for matching."""
+    chosen = _selected_groups(directives, agent)
+    rules = (
+        directives.join(chosen, ["host", "group_id"])
+        .filter(F.col("field").isin("allow", "disallow"))
+        .filter(F.col("value") != "")  # empty Disallow: matches nothing
+        .select(
+            "host",
+            F.col("field").alias("rule"),
+            F.col("value").alias("rule_path"),
+            F.length("value").alias("prec"),
+        )
+    )
+    return rules.withColumn("rx", _path_regex(F.col("rule_path")))
+
+
+def crawl_delays(directives: DataFrame, agent: str = DEFAULT_AGENT) -> DataFrame:
+    """(host, crawl_delay double) from the selected group(s); hosts whose
+    selected groups carry no Crawl-delay are absent."""
+    chosen = _selected_groups(directives, agent)
+    return (
+        directives.join(chosen, ["host", "group_id"])
+        .filter(F.col("field") == "crawl-delay")
+        .select("host", F.col("value").cast("double").alias("crawl_delay"))
+        .filter(F.col("crawl_delay").isNotNull())
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
+
+
+def robots_decision(
+    urls: DataFrame,
+    rules: DataFrame,
+    path_col: str = "path",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Per-URL allow/disallow decision: join URLs (host, path) to the host's
+    rules, longest-match wins, Allow wins ties, no match → allow.
+
+    Output: urls' columns + ``decision`` ('allow' | 'disallow').
+
+    The rules relation is a host dimension (few rules per host); broadcast
+    it when it fits (default), else equi-join on host — the URL relation is
+    never broadcast and only shuffles in the non-broadcast case.
+    """
+    r = F.broadcast(rules) if broadcast_rules else rules
+    hits = (
+        urls.join(r, "host", "left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.col("rx").isNotNull() & F.expr(f"{path_col} rlike rx"), True
+            ).otherwise(False),
+        )
+        # (prec, allow-wins-tie) ordering key; non-matching rows rank below
+        # every hit so max_by falls through to the allow default
+        .withColumn(
+            "_key",
+            F.when(
+                F.col("_hit"),
+                F.col("prec") * 2 + F.when(F.col("rule") == "allow", 1).otherwise(0),
+            ).otherwise(F.lit(-1)),
+        )
+    )
+    return (
+        hits.groupBy(*urls.columns)
+        .agg(F.max_by("rule", "_key").alias("_best"), F.max("_key").alias("_bk"))
+        .withColumn(
+            "decision",
+            F.when(F.col("_bk") < 0, "allow").otherwise(
+                F.when(F.col("_best") == "disallow", "disallow").otherwise("allow")
+            ),
+        )
+        .drop("_best", "_bk")
+    )
+
+
+def robots_ledger(
+    robots: DataFrame,
+    agent: str = DEFAULT_AGENT,
+    round_seconds: int = 60,
+    default_budget: int = 1,
+    status_col: str = "fetch_status",
+) -> DataFrame:
+    """Derive the scheduler's host_ledger from fetched robots.txt:
+    (host, robots_status, max_per_round).
+
+    robots_status is the politeness-gate verdict: 403 = fully blocked
+    (robots fetch 401/403 or 5xx), 200 = crawlable (parsed rules apply at
+    URL level via :func:`robots_decision`). max_per_round =
+    floor(round_seconds / Crawl-delay), ≥ 1; hosts without a Crawl-delay
+    get ``default_budget``.
+    """
+    status = F.col(status_col)
+    gate = (
+        F.when(status.isin(401, 403), F.lit(403))
+        .when(status >= 500, F.lit(403))
+        .otherwise(F.lit(200))
+        .alias("robots_status")
+    )
+    delays = crawl_delays(parse_robots(robots), agent)
+    return (
+        robots.select("host", gate)
+        .join(delays, "host", "left")
+        .select(
+            "host",
+            "robots_status",
+            F.when(
+                F.col("crawl_delay").isNotNull(),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(float(round_seconds)) / F.col("crawl_delay")),
+                ).cast("int"),
+            )
+            .otherwise(F.lit(default_budget))
+            .alias("max_per_round"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic robots synthesis (FIXTURES.md §5): the sandbox stand-in for
+# the robots.txt cache a production crawler maintains. Bodies are derived
+# from the host's site_id so every parsed value has a closed form the
+# DuckDB oracle can recompute without parsing:
+#   - fetch_status: 403 when site_id % 12 == 7 (blocked hosts), else 200;
+#   - every group carries Crawl-delay 60/(1+site_id%4) seconds, so with
+#     round_seconds=60 the ledger budget is exactly 1 + site_id % 4 —
+#     bit-identical to the legacy formula ledger the frontier model pins;
+#   - site_id % 3 == 0: a CCBot-specific group (Disallow: /page/,
+#     Allow: /page/1 — longest-match exercises Allow-over-Disallow);
+#   - site_id % 3 == 2: a two-agent group (ccbot + examplebot) with a
+#     wildcard rule (Disallow: /*9.html$);
+#   - site_id % 3 == 1: only the * group (Disallow: /private/ — matches
+#     none of the synthetic /page/ paths).
+# ---------------------------------------------------------------------------
+
+
+def synth_robots(hosts: DataFrame) -> DataFrame:
+    """(host) → (host, fetch_status, robots_txt), deterministic."""
+    site_id = F.regexp_extract(F.col("host"), "site([0-9]+)", 1).cast("int")
+    delay = (F.lit(60) / (1 + site_id % 4)).cast("int").cast("string")
+    base = F.concat(
+        F.lit("# synthetic robots for "),
+        F.col("host"),
+        F.lit("\nUser-agent: *\nDisallow: /private/\nCrawl-delay: "),
+        delay,
+        F.lit("\n"),
+    )
+    ccbot_group = F.concat(
+        F.lit("\nUser-agent: CCBot\nDisallow: /page/\nAllow: /page/1\nCrawl-delay: "),
+        delay,
+        F.lit("\n"),
+    )
+    wild_group = F.concat(
+        F.lit(
+            "\nUser-agent: ccbot\nUser-agent: examplebot\n"
+            "Disallow: /*9.html$\nCrawl-delay: "
+        ),
+        delay,
+        F.lit("\n"),
+    )
+    body = F.concat(
+        base,
+        F.when(site_id % 3 == 0, ccbot_group)
+        .when(site_id % 3 == 2, wild_group)
+        .otherwise(F.lit("")),
+    )
+    return hosts.select(
+        "host",
+        F.when(site_id % 12 == 7, 403).otherwise(200).alias("fetch_status"),
+        body.alias("robots_txt"),
+    )

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..operators import counts as C
 from ..sources.tables import pages_df
+from .robots import robots_ledger, synth_robots
 from .state import SnapshotStore
 
 ATTR_COLS = ("domain", "tld", "mime_detected", "languages", "status")
@@ -118,9 +119,24 @@ def seed_frontier(universe: DataFrame) -> DataFrame:
 
 
 def host_ledger(universe: DataFrame) -> DataFrame:
-    """Per-host politeness ledger (FIXTURES.md §5), derived deterministically
-    from the host name: site_id drives robots status and per-round budget
-    (budget ≈ floor(round_len / crawl_delay) in a real deployment)."""
+    """Per-host politeness ledger (FIXTURES.md §5) — built by actually
+    parsing each host's (synthetic, deterministic) robots.txt body with
+    frontier/robots.py and deriving the budget from its Crawl-delay:
+    max_per_round = floor(round_seconds / delay). The bodies are generated
+    so the parsed ledger is bit-identical to the legacy closed form
+    (robots_status = 403 iff site_id % 12 == 7; budget = 1 + site_id % 4),
+    which the pure-Python frontier model (model.ledger_for) pins — tests
+    assert parsed == formula, so the frontier's bit-for-bit guarantees are
+    unchanged while the politeness gate now rests on a real RFC 9309
+    parse. Dimension-sized work: runs once at bootstrap, stored in the
+    snapshot store, never re-parsed per round."""
+    hosts = universe.select("host").distinct()
+    return robots_ledger(synth_robots(hosts), round_seconds=60, default_budget=1)
+
+
+def host_ledger_formula(universe: DataFrame) -> DataFrame:
+    """Legacy closed-form ledger (site_id arithmetic, no parsing) — kept as
+    the independent expected value for the parsed-vs-formula parity test."""
     site_id = F.regexp_extract(F.col("host"), "site([0-9]+)", 1).cast("int")
     return (
         universe.select("host")

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..frontier import robots as RB
 from ..frontier.scheduler import first_round_schedule
 from ..operators import dedup as D
 from ..operators import multimodal as M
@@ -173,6 +174,40 @@ def q_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
     return first_round_schedule(pages_df(spark, sf))
 
 
+def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end robots.txt politeness pipeline (frontier/robots.py): parse
+    each host's synthetic robots body with the vectorized RFC 9309 parser,
+    derive the ledger (gate status + Crawl-delay budget), and classify every
+    distinct URL path against the selected group's Allow/Disallow rules
+    (longest-match, wildcards, $ anchor). The oracle recomputes the expected
+    decisions from the generative closed form WITHOUT parsing, so any drift
+    in group selection, precedence, regex translation, or delay math
+    hash-mismatches."""
+    pages = pages_df(spark, sf)
+    hosts = pages.select("host").distinct()
+    rb = RB.synth_robots(hosts)
+    ledger = RB.robots_ledger(rb, round_seconds=60, default_budget=1)
+    rules = RB.robots_rules(RB.parse_robots(rb))
+    urls = pages.select(
+        "host",
+        F.regexp_extract("url", "^[a-z]+://[^/]+(/.*)$", 1).alias("path"),
+    ).distinct()
+    dec = RB.robots_decision(urls, rules)
+    return (
+        dec.join(F.broadcast(ledger), "host")
+        .select(
+            "host",
+            "robots_status",
+            "max_per_round",
+            F.when(F.col("robots_status") == 403, F.lit("blocked"))
+            .otherwise(F.col("decision"))
+            .alias("decision"),
+        )
+        .groupBy("host", "robots_status", "max_per_round", "decision")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+
+
 def q_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
     """Documents surviving exact dedup (canonical = lowest doc_id per
     content digest) — the keep-side counterpart of dedup_exact, via
@@ -272,6 +307,7 @@ def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "robots_decisions": q_robots_decisions,
     "curate_corpus": q_curate_corpus,
     "stratified_sample": q_stratified_sample,
     "domain_weights": q_domain_weights,
@@ -687,6 +723,36 @@ dropped AS (
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 GROUP BY source ORDER BY source
+"""
+    ),
+    # expected robots decisions from the generative closed form (no parsing):
+    # synth_robots gives site_id%3==0 hosts a CCBot group (Disallow /page/,
+    # Allow /page/1 — longest match allows /page/1*), %3==2 hosts a wildcard
+    # rule (Disallow /*9.html$), %3==1 hosts only the * group (/private/
+    # matches nothing); fetch 403 when site_id%12==7; budget 1+site_id%4.
+    "robots_decisions": oracle_cte(
+        """
+, hosts AS (
+  SELECT host, CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) AS k
+  FROM (SELECT DISTINCT host FROM pages)
+),
+paths AS (
+  SELECT DISTINCT host,
+         regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+  FROM pages
+)
+SELECT h.host,
+  CASE WHEN k % 12 = 7 THEN 403 ELSE 200 END AS robots_status,
+  1 + k % 4 AS max_per_round,
+  CASE WHEN k % 12 = 7 THEN 'blocked'
+       WHEN k % 3 = 0 THEN
+         CASE WHEN p.path LIKE '/page/1%' THEN 'allow' ELSE 'disallow' END
+       WHEN k % 3 = 2 THEN
+         CASE WHEN p.path LIKE '%9.html' THEN 'disallow' ELSE 'allow' END
+       ELSE 'allow' END AS decision,
+  CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM hosts h JOIN paths p ON h.host = p.host
+GROUP BY 1, 2, 3, 4
 """
     ),
     "frontier_schedule": oracle_cte(

@@ -1652,9 +1652,10 @@ _PRIORITY = [
     # trailing_6 (reference width) and oracle-tested via trailing_2/_3
     "crawl_overlap", "dup_ratio", "domain_coverage", "top_mime_other",
     "charset_top_unknown", "trailing_6", "curate_corpus",
-    # full frequency-histogram family (A19)
-    "host_pages_histogram", "domain_pages_histogram", "host_urls_histogram",
-    "digest_dup_histogram",
+    # full frequency-histogram family (A19; host_pages stays oracle-tested
+    # in pytest — its slot goes to the robots.txt politeness pipeline)
+    "domain_pages_histogram", "host_urls_histogram",
+    "digest_dup_histogram", "robots_decisions",
     # dimension joins (§2.6), incl. the IDN end-to-end row
     "tld_classified", "tld_classified_idn", "tld_continent",
     "spearman_benchmark",
