@@ -544,3 +544,183 @@ def decontaminate(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (span-level) deduplication — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better". The reference
+# repo deduplicates at URL/digest granularity only (crawlstats.py digest
+# counts); span-level dedup is the training-pipeline extension: find the
+# duplicated *regions* inside documents, not just identical documents.
+#
+# Two flavors, same output shape, mirroring the repo's exact-verifier +
+# scale-path pattern (crawl_overlap vs crawl_overlap_hll):
+#   - duplicated_kgram_spans: exact. Every k-char gram at every position;
+#     a position is duplicated iff its gram occurs ≥ 2 times in the corpus;
+#     maximal runs of duplicated positions merge into spans. O(n·k) shuffle
+#     bytes — the small-scale verifier, oracle-checked in SQL.
+#   - cdc_duplicate_spans: the scale path. Content-defined chunking via a
+#     Karp–Rabin rolling hash (numpy uint64, Arrow-batched mapInPandas —
+#     no per-row Python): identical substrings chunk identically regardless
+#     of their alignment inside the document, so duplicated regions surface
+#     as equal (chunk_hash, chunk_len) keys. Shuffle volume is
+#     O(n / avg_chunk) fixed-width rows — ~64× less than the exact flavor —
+#     and the chunk content hash is read off the prefix-hash array for free.
+# ---------------------------------------------------------------------------
+
+
+def duplicated_kgram_spans(
+    docs: DataFrame, k: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicated spans: (doc_id, source, span_start, span_len) of
+    every maximal region whose every k-gram occurs ≥ 2 times corpus-wide
+    (1-based character offsets). Verifier flavor — see module note."""
+    n_pos = F.length(text_col) - (k - 1)
+    positions = F.when(n_pos > 0, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        "doc_id", "source", text_col, F.explode(positions).alias("i")
+    ).select(
+        "doc_id",
+        "source",
+        "i",
+        F.expr(f"substring({text_col}, i, {k})").alias("g"),
+    )
+    dup = grams.groupBy("g").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+    marked = grams.join(dup.select("g"), "g")
+    # gaps-and-islands: consecutive duplicated positions share one span.
+    # Window is per-document (bounded by doc length — no unbounded key).
+    w = Window.partitionBy("doc_id").orderBy("i")
+    return (
+        marked.withColumn("grp", F.col("i") - F.row_number().over(w))
+        .groupBy("doc_id", "source", "grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") - F.min("i") + k).alias("span_len"),
+        )
+        .drop("grp")
+    )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    avg_chunk: int = 64,
+    hash_window: int = 16,
+) -> DataFrame:
+    """Content-defined chunks: (doc_id, source, off, clen, chash) with
+    1-based byte offsets. A chunk boundary falls after byte i when the
+    mixed Karp–Rabin hash of the trailing ``hash_window`` bytes has its
+    low log2(avg_chunk) bits zero — a property of the *content*, not the
+    position, so equal substrings produce equal interior chunks wherever
+    they sit. chash is the alignment-independent 64-bit content hash of
+    the chunk (derived from the same prefix-hash array; collision 2^-64 —
+    this flavor trades that for the 64× shuffle cut, like the HLL paths).
+
+    All math is vectorized numpy uint64 (wrapping mod 2^64) over Arrow
+    batches; the per-document python loop only slices arrays.
+    """
+    import numpy as np
+    import pandas as pd
+
+    assert avg_chunk & (avg_chunk - 1) == 0, "avg_chunk must be a power of 2"
+    B = np.uint64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
+    BINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+    MIX = np.uint64(0xFF51AFD7ED558CCD)
+    mask = np.uint64(avg_chunk - 1)
+    win = hash_window
+
+    def chunk_batch(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "off": [], "clen": [], "chash": []}
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf[text_col]
+            ):
+                c = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+                n = len(c)
+                if n == 0:
+                    continue
+                pw = np.empty(n, dtype=np.uint64)
+                pw[0] = np.uint64(1)
+                if n > 1:
+                    pw[1:] = np.multiply.accumulate(
+                        np.full(n - 1, B, dtype=np.uint64)
+                    )
+                # P[j] = sum_{t<j} c[t]·B^t  (mod 2^64);  P has n+1 entries
+                P = np.zeros(n + 1, dtype=np.uint64)
+                np.cumsum(c.astype(np.uint64) * pw, out=P[1:])
+                pinv = np.empty(n + 1, dtype=np.uint64)
+                pinv[0] = np.uint64(1)
+                pinv[1:] = np.multiply.accumulate(
+                    np.full(n, BINV, dtype=np.uint64)
+                )
+                # canonical hash of window ending at i (bytes [i-win, i)):
+                # (P[i] - P[i-win]) · B^{-(i-win)}
+                if n >= win:
+                    idx = np.arange(win, n + 1)
+                    h = (P[idx] - P[idx - win]) * pinv[idx - win]
+                    h = (h ^ (h >> np.uint64(33))) * MIX
+                    h ^= h >> np.uint64(29)
+                    cuts = idx[(h & mask) == 0]  # boundary AFTER byte i
+                else:
+                    cuts = np.empty(0, dtype=np.int64)
+                bounds = np.concatenate(([0], cuts[cuts < n], [n]))
+                starts = bounds[:-1].astype(np.int64)
+                ends = bounds[1:].astype(np.int64)
+                keep = ends > starts
+                starts, ends = starts[keep], ends[keep]
+                # content hash of [s, e): (P[e] - P[s]) · B^{-s}
+                ch = (P[ends] - P[starts]) * pinv[starts]
+                out["doc_id"].extend([doc_id] * len(starts))
+                out["source"].extend([source] * len(starts))
+                out["off"].extend((starts + 1).tolist())
+                out["clen"].extend((ends - starts).tolist())
+                out["chash"].extend(ch.astype(np.int64).tolist())
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "source", text_col).mapInPandas(
+        chunk_batch,
+        "doc_id long, source string, off long, clen long, chash long",
+    )
+
+
+def cdc_duplicate_spans(
+    docs: DataFrame,
+    min_len: int = 30,
+    text_col: str = "text",
+    avg_chunk: int = 64,
+    hash_window: int = 16,
+) -> DataFrame:
+    """Scale-path duplicated spans: maximal runs of adjacent chunks whose
+    (chash, clen) occurs ≥ 2 times corpus-wide, filtered to span_len ≥
+    min_len. Same output shape as duplicated_kgram_spans (byte offsets).
+
+    Detection guarantee: a duplicated region of length L ≥ 2·avg_chunk +
+    min_len contains matching interior chunks in expectation; only the cut
+    chunks at the region's edges differ (tested against the exact flavor
+    on planted duplicates). One shuffle on (chash, clen), one bounded
+    per-document window — no pair explosion anywhere."""
+    ch = cdc_chunks(docs, text_col, avg_chunk, hash_window)
+    dup = (
+        ch.groupBy("chash", "clen")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("chash", "clen")
+    )
+    marked = ch.join(dup, ["chash", "clen"])
+    w = Window.partitionBy("doc_id").orderBy("off")
+    adjacent = F.col("off") == F.lag(F.col("off") + F.col("clen")).over(w)
+    return (
+        marked.withColumn(
+            "grp",
+            F.sum(F.when(adjacent, 0).otherwise(1)).over(w),
+        )
+        .groupBy("doc_id", "source", "grp")
+        .agg(
+            F.min("off").alias("span_start"),
+            F.sum("clen").cast("int").alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .drop("grp")
+    )

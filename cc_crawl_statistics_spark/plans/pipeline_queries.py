@@ -208,6 +208,38 @@ def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _span_rollup(spans: DataFrame) -> DataFrame:
+    """Shared output shape of the two span-dedup flavors: per-source span
+    count, duplicated bytes/chars, and documents touched."""
+    return (
+        spans.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("span_len").cast("long").alias("dup_chars"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_dup_spans_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring-level dedup (dedup.duplicated_kgram_spans, k=30):
+    maximal regions whose every 30-gram occurs >= 2 times corpus-wide,
+    rolled up per source. The CORPUS_SQL fixture plants exact-copy docs
+    (%17) and prefix-duplicate docs (%13), so both full-doc and partial
+    spans are exercised."""
+    return _span_rollup(D.duplicated_kgram_spans(corpus_df(spark, sf), k=30))
+
+
+def q_dup_spans_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-path span dedup via content-defined chunking (rows-only:
+    chunk boundaries come from a rolling hash DuckDB can't express;
+    exactness vs the kgram flavor is pinned in tests/test_dedup_spans.py)."""
+    return _span_rollup(
+        D.cdc_duplicate_spans(corpus_df(spark, sf), min_len=30)
+    )
+
+
 def q_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
     """Documents surviving exact dedup (canonical = lowest doc_id per
     content digest) — the keep-side counterpart of dedup_exact, via
@@ -316,6 +348,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_counts": q_pii_counts,
     "repetition_scores": q_repetition_scores,
     "dedup_exact": q_dedup_exact,
+    "dup_spans_exact": q_dup_spans_exact,
+    "dup_spans_cdc": q_dup_spans_cdc,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
@@ -723,6 +757,33 @@ dropped AS (
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 GROUP BY source ORDER BY source
+"""
+    ),
+    "dup_spans_exact": _corpus_oracle(
+        """
+, pos AS (
+  SELECT doc_id, source, text,
+         UNNEST(range(1, GREATEST(length(text) - 28, 1))) AS i
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, source, i, substr(text, CAST(i AS INT), 30) AS g FROM pos
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+marked AS (SELECT gr.doc_id, gr.source, gr.i FROM grams gr JOIN dup USING (g)),
+isl AS (
+  SELECT doc_id, source, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, source, grp, MAX(i) - MIN(i) + 30 AS span_len
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(span_len) AS BIGINT) AS dup_chars,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM spans GROUP BY source ORDER BY source
 """
     ),
     # expected robots decisions from the generative closed form (no parsing):

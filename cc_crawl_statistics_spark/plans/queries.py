@@ -1652,10 +1652,11 @@ _PRIORITY = [
     # trailing_6 (reference width) and oracle-tested via trailing_2/_3
     "crawl_overlap", "dup_ratio", "domain_coverage", "top_mime_other",
     "charset_top_unknown", "trailing_6", "curate_corpus",
-    # full frequency-histogram family (A19; host_pages stays oracle-tested
-    # in pytest — its slot goes to the robots.txt politeness pipeline)
+    # full frequency-histogram family (A19; host_pages + digest_dup stay
+    # oracle-tested in pytest — their slots go to the robots.txt politeness
+    # pipeline and exact substring-span dedup)
     "domain_pages_histogram", "host_urls_histogram",
-    "digest_dup_histogram", "robots_decisions",
+    "robots_decisions", "dup_spans_exact",
     # dimension joins (§2.6), incl. the IDN end-to-end row
     "tld_classified", "tld_classified_idn", "tld_continent",
     "spearman_benchmark",
