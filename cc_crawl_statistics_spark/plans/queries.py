@@ -611,6 +611,34 @@ def q_cdx_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC source driver-checked end-to-end: render every fetch as a
+    spec-shaped WARC/1.0 response record (sources/warc.py), run the REAL
+    parse path (block split + anchored header regexps), and aggregate from
+    the PARSED columns only — envelope fields AND payload bytes. The oracle
+    recomputes the same aggregate straight from the source table, so any
+    drift in record rendering, block splitting, or field extraction breaks
+    value parity. (File-level record splitting — custom lineSep, gzip
+    per-file layout — is pinned by tests/test_warc.py.)"""
+    from pyspark.sql import functions as F
+
+    from ..sources.warc import RECORD_SEP, parse_warc_records, render_warc_records
+
+    recs = render_warc_records(pages_df(spark, sf)).select(
+        F.expr(f"substring(value, {len(RECORD_SEP) + 1})").alias("value")
+    )
+    parsed = parse_warc_records(recs).filter(F.col("is_valid"))
+    return (
+        parsed.groupBy("status", "mime")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.countDistinct("url").cast("long").alias("n_urls"),
+            F.sum(F.length("payload")).cast("long").alias("payload_chars"),
+        )
+        .orderBy("status", "mime")
+    )
+
+
 def q_stats_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S2/S4/A13 driver-checked: host counts → reference JSON\\tJSON wire
     lines (emit_stats_lines, incl. the MultiCount trailing-equal
@@ -900,6 +928,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_hosts": q_frequent_hosts,
     "languages_floor": q_languages_floor,
     "cdx_roundtrip": q_cdx_roundtrip,
+    "warc_roundtrip": q_warc_roundtrip,
     "stats_wire_roundtrip": q_stats_wire_roundtrip,
     "crawler_metrics_roundtrip": q_crawler_metrics_roundtrip,
     "cc_pages_extract": q_cc_pages_extract,
@@ -1493,6 +1522,16 @@ SELECT crawl, item_type, value,
 FROM allr ORDER BY crawl, item_type
 """
         ),
+        "warc_roundtrip": _oracle(
+            """
+SELECT status, mime,
+  CAST(COUNT(*) AS BIGINT) AS n_records,
+  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+  CAST(SUM(length('<!doctype html><title>' || url || '</title><p>'
+            || digest || '</p>')) AS BIGINT) AS payload_chars
+FROM pages GROUP BY status, mime ORDER BY status, mime
+"""
+        ),
         "cdx_roundtrip": _oracle(
             """
 SELECT scheme, tld, status,
@@ -1651,7 +1690,7 @@ _PRIORITY = [
     # end-to-end curation verdict — the family stays driver-visible via
     # trailing_6 (reference width) and oracle-tested via trailing_2/_3
     "crawl_overlap", "dup_ratio", "domain_coverage", "top_mime_other",
-    "charset_top_unknown", "trailing_6", "curate_corpus",
+    "trailing_6", "curate_corpus",
     # full frequency-histogram family (A19; host_pages + digest_dup stay
     # oracle-tested in pytest — their slots go to the robots.txt politeness
     # pipeline and exact substring-span dedup)
@@ -1663,7 +1702,8 @@ _PRIORITY = [
     # stats-phase filters (§2.3) + S7 presentation pivot (§2.1)
     "large_surt_domains", "mime_share_pivot", "languages_floor",
     # sources/sinks + byte-compat (§2.1, §2.9)
-    "cdx_roundtrip", "stats_wire_roundtrip", "crawler_metrics_roundtrip",
+    "cdx_roundtrip", "warc_roundtrip", "stats_wire_roundtrip",
+    "crawler_metrics_roundtrip",
     "cc_pages_extract",
     # LLM-pipeline operators + frontier (north rule)
     "dedup_exact", "ngram_jaccard", "embedding_near_dup", "ann_topk",
