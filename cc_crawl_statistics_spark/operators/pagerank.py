@@ -1,0 +1,106 @@
+"""Integer-exact PageRank over the crawl link graph — the classic
+crawl-priority score feeding the frontier's priority queue (north_star:
+"a priority queue (host-bucketed min-heap over depth/score) driving fetch
+ordering"; PageRank is the standard producer of that score in production
+crawlers, alongside depth).
+
+Exactness design: distributed float summation is order-nondeterministic,
+so ranks are fixed-point BIGINTs (SCALE = 10^6) and every step is integer
+division — sums of integers commute exactly, making the result bit-for-bit
+reproducible across partitionings, core counts, and retries (same posture
+as the repo's integer-permille rule for oracle-compared ratios). A
+pure-Python model in tests/test_pagerank.py pins the exact values.
+
+Per iteration (damping d = 85/100, all integer ops):
+    contrib(e)  = rank_fp(src) DIV outdeg(src)          (per edge)
+    rank_fp'(v) = (SCALE*(100-D)) DIV 100  +  (D * Σ contrib) DIV 100
+
+Dangling nodes (no outlinks) keep receiving the base term and their mass
+is dropped, the common crawler simplification (total mass shrinks; the
+ORDER — which is what the scheduler consumes — is unaffected).
+
+Scale shape (10^10 nodes, 1000 executors): one shuffle per iteration
+(groupBy dst), plus an equi-join of the node-sized rank relation to the
+edge relation on src — both relations hash-partition on the join key, no
+broadcast of anything edge-sized. Lineage is cut per iteration with
+localCheckpoint (same pattern as dedup.connected_components); iterations
+are FIXED-count, so the job graph is static and resumable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+DAMP_PCT = 85  # d = 0.85 as an integer percentage
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, rank_fp) after ``n_iter`` exact fixed-point iterations.
+
+    ``edges``: (src, dst) link rows (duplicates are real parallel links and
+    count twice, like repeated hyperlinks). ``nodes`` optionally supplies
+    isolated vertices; defaults to every endpoint seen in ``edges``.
+    """
+    src, dst = F.col(src_col), F.col(dst_col)
+    if nodes is None:
+        nodes = (
+            edges.select(src.alias("node"))
+            .union(edges.select(dst.alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select(F.col("node")).localCheckpoint(eager=True)
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # static per-source relation reused every iteration: (src, dst, outdeg)
+    links = (
+        e.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+
+    base = (SCALE * (100 - DAMP_PCT)) // 100
+    ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_fp"))
+    for _ in range(n_iter):
+        contrib = (
+            links.join(ranks, links.src == ranks.node)
+            .select(
+                "dst",
+                # `div`: true BIGINT division — a double detour would lose
+                # bits past 2^53 on hub nodes at 10^10-node scale
+                F.expr("rank_fp div outdeg").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"(coalesce(mass, 0L) * {DAMP_PCT}) div 100"
+                    )
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint(eager=True)  # cut per-iteration lineage
+        )
+    return ranks
+
+
+def pagerank_top(
+    edges: DataFrame, k: int = 20, n_iter: int = 10, **kw
+) -> DataFrame:
+    """Top-k nodes by rank, ties broken by node id — the deterministic
+    priority feed. Bounded two-phase: per-partition top-k candidates never
+    exceed partitions·k rows into the final ordering."""
+    r = pagerank(edges, n_iter=n_iter, **kw)
+    return r.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(k)

@@ -17,6 +17,7 @@ from ..frontier import robots as RB
 from ..frontier.scheduler import first_round_schedule
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import pagerank as PR
 from ..operators import sampling as SA
 from ..operators import similarity as SIM
 from ..operators import textstats as TX
@@ -240,6 +241,23 @@ def q_dup_spans_cdc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pagerank_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-priority PageRank over the frontier's deterministic link graph
+    (doc d links to (2d+1)%N and (3d+7)%N — the same graph expand_links
+    walks), 3 exact integer fixed-point iterations, top-50 by (rank desc,
+    node). Integer math makes the oracle EXACT: the DuckDB side unrolls
+    the identical recurrence as three CTE stages — any drift in the
+    iteration order, integer division, or dangling handling hash-fails."""
+    pages = pages_df(spark, sf)
+    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
+    n_docs = uni.count()  # dimension scalar (like scheduler bootstrap)
+    ids = uni.select(F.col("doc_id").alias("src"))
+    edges = ids.select(
+        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
+    ).union(ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst")))
+    return PR.pagerank_top(edges, k=50, n_iter=3)
+
+
 def q_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
     """Documents surviving exact dedup (canonical = lowest doc_id per
     content digest) — the keep-side counterpart of dedup_exact, via
@@ -340,6 +358,7 @@ def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_decisions": q_robots_decisions,
+    "pagerank_priority": q_pagerank_priority,
     "curate_corpus": q_curate_corpus,
     "stratified_sample": q_stratified_sample,
     "domain_weights": q_domain_weights,
@@ -757,6 +776,38 @@ dropped AS (
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 GROUP BY source ORDER BY source
+"""
+    ),
+    # exact unrolled 3-iteration integer PageRank (same recurrence as
+    # operators/pagerank.py; // is DuckDB BIGINT division)
+    "pagerank_priority": oracle_cte(
+        """
+, uni AS (SELECT MIN(doc_id) AS doc_id FROM pages GROUP BY url),
+n AS (SELECT COUNT(*) AS n_docs FROM uni),
+nodes AS (SELECT DISTINCT doc_id AS node FROM uni),
+edges AS (
+  SELECT doc_id AS src, (2 * doc_id + 1) % n_docs AS dst FROM uni, n
+  UNION ALL
+  SELECT doc_id AS src, (3 * doc_id + 7) % n_docs AS dst FROM uni, n
+),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM nodes),
+m1 AS (SELECT dst, SUM(rank_fp // outdeg) AS mass
+       FROM edges JOIN outdeg USING (src) JOIN r0 ON r0.node = edges.src
+       GROUP BY dst),
+r1 AS (SELECT node, CAST(150000 + (COALESCE(mass, 0) * 85) // 100 AS BIGINT)
+         AS rank_fp FROM nodes LEFT JOIN m1 ON node = dst),
+m2 AS (SELECT dst, SUM(rank_fp // outdeg) AS mass
+       FROM edges JOIN outdeg USING (src) JOIN r1 ON r1.node = edges.src
+       GROUP BY dst),
+r2 AS (SELECT node, CAST(150000 + (COALESCE(mass, 0) * 85) // 100 AS BIGINT)
+         AS rank_fp FROM nodes LEFT JOIN m2 ON node = dst),
+m3 AS (SELECT dst, SUM(rank_fp // outdeg) AS mass
+       FROM edges JOIN outdeg USING (src) JOIN r2 ON r2.node = edges.src
+       GROUP BY dst),
+r3 AS (SELECT node, CAST(150000 + (COALESCE(mass, 0) * 85) // 100 AS BIGINT)
+         AS rank_fp FROM nodes LEFT JOIN m3 ON node = dst)
+SELECT node, rank_fp FROM r3 ORDER BY rank_fp DESC, node LIMIT 50
 """
     ),
     "dup_spans_exact": _corpus_oracle(

@@ -1705,9 +1705,11 @@ _PRIORITY = [
     "cdx_roundtrip", "warc_roundtrip", "stats_wire_roundtrip",
     "crawler_metrics_roundtrip",
     "cc_pages_extract",
-    # LLM-pipeline operators + frontier (north rule)
+    # LLM-pipeline operators + frontier (north rule); events_windowed
+    # yields its slot to the iterative-graph class (pagerank) and stays
+    # oracle-tested in pytest
     "dedup_exact", "ngram_jaccard", "embedding_near_dup", "ann_topk",
-    "token_stats", "quality_scores", "language_id", "events_windowed",
+    "token_stats", "quality_scores", "language_id", "pagerank_priority",
     "events_sessionize", "dedup_kept", "frontier_schedule",
 ]
 

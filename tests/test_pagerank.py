@@ -1,0 +1,82 @@
+"""Integer-exact PageRank tests: bit-for-bit vs an independent pure-Python
+model (the integer fixed-point math makes exact equality meaningful),
+structural sanity on known graphs, and determinism across partitionings."""
+
+from __future__ import annotations
+
+from cc_crawl_statistics_spark.operators import pagerank as PR
+
+
+def model_pagerank(edges, n_iter=10, nodes=None):
+    """Single-threaded model of pagerank() — same integer recurrence."""
+    nodes = set(nodes or [])
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (PR.SCALE * (100 - PR.DAMP_PCT)) // 100
+    ranks = {v: PR.SCALE for v in nodes}
+    for _ in range(n_iter):
+        mass = {v: 0 for v in nodes}
+        for s, d in edges:
+            mass[d] += ranks[s] // outdeg[s]
+        ranks = {v: base + (mass[v] * PR.DAMP_PCT) // 100 for v in nodes}
+    return ranks
+
+
+def _run(spark, edges, n_iter=10):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {
+        r["node"]: r["rank_fp"]
+        for r in PR.pagerank(df, n_iter=n_iter).collect()
+    }
+
+
+def test_bit_for_bit_vs_model(spark):
+    # a hub, a chain, a cycle, parallel links, and a dangling node
+    edges = (
+        [(0, h) for h in (1, 2, 3, 4)]
+        + [(1, 5), (5, 6), (6, 1)]
+        + [(2, 3), (2, 3)]  # parallel links count twice
+        + [(7, 0)]  # 0 also receives; node 4 dangles
+    )
+    assert _run(spark, edges) == model_pagerank(edges)
+
+
+def test_synthetic_link_graph_vs_model(spark):
+    # the frontier's deterministic link graph: d -> (2d+1)%N, (3d+7)%N
+    n = 200
+    edges = [(d, (2 * d + 1) % n) for d in range(n)] + [
+        (d, (3 * d + 7) % n) for d in range(n)
+    ]
+    assert _run(spark, edges, n_iter=12) == model_pagerank(edges, n_iter=12)
+
+
+def test_hub_outranks_leaf(spark):
+    edges = [(i, 99) for i in range(20)] + [(99, 0)]
+    ranks = _run(spark, edges)
+    assert ranks[99] > ranks[1]  # the 20-in-link hub beats a leaf
+    assert ranks[0] > ranks[1]  # sole heir of the hub's mass beats a leaf
+    assert ranks[1] == ranks[2]  # symmetric leaves tie exactly
+
+
+def test_deterministic_across_partitionings(spark):
+    edges = [(d, (7 * d + 3) % 50) for d in range(50)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r["node"]: r["rank_fp"] for r in PR.pagerank(df, n_iter=8).collect()}
+    b = {
+        r["node"]: r["rank_fp"]
+        for r in PR.pagerank(df.repartition(13), n_iter=8).collect()
+    }
+    assert a == b
+
+
+def test_top_k_tie_break(spark):
+    edges = [(0, 1), (0, 2), (3, 4)]
+    top = PR.pagerank_top(spark.createDataFrame(edges, ["src", "dst"]), k=3)
+    rows = [(r["node"], r["rank_fp"]) for r in top.collect()]
+    model = model_pagerank(edges)
+    want = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert rows == want
