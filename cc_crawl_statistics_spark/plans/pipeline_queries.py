@@ -18,6 +18,8 @@ from ..frontier.scheduler import first_round_schedule
 from ..operators import dedup as D
 from ..operators import multimodal as M
 from ..operators import pagerank as PR
+from ..operators import recrawl as RC
+from ..sources import sitemap as SM
 from ..operators import sampling as SA
 from ..operators import similarity as SIM
 from ..operators import textstats as TX
@@ -258,6 +260,60 @@ def q_pagerank_priority(spark: SparkSession, sf: str) -> DataFrame:
     return PR.pagerank_top(edges, k=50, n_iter=3)
 
 
+def q_recrawl_tiers(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive recrawl scheduling (operators/recrawl.py) rolled up per
+    refresh tier. The synthetic pages table's digests are static per URL,
+    so a deterministic content-drift model is applied first — hot URLs
+    (doc_id%5==0) get a new digest version every crawl, the rest keep
+    their original digest — and the oracle applies the identical drift,
+    making change counting, the per-url crawl-ordered window, and the
+    integer rate math all hash-checked."""
+    pages = pages_df(spark, sf).withColumn(
+        "digest",
+        F.concat(
+            F.col("digest"),
+            F.lit(":"),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.col("crawl_id").cast("string")
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    tiers = RC.recrawl_tiers(pages)
+    return (
+        tiers.groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum(F.coalesce(F.col("change_permille"), F.lit(0)))
+            .cast("long")
+            .alias("sum_change_permille"),
+            F.sum("n_changes").cast("long").alias("sum_changes"),
+        )
+        .orderBy("tier")
+    )
+
+
+def q_sitemap_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap source end-to-end (sources/sitemap.py): render one <urlset>
+    document per host from the pages table, parse it back with from_xml,
+    and aggregate from the PARSED entries only (url count, freshness,
+    priority mass). The oracle recomputes the aggregate straight from
+    pages, so XML rendering, schema projection, and the priority decimal
+    -> permille conversion are all hash-checked."""
+    sm = SM.render_sitemaps(pages_df(spark, sf))
+    return (
+        SM.parse_sitemaps(sm)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.max("lastmod").cast("long").alias("max_lastmod"),
+            F.sum("priority_permille").cast("long").alias(
+                "sum_priority_permille"
+            ),
+        )
+        .orderBy("host")
+    )
+
+
 def q_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
     """Documents surviving exact dedup (canonical = lowest doc_id per
     content digest) — the keep-side counterpart of dedup_exact, via
@@ -359,6 +415,8 @@ def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_decisions": q_robots_decisions,
     "pagerank_priority": q_pagerank_priority,
+    "recrawl_tiers": q_recrawl_tiers,
+    "sitemap_roundtrip": q_sitemap_roundtrip,
     "curate_corpus": q_curate_corpus,
     "stratified_sample": q_stratified_sample,
     "domain_weights": q_domain_weights,
@@ -776,6 +834,55 @@ dropped AS (
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
 FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 GROUP BY source ORDER BY source
+"""
+    ),
+    "sitemap_roundtrip": oracle_cte(
+        """
+, per_url AS (
+  SELECT host, url, MAX(fetch_ts) AS lastmod,
+         MIN((doc_id * 37) % 100) AS prio_pct
+  FROM pages GROUP BY host, url
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(MAX(lastmod) AS BIGINT) AS max_lastmod,
+  CAST(SUM(prio_pct * 10) AS BIGINT) AS sum_priority_permille
+FROM per_url GROUP BY host ORDER BY host
+"""
+    ),
+    "recrawl_tiers": oracle_cte(
+        """
+, drifted AS (
+  SELECT url, crawl_id, fetch_ts,
+         digest || ':' || CASE WHEN doc_id % 5 = 0
+                               THEN CAST(crawl_id AS STRING)
+                               ELSE '0' END AS digest
+  FROM pages
+),
+obs AS (
+  SELECT url, crawl_id, max_by(digest, fetch_ts) AS digest
+  FROM drifted GROUP BY url, crawl_id
+),
+chg AS (
+  SELECT url,
+    CASE WHEN lag(digest) OVER w IS NULL THEN 0
+         WHEN digest <> lag(digest) OVER w THEN 1 ELSE 0 END AS chg
+  FROM obs WINDOW w AS (PARTITION BY url ORDER BY crawl_id)
+),
+rates AS (
+  SELECT url, COUNT(*) AS n_obs, CAST(SUM(chg) AS BIGINT) AS n_changes,
+    CASE WHEN COUNT(*) >= 2
+         THEN (1000 * CAST(SUM(chg) AS BIGINT)) // (COUNT(*) - 1) END
+      AS change_permille
+  FROM chg GROUP BY url
+)
+SELECT CASE WHEN change_permille IS NULL THEN 'new'
+            WHEN change_permille >= 500 THEN 'hot'
+            WHEN change_permille >= 100 THEN 'warm'
+            ELSE 'cold' END AS tier,
+  CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(COALESCE(change_permille, 0)) AS BIGINT) AS sum_change_permille,
+  CAST(SUM(n_changes) AS BIGINT) AS sum_changes
+FROM rates GROUP BY 1 ORDER BY 1
 """
     ),
     # exact unrolled 3-iteration integer PageRank (same recurrence as

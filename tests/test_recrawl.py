@@ -1,0 +1,73 @@
+"""Adaptive recrawl scheduling tests (operators/recrawl.py): hand-computed
+change rates over a 5-crawl history, repeat-fetch collapse (last digest of
+the crawl wins), and tier boundaries."""
+
+from __future__ import annotations
+
+from cc_crawl_statistics_spark.operators import recrawl as RC
+
+
+def _pages(spark, rows):
+    # (url, crawl_id, fetch_ts, digest)
+    return spark.createDataFrame(rows, ["url", "crawl_id", "fetch_ts", "digest"])
+
+
+def test_change_rates_hand_computed(spark):
+    rows = (
+        # hot: changes on every of its 4 transitions → 1000‰
+        [(f"u/hot", c, c * 10, f"d{c}") for c in range(5)]
+        # warm: 1 change in 4 transitions → 250‰
+        + [("u/warm", c, c * 10, "d0" if c < 3 else "d1") for c in range(5)]
+        # cold: never changes → 0‰
+        + [("u/cold", c, c * 10, "same") for c in range(5)]
+        # new: single observation → unknown
+        + [("u/new", 2, 20, "only")]
+    )
+    got = {
+        r["url"]: (r["n_obs"], r["n_changes"], r["change_permille"])
+        for r in RC.url_change_rates(_pages(spark, rows)).collect()
+    }
+    assert got["u/hot"] == (5, 4, 1000)
+    assert got["u/warm"] == (5, 1, 250)
+    assert got["u/cold"] == (5, 0, 0)
+    assert got["u/new"] == (1, 0, None)
+    tiers = {
+        r["url"]: r["tier"]
+        for r in RC.recrawl_tiers(_pages(spark, rows)).collect()
+    }
+    assert tiers == {
+        "u/hot": "hot",
+        "u/warm": "warm",
+        "u/cold": "cold",
+        "u/new": "new",
+    }
+
+
+def test_repeat_fetches_collapse_to_last_digest(spark):
+    rows = [
+        # crawl 0 fetched twice: early digest dA, later dB → dB counts
+        ("u", 0, 100, "dA"),
+        ("u", 0, 200, "dB"),
+        # crawl 1: dB again → NO change across crawls
+        ("u", 1, 300, "dB"),
+    ]
+    got = RC.url_change_rates(_pages(spark, rows)).first()
+    assert (got["n_obs"], got["n_changes"], got["change_permille"]) == (2, 0, 0)
+
+
+def test_tier_boundaries_exact(spark):
+    # 499‰ vs 500‰ and 99‰ vs 100‰ — integer floor division semantics:
+    # 1 change / 3 transitions = 333‰ (warm); 2/4 = 500‰ (hot, inclusive);
+    # 1/11 = 90‰ (cold)
+    rows = (
+        [("u/333", c, c, "x" if c < 3 else "y") for c in range(4)]
+        + [("u/500", c, c, f"v{c // 2}") for c in range(5)]
+        + [("u/90", c, c, "x" if c < 11 else "y") for c in range(12)]
+    )
+    tiers = {
+        r["url"]: (r["change_permille"], r["tier"])
+        for r in RC.recrawl_tiers(_pages(spark, rows)).collect()
+    }
+    assert tiers["u/333"] == (333, "warm")
+    assert tiers["u/500"] == (500, "hot")
+    assert tiers["u/90"] == (90, "cold")

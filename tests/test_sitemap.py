@@ -1,0 +1,64 @@
+"""Sitemap source tests (sources/sitemap.py): entry roundtrip, priority
+decimal→permille conversion, protocol default, malformed tolerance, and
+the seed-list bridge into the frontier schema."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.sources import sitemap as SM
+from cc_crawl_statistics_spark.sources.tables import pages_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_render_parse_roundtrip(spark):
+    pages = pages_df(spark, SF)
+    parsed = SM.parse_sitemaps(SM.render_sitemaps(pages))
+    want = pages.groupBy("host", "url").agg(F.max("fetch_ts").alias("lastmod"))
+    got = parsed.select("host", "url", "lastmod")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_priority_conversion_and_default(spark):
+    xml = (
+        "<urlset>"
+        "<url><loc>http://a/1</loc><lastmod>5</lastmod><priority>0.80</priority></url>"
+        "<url><loc>http://a/2</loc><lastmod>6</lastmod><priority>1.00</priority></url>"
+        "<url><loc>http://a/3</loc><lastmod>7</lastmod></url>"  # absent → 500
+        "<url><loc>http://a/4</loc><lastmod>8</lastmod><priority>bogus</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a", xml)], ["host", "sitemap_xml"])
+    got = {
+        r["url"]: r["priority_permille"]
+        for r in SM.parse_sitemaps(df).collect()
+    }
+    assert got == {
+        "http://a/1": 800,
+        "http://a/2": 1000,
+        "http://a/3": 500,
+        "http://a/4": 500,  # unparsable decimal → protocol default
+    }
+
+
+def test_malformed_document_dropped_not_fatal(spark):
+    df = spark.createDataFrame(
+        [
+            ("good", "<urlset><url><loc>http://g/</loc></url></urlset>"),
+            ("bad", "<<<not xml"),
+            ("empty", "<urlset></urlset>"),
+        ],
+        ["host", "sitemap_xml"],
+    )
+    rows = SM.parse_sitemaps(df).collect()
+    assert [(r["host"], r["url"]) for r in rows] == [("good", "http://g/")]
+
+
+def test_seeds_match_frontier_schema(spark):
+    pages = pages_df(spark, SF)
+    seeds = SM.seeds_from_sitemaps(SM.render_sitemaps(pages))
+    assert seeds.columns == ["url", "host", "depth", "score", "state"]
+    assert seeds.filter("depth != 0 OR state != 'pending'").count() == 0
+    assert seeds.count() == pages.select("url").distinct().count()
