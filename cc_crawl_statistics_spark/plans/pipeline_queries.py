@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..frontier import robots as RB
 from ..frontier.scheduler import first_round_schedule
 from ..operators import dedup as D
+from ..operators import linkgraph as LG
 from ..operators import multimodal as M
 from ..operators import pagerank as PR
 from ..operators import recrawl as RC
@@ -23,11 +24,13 @@ from ..sources import sitemap as SM
 from ..operators import sampling as SA
 from ..operators import similarity as SIM
 from ..operators import textstats as TX
+from ..sources.cc_pages import cc_pages_linked_df
 from ..sources.tables import load_table, pages_df
 from ..synth import (
     CORPUS_SQL,
     EMB_CORPUS_SQL_DUCK,
     EMB_CORPUS_SQL_SPARK,
+    child_url_sql,
     oracle_cte,
 )
 
@@ -412,6 +415,35 @@ def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
     return TX.pii_counts(corpus)
 
 
+def q_outlinks(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML outlink parse + resolution (linkgraph.page_outlinks): Spark
+    decodes the html BYTES and regexp-parses anchors in codegen; the
+    DuckDB oracle recomputes the expected link set purely arithmetically
+    (the fixture's child formula, synth.child_url_sql) without ever seeing
+    the html — a hash match proves the whole parse/resolve chain."""
+    return LG.page_outlinks(cc_pages_linked_df(spark, sf)).orderBy(
+        "url", "outlink"
+    )
+
+
+def q_host_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    return LG.host_link_graph(
+        LG.page_outlinks(cc_pages_linked_df(spark, sf))
+    )
+
+
+def q_host_degrees(spark: SparkSession, sf: str) -> DataFrame:
+    return LG.host_degree_stats(
+        LG.host_link_graph(LG.page_outlinks(cc_pages_linked_df(spark, sf)))
+    )
+
+
+def q_host_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return LG.host_degree_histogram(
+        LG.host_link_graph(LG.page_outlinks(cc_pages_linked_df(spark, sf)))
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_decisions": q_robots_decisions,
     "pagerank_priority": q_pagerank_priority,
@@ -445,6 +477,92 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_schedule": q_frontier_schedule,
     "dedup_kept": q_dedup_kept,
     "surt_hll": q_surt_hll,
+    "outlinks": q_outlinks,
+    "host_link_graph": q_host_link_graph,
+    "host_degrees": q_host_degrees,
+    "host_degree_histogram": q_host_degree_histogram,
+}
+
+# ---------------------------------------------------------------------------
+# link-graph oracles: arithmetic ground truth — DuckDB derives the expected
+# edges from doc_id arithmetic (never parsing html), Spark parses the html
+# bytes; hash equality proves parse + resolution end-to-end.
+# ---------------------------------------------------------------------------
+
+_LINKS_CTE = f"""
+, nd AS (SELECT COUNT(*) AS n FROM documents),
+base AS (SELECT DISTINCT doc_id, url, scheme, host FROM pages),
+links AS (
+  SELECT url, {child_url_sql('(doc_id*2+1) % n')} AS outlink FROM base, nd
+  UNION ALL
+  SELECT url, {child_url_sql('(doc_id*3+7) % n')} AS outlink FROM base, nd
+  UNION ALL
+  SELECT url, scheme || '://' || host || '/page/' ||
+         CAST((doc_id*5+3) % n AS STRING) || '.html' AS outlink
+  FROM base, nd
+),
+dlinks AS (SELECT DISTINCT url, outlink FROM links)
+"""
+
+_EDGES_CTE = _LINKS_CTE + """
+, edges AS (
+  SELECT split_part(split_part(url, '://', 2), '/', 1) AS src_host,
+         split_part(split_part(outlink, '://', 2), '/', 1) AS dst_host
+  FROM dlinks
+),
+egrp AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM edges GROUP BY src_host, dst_host
+)
+"""
+
+_LINK_PLOG_BIN = (
+    "CAST((CASE WHEN CAST(FLOOR(v / p10) AS BIGINT) >= 5 THEN 5 "
+    "WHEN CAST(FLOOR(v / p10) AS BIGINT) >= 2 THEN 2 "
+    "ELSE 1 END) * p10 AS BIGINT)"
+)
+
+_LINKGRAPH_ORACLES: dict[str, str] = {
+    "outlinks": oracle_cte(
+        _LINKS_CTE + "SELECT url, outlink FROM dlinks ORDER BY url, outlink"
+    ),
+    "host_link_graph": oracle_cte(
+        _EDGES_CTE
+        + "SELECT src_host, dst_host, n_links FROM egrp "
+        "ORDER BY src_host, dst_host"
+    ),
+    "host_degrees": oracle_cte(
+        _EDGES_CTE
+        + """
+, outd AS (
+  SELECT src_host AS host, CAST(COUNT(*) AS BIGINT) AS out_degree,
+         CAST(SUM(n_links) AS BIGINT) AS out_links
+  FROM egrp GROUP BY src_host
+),
+ind AS (
+  SELECT dst_host AS host, CAST(COUNT(*) AS BIGINT) AS in_degree
+  FROM egrp GROUP BY dst_host
+)
+SELECT host,
+       CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+       CAST(COALESCE(out_links, 0) AS BIGINT) AS out_links,
+       CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
+FROM outd FULL OUTER JOIN ind USING (host) ORDER BY host
+"""
+    ),
+    "host_degree_histogram": oracle_cte(
+        _EDGES_CTE
+        + f"""
+, indeg AS (SELECT dst_host, COUNT(*) AS v FROM egrp GROUP BY dst_host),
+binned AS (
+  SELECT CAST(v AS BIGINT) AS v,
+         CAST(power(10, length(CAST(v AS STRING)) - 1) AS BIGINT) AS p10
+  FROM indeg WHERE v > 0
+)
+SELECT {_LINK_PLOG_BIN} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+FROM binned GROUP BY bin ORDER BY bin
+"""
+    ),
 }
 
 _TOKEN_RE_SQL = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
@@ -1004,3 +1122,5 @@ FROM ranked WHERE rank <= budget ORDER BY host, rank
 """
     ),
 }
+
+PIPELINE_ORACLES.update(_LINKGRAPH_ORACLES)

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.extract import synth_html
+from ..functions.links import synth_linked_html
+from ..synth import child_url_sql, outlink_child_ids_sql
 from .tables import load_table, pages_df
 
 
@@ -33,6 +35,34 @@ def cc_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         F.timestamp_seconds(F.col("fetch_ts")).alias("warc_ts"),
         synth_html(F.col("text")).alias("html"),
+        "text",
+        F.split(F.col("languages"), ",").getItem(0).alias("lang"),
+    )
+
+
+def cc_pages_linked_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same input_hint schema, html now carrying deterministic outlink
+    anchors: two absolute cross-host links (the expand_links child formula,
+    frontier/scheduler.py:152-158) and one root-relative same-host link —
+    so outlink PARSING (operators/linkgraph.py) has arithmetic ground truth
+    the DuckDB oracle recomputes without ever seeing the html bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # parquet-footer metadata count — no scan; the child formula needs the
+    # universe size N exactly as expand_links does
+    n_docs = docs.count()
+    pages = pages_df(spark, sf_dir).select(
+        "url", "doc_id", "fetch_ts", "languages"
+    )
+    c1, c2, c3 = outlink_child_ids_sql(n_docs)
+    hrefs = F.array(
+        F.expr(child_url_sql(c1)),
+        F.expr(child_url_sql(c2)),
+        F.expr(f"'/page/' || CAST({c3} AS STRING) || '.html'"),
+    )
+    return pages.join(docs, "doc_id").select(
+        "url",
+        F.timestamp_seconds(F.col("fetch_ts")).alias("warc_ts"),
+        synth_linked_html(F.col("text"), hrefs).alias("html"),
         "text",
         F.split(F.col("languages"), ",").getItem(0).alias("lang"),
     )

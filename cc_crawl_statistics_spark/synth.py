@@ -178,6 +178,52 @@ FROM embeddings WHERE vec_id % 7 = 0
 """
 
 
+def child_url_sql(c: str) -> str:
+    """Dialect-neutral URL of doc ``c`` (an integer SQL expression) — the
+    exact formula _PAGES_TEMPLATE's ``u`` CTE uses at the oracle fixture
+    shape (host_pool=40, site_pool=12). Shared verbatim by the Spark plan
+    (via ``F.expr``) and the DuckDB link-graph oracles, so the two engines
+    derive child URLs from one source of truth while Spark additionally
+    proves it can RE-PARSE those URLs out of the html bytes
+    (operators/linkgraph.py)."""
+    return (
+        f"CASE WHEN ({c}) % 10 < 8 THEN 'https' ELSE 'http' END || '://' || "
+        f"CASE WHEN ({c}) % 120 < 40 THEN 'www.' "
+        f"     WHEN ({c}) % 120 < 80 THEN '' ELSE 'cdn.' END || "
+        f"'site' || CAST((({c}) % 40) % 12 AS STRING) || '.' || "
+        f"CASE WHEN (({c}) % 40) % 5 = 0 THEN 'com' "
+        f"     WHEN (({c}) % 40) % 5 = 1 THEN 'org' "
+        f"     WHEN (({c}) % 40) % 5 = 2 THEN 'net' "
+        f"     WHEN (({c}) % 40) % 5 = 3 THEN 'de' ELSE 'jp' END || "
+        f"'/page/' || CAST(({c}) AS STRING) || '.html'"
+    )
+
+
+def child_host_sql(c: str) -> str:
+    """Host part of child_url_sql(c) — for host-graph oracles."""
+    return (
+        f"CASE WHEN ({c}) % 120 < 40 THEN 'www.' "
+        f"     WHEN ({c}) % 120 < 80 THEN '' ELSE 'cdn.' END || "
+        f"'site' || CAST((({c}) % 40) % 12 AS STRING) || '.' || "
+        f"CASE WHEN (({c}) % 40) % 5 = 0 THEN 'com' "
+        f"     WHEN (({c}) % 40) % 5 = 1 THEN 'org' "
+        f"     WHEN (({c}) % 40) % 5 = 2 THEN 'net' "
+        f"     WHEN (({c}) % 40) % 5 = 3 THEN 'de' ELSE 'jp' END"
+    )
+
+
+# the three deterministic outlinks page d carries (functions/links.py
+# embeds them as anchors; frontier/scheduler.expand_links uses children
+# 1-2 as its discovery model): two absolute cross-host links and one
+# root-relative same-host link
+def outlink_child_ids_sql(n_docs: int) -> tuple[str, str, str]:
+    return (
+        f"(doc_id * 2 + 1) % {n_docs}",
+        f"(doc_id * 3 + 7) % {n_docs}",
+        f"(doc_id * 5 + 3) % {n_docs}",
+    )
+
+
 def pages_view_sql(
     documents_rel: str = "documents",
     host_pool: int = 40,

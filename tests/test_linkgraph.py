@@ -1,0 +1,201 @@
+"""Link-graph chain: html anchor synthesis, codegen outlink parse, href
+resolution (codegen + urljoin tiers), host graph, and parity between
+html-parse discovery and the frontier's arithmetic expand_links model.
+
+Oracle exactness of the four link-graph queries is covered by
+tests/test_oracle_parity.py (they are oracle-paired registry entries);
+this file pins the per-row models and the plan shapes.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.functions.extract import extract_text_bytes
+from cc_crawl_statistics_spark.functions.links import (
+    parse_outlinks_col,
+    resolve_href_col,
+    resolve_href_udf,
+    synth_linked_html_bytes,
+)
+from cc_crawl_statistics_spark.operators import linkgraph as LG
+from cc_crawl_statistics_spark.sources.cc_pages import cc_pages_linked_df
+from cc_crawl_statistics_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+HREFS = [
+    "https://www.site3.org/page/7.html",
+    "http://cdn.site0.jp/page/11.html",
+    "/page/42.html",
+]
+
+
+def test_linked_html_preserves_extraction_invariant():
+    """Anchors carry no text, so extract_text(html) == text keeps holding
+    byte-for-byte on linked pages (the north-rule per-row invariant)."""
+    for text in ["plain words", "a < b & c > d", "", "tab\tand  spaces"]:
+        html = synth_linked_html_bytes(text, HREFS)
+        want = extract_text_bytes(synth_linked_html_bytes(text, []))
+        assert extract_text_bytes(html) == want
+        # and the no-links flavor extracts to the original text exactly
+        norm = " ".join(text.split())
+        assert extract_text_bytes(html) == norm
+
+
+def test_parse_outlinks_matches_synthesis(spark):
+    """regexp parse recovers exactly the hrefs that were embedded."""
+    rows = [("plain", HREFS), ("with & entity", []), ("x", ["/only.html"])]
+    df = spark.createDataFrame(
+        [(synth_linked_html_bytes(t, h), h) for t, h in rows],
+        "html binary, want array<string>",
+    )
+    got = df.select(
+        parse_outlinks_col(F.col("html")).alias("got"), "want"
+    ).collect()
+    for r in got:
+        assert r.got == r.want
+
+
+RESOLVE_CASES = [
+    # (base, href) — codegen classes
+    ("https://www.a.com/dir/page.html", "https://b.org/x"),
+    ("https://www.a.com/dir/page.html", "http://b.org/x?q=1"),
+    ("https://www.a.com/dir/page.html", "//cdn.c.net/y.js"),
+    ("https://www.a.com/dir/page.html", "/rooted/z.html"),
+    ("https://www.a.com/dir/page.html", "sibling.html"),
+    ("https://www.a.com/dir/sub/p.html", "a/b.html"),
+    ("http://a.com/p.html", ""),
+    ("http://a.com/p.html", "#frag"),
+]
+
+
+def test_resolve_udf_is_urljoin(spark):
+    """The Arrow tier IS RFC 3986: equal to stdlib urljoin on every class,
+    including dot-segments the codegen tier doesn't normalize."""
+    cases = RESOLVE_CASES + [
+        ("https://a.com/d1/d2/p.html", "../up.html"),
+        ("https://a.com/d1/d2/p.html", "../../up2.html"),
+        ("https://a.com/d1/p.html", "./here.html"),
+        ("https://a.com/p.html", "?q=2"),
+    ]
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = df.select(
+        "base", "href", resolve_href_udf("base", "href").alias("r")
+    ).collect()
+    for r in got:
+        want = (
+            None
+            if r.href == "" or r.href.startswith("#")
+            else urljoin(r.base, r.href)
+        )
+        assert r.r == want, (r.base, r.href, r.r, want)
+
+
+def test_resolve_codegen_agrees_with_udf_on_its_classes(spark):
+    """Codegen tier == urljoin on absolute / protocol-relative /
+    root-relative / dot-segment-free document-relative hrefs."""
+    df = spark.createDataFrame(RESOLVE_CASES, "base string, href string")
+    parsed = df.select(
+        "base",
+        "href",
+        resolve_href_col(
+            F.parse_url("base", F.lit("PROTOCOL")),
+            F.parse_url("base", F.lit("HOST")),
+            F.parse_url("base", F.lit("PATH")),
+            F.col("href"),
+        ).alias("fast"),
+        resolve_href_udf("base", "href").alias("full"),
+    ).collect()
+    for r in parsed:
+        assert r.fast == r.full, (r.base, r.href, r.fast, r.full)
+
+
+def test_parse_plan_is_pure_codegen(spark):
+    """The outlink parse/resolve path contains zero Python evaluation —
+    the blob-touching stage stays JVM-side (UDFs appear only in the
+    fixture's html SYNTHESIS, never in the engine's parse)."""
+    df = spark.createDataFrame(
+        [(synth_linked_html_bytes("t", HREFS), "https://www.a.com/p.html")],
+        "html binary, url string",
+    )
+    plan = LG.page_outlinks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "pythonUDF" not in plan
+
+
+def test_html_discovery_matches_expand_links_model(spark):
+    """Crawl-discovery parity: the child URLs parsed out of the html bytes
+    (absolute anchors 1-2) are EXACTLY the frontier's arithmetic expansion
+    (2d+1, 3d+7 mod N — scheduler.expand_links), for every page."""
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    pages = cc_pages_linked_df(spark, SF_SMOKE)
+    parsed = LG.page_outlinks(pages).filter(
+        # keep only the two absolute cross-host children: the root-relative
+        # sibling link resolves onto the page's own host
+        ~F.col("outlink").startswith(
+            F.concat(
+                F.parse_url("url", F.lit("PROTOCOL")),
+                F.lit("://"),
+                F.parse_url("url", F.lit("HOST")),
+                F.lit("/"),
+            )
+        )
+    )
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+    from cc_crawl_statistics_spark.synth import child_url_sql
+
+    base = pages_df(spark, SF_SMOKE).select("url", "doc_id").distinct()
+    model = base.select(
+        "url",
+        F.explode(
+            F.array(
+                F.expr(child_url_sql(f"(doc_id*2+1) % {n_docs}")),
+                F.expr(child_url_sql(f"(doc_id*3+7) % {n_docs}")),
+            )
+        ).alias("outlink"),
+    )
+    # the model may emit a child equal to the same-host sibling (rare id
+    # collision) — apply the identical cross-host filter
+    model = model.filter(
+        ~F.col("outlink").startswith(
+            F.concat(
+                F.parse_url("url", F.lit("PROTOCOL")),
+                F.lit("://"),
+                F.parse_url("url", F.lit("HOST")),
+                F.lit("/"),
+            )
+        )
+    ).distinct()
+    assert parsed.exceptAll(model).count() == 0
+    assert model.exceptAll(parsed).count() == 0
+
+
+def test_host_degree_stats_semantics(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("x", "a", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    rows = {r.host: r for r in LG.host_degree_stats(edges).collect()}
+    assert rows["a"].out_degree == 2 and rows["a"].out_links == 4
+    assert rows["a"].in_degree == 2
+    assert rows["c"].out_degree == 0 and rows["c"].in_degree == 1
+    assert rows["x"].out_degree == 1 and rows["x"].in_degree == 0
+
+
+def test_self_loop_flag(spark):
+    out = spark.createDataFrame(
+        [
+            ("https://a.com/1", "https://a.com/2"),
+            ("https://a.com/1", "https://b.com/1"),
+        ],
+        "url string, outlink string",
+    )
+    with_loops = LG.host_link_graph(out).collect()
+    no_loops = LG.host_link_graph(out, keep_self_loops=False).collect()
+    assert len(with_loops) == 2 and len(no_loops) == 1
+    assert no_loops[0].dst_host == "b.com"
