@@ -188,6 +188,75 @@ def expand_links(scheduled: DataFrame, universe: DataFrame, n_docs: int) -> Data
     )
 
 
+def html_discovery(spark, sf_dir: str, pages: DataFrame | None = None):
+    """Factory for the REAL discovery path: an ``expand_fn`` for
+    ``run_round`` that parses outlink anchors out of the scheduled pages'
+    html BYTES (functions/links.py codegen parse + resolution) instead of
+    applying the arithmetic child formula.
+
+    On the fixture corpus the anchors embed exactly the arithmetic
+    formula's children plus one root-relative sibling link, so this path
+    discovers expand_links' output plus the (rare) siblings that resolve
+    onto real universe URLs — pinned by
+    tests/test_linkgraph.py::test_html_discovery_fn_vs_arithmetic.
+
+    Scale shape (unchanged from expand_links): the schedule is
+    budget-bounded, so it broadcasts INTO the corpus-scale linked-pages
+    join — the only stage touching html bytes — and the slim (child_url,
+    depth) kid set broadcasts into the universe lookup. The universe
+    relation never shuffles."""
+    from ..functions.links import parse_outlinks_col, resolve_href_col
+    from ..functions.urlkit import host_of, scheme_of
+    from ..sources.cc_pages import cc_pages_linked_df
+
+    if pages is None:
+        pages = cc_pages_linked_df(spark, sf_dir)
+    # repeat fetch rows carry identical html; one parse per url suffices
+    page_html = pages.select("url", "html").dropDuplicates(["url"])
+
+    def expand(scheduled: DataFrame, universe: DataFrame,
+               n_docs: int) -> DataFrame:
+        fetched = page_html.join(
+            F.broadcast(scheduled.select("url", "depth")), "url"
+        )
+        hrefs = fetched.select(
+            scheme_of(F.col("url")).alias("_scheme"),
+            host_of(F.col("url")).alias("_host"),
+            F.parse_url(F.col("url"), F.lit("PATH")).alias("_path"),
+            (F.col("depth") + 1).alias("depth"),
+            F.explode(parse_outlinks_col(F.col("html"))).alias("_href"),
+        )
+        kids = (
+            hrefs.select(
+                resolve_href_col(
+                    F.col("_scheme"), F.col("_host"), F.col("_path"),
+                    F.col("_href"),
+                ).alias("child_url"),
+                "depth",
+            )
+            .filter(F.col("child_url").isNotNull())
+            .groupBy("child_url")
+            .agg(F.min("depth").alias("depth"))
+        )
+        # enqueue only URLs that exist in the fetchable universe (dangling
+        # outlinks point off-corpus); attributes/score come from the
+        # universe row exactly as in expand_links
+        return universe.join(
+            F.broadcast(kids), kids.child_url == universe.url, "inner"
+        ).select(
+            "url",
+            "surt_key",
+            "host",
+            "depth",
+            ((F.col("doc_id") * 37) % 100).alias("score"),
+            F.lit("pending").alias("state"),
+            "doc_id",
+            *ATTR_COLS,
+        )
+
+    return expand
+
+
 def host_bucketed_topk(
     candidates: DataFrame, budget_col: str = "max_per_round", n_salts: int = 8
 ) -> DataFrame:
@@ -340,6 +409,7 @@ def run_round(
     compact_every: int = 16,
     bloom_min_seen: int = 10_000_000,
     timings: dict | None = None,
+    expand_fn=None,
 ) -> dict:
     """Execute the next scheduling round from the latest committed snapshot
     and commit round+1. Returns the round metrics (computed from the
@@ -355,7 +425,13 @@ def run_round(
     its metrics (n_extract_mismatch must be 0). Every ``compact_every``
     rounds the seen-set deltas are compacted into one base table with a
     materialized Bloom prefilter (post-commit maintenance: a crash during
-    compaction loses nothing, read_seen falls back to the deltas)."""
+    compaction loses nothing, read_seen falls back to the deltas).
+
+    ``expand_fn`` overrides link discovery (default: the arithmetic
+    ``expand_links`` model). Pass ``html_discovery(spark, sf_dir)`` to
+    discover by PARSING the scheduled pages' html bytes — same signature
+    ``(sched_materialized, universe, n_docs) -> DataFrame`` with
+    seed_frontier's schema."""
     latest = store.latest_round()
     if latest is None:
         if pages is None:
@@ -499,7 +575,9 @@ def run_round(
         candidate split costs more than a small in-memory anti-join
         saves), so the prefilter engages only once the seen set is large
         enough to matter."""
-        discovered = expand_links(sched_materialized, universe, n_docs)
+        discovered = (expand_fn or expand_links)(
+            sched_materialized, universe, n_docs
+        )
         bloom_file = (
             store.bloom_path(latest) if prev_seen >= bloom_min_seen else None
         )

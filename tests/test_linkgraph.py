@@ -175,6 +175,74 @@ def test_html_discovery_matches_expand_links_model(spark):
     assert model.exceptAll(parsed).count() == 0
 
 
+def test_html_discovery_fn_vs_arithmetic(spark):
+    """The pluggable html-parse discovery (scheduler.html_discovery)
+    yields exactly the arithmetic expand_links set PLUS the root-relative
+    sibling links that happen to resolve onto real universe URLs — and
+    identical attribute rows for the shared URLs."""
+    from cc_crawl_statistics_spark.frontier import scheduler
+    from cc_crawl_statistics_spark.functions.urlkit import host_of, scheme_of
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    universe = scheduler.url_universe(pages_df(spark, SF_SMOKE)).cache()
+    sched = (
+        universe.orderBy("url")
+        .limit(40)
+        .select("url", "doc_id", F.lit(0).alias("depth"))
+    )
+    arith = scheduler.expand_links(sched, universe, n_docs).cache()
+    parsed = scheduler.html_discovery(spark, SF_SMOKE)(
+        sched, universe, n_docs
+    ).cache()
+
+    sib = sched.select(
+        F.concat(
+            scheme_of(F.col("url")),
+            F.lit("://"),
+            host_of(F.col("url")),
+            F.lit("/page/"),
+            ((F.col("doc_id") * 5 + 3) % n_docs).cast("string"),
+            F.lit(".html"),
+        ).alias("url")
+    ).join(universe.select("url"), "url", "semi")
+    expected = {
+        r.url for r in arith.select("url").union(sib).distinct().collect()
+    }
+    got = {r.url for r in parsed.select("url").collect()}
+    assert got == expected
+    # shared URLs carry identical rows (attrs/score/depth from the universe)
+    shared = parsed.join(arith.select("url"), "url", "semi")
+    assert shared.exceptAll(arith).count() == 0
+
+
+def test_run_round_with_html_discovery(spark, tmp_path):
+    """Full scheduling rounds driven by real html parsing: round-1
+    schedule is identical to the arithmetic engine (discovery hasn't fed
+    back yet) and round-1 discovery is a superset of the arithmetic
+    delta."""
+    from cc_crawl_statistics_spark.frontier import scheduler
+    from cc_crawl_statistics_spark.frontier.state import SnapshotStore
+
+    s_html = SnapshotStore(str(tmp_path / "html"))
+    s_arith = SnapshotStore(str(tmp_path / "arith"))
+    fn = scheduler.html_discovery(spark, SF_SMOKE)
+    m1h = scheduler.run_round(spark, s_html, SF_SMOKE, expand_fn=fn)
+    m1a = scheduler.run_round(spark, s_arith, SF_SMOKE)
+    assert m1h["n_scheduled"] == m1a["n_scheduled"]
+    sched_h = s_html.read(spark, 1, "schedule")
+    sched_a = s_arith.read(spark, 1, "schedule")
+    assert sched_h.exceptAll(sched_a).count() == 0
+    assert sched_a.exceptAll(sched_h).count() == 0
+    delta_h = s_html.read(spark, 1, "frontier_delta")
+    delta_a = s_arith.read(spark, 1, "frontier_delta")
+    assert delta_a.exceptAll(delta_h).count() == 0  # superset
+    assert m1h["n_discovered_new"] >= m1a["n_discovered_new"]
+    # and the engine keeps scheduling from the parsed frontier
+    m2h = scheduler.run_round(spark, s_html, SF_SMOKE, expand_fn=fn)
+    assert m2h["n_scheduled"] > 0
+
+
 def test_host_degree_stats_semantics(spark):
     edges = spark.createDataFrame(
         [("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("x", "a", 1)],
