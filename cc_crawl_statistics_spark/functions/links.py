@@ -70,9 +70,13 @@ def parse_outlinks_col(html: Column) -> Column:
     UTF-8 decode + regexp_extract_all. No Python, no explode — callers
     explode so the fan-out shuffle (if any) happens after column pruning
     dropped the blob."""
-    return F.regexp_extract_all(
-        F.decode(html, "UTF-8"), F.lit(_HREF_PATTERN), F.lit(1)
-    )
+    return parse_outlinks_str_col(F.decode(html, "UTF-8"))
+
+
+def parse_outlinks_str_col(html_str: Column) -> Column:
+    """Same extraction over an already-decoded string column (e.g. a WARC
+    record's payload block, sources/warc.py)."""
+    return F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), F.lit(1))
 
 
 def resolve_href_col(scheme: Column, host: Column, base_path: Column,

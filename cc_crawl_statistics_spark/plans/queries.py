@@ -639,6 +639,105 @@ def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _wat_links_oracle() -> str:
+    """Arithmetic ground truth for the WAT outlink extraction: raw hrefs
+    recomputed from doc_id (never parsing the WARC payload)."""
+    from ..synth import child_url_sql
+
+    return oracle_cte(
+        f"""
+, nd AS (SELECT COUNT(*) AS n FROM documents),
+base AS (SELECT DISTINCT url, status, doc_id FROM pages)
+SELECT url, status,
+  CAST(3 AS BIGINT) AS n_links,
+  {child_url_sql('(doc_id*2+1) % n')} AS link1,
+  '/page/' || CAST((doc_id*5+3) % n AS STRING) || '.html' AS link3
+FROM base, nd ORDER BY url
+"""
+    )
+
+
+def q_wet_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC→WET derivation driver-checked end-to-end: render WARC response
+    records, parse them, extract text with the byte-identical Arrow UDF
+    (wet_from_warc), render WET conversion records, parse those back, and
+    aggregate from the re-parsed WET columns. The deterministic WARC body
+    extracts to exactly url||digest, so the oracle recomputes record
+    counts and total text chars straight from the source table — drift
+    anywhere in the WARC render, parse, extraction, WET render, or WET
+    parse breaks value parity."""
+    from pyspark.sql import functions as F
+
+    from ..sources.warc import (
+        RECORD_SEP,
+        parse_warc_records,
+        parse_wet_records,
+        render_warc_records,
+        render_wet_records,
+        wet_from_warc,
+    )
+
+    recs = render_warc_records(pages_df(spark, sf)).select(
+        F.expr(f"substring(value, {len(RECORD_SEP) + 1})").alias("value")
+    )
+    conv = wet_from_warc(parse_warc_records(recs))
+    wet = render_wet_records(conv).select(
+        F.expr(f"substring(value, {len(RECORD_SEP) + 1})").alias("value")
+    )
+    parsed = parse_wet_records(wet)
+    return parsed.select(
+        F.count("*").cast("long").alias("n_records"),
+        F.countDistinct("url").cast("long").alias("n_urls"),
+        F.sum(F.length("text")).cast("long").alias("text_chars"),
+        F.sum((F.col("warc_type") == "conversion").cast("long")).alias(
+            "n_conversion"
+        ),
+    )
+
+
+def q_wat_links(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC→WAT derivation driver-checked: render WARC records whose html
+    payload carries the fixture's outlink anchors (pure codegen concat —
+    same child formula as the link graph), parse the records, build WAT
+    metadata rows (envelope + outlinks parsed from the payload), and
+    project link fields per distinct URL. The oracle recomputes the raw
+    hrefs arithmetically."""
+    from pyspark.sql import functions as F
+
+    from ..sources.warc import RECORD_SEP, parse_warc_records, render_warc_records
+    from ..sources.warc import wat_from_warc
+    from ..synth import child_url_sql, outlink_child_ids_sql
+
+    docs_n = load_table(spark, sf, "documents").count()
+    c1, c2, c3 = outlink_child_ids_sql(docs_n)
+    pages = pages_df(spark, sf).withColumn(
+        "body",
+        F.concat(
+            F.lit("<!doctype html><title>"), F.col("url"),
+            F.lit("</title><p>"), F.col("digest"), F.lit("</p>"),
+            F.lit('<a href="'), F.expr(child_url_sql(c1)), F.lit('"></a>'),
+            F.lit('<a href="'), F.expr(child_url_sql(c2)), F.lit('"></a>'),
+            F.lit('<a href="/page/'), F.expr(f"CAST({c3} AS STRING)"),
+            F.lit('.html"></a>'),
+        ),
+    )
+    recs = render_warc_records(pages, body_col="body").select(
+        F.expr(f"substring(value, {len(RECORD_SEP) + 1})").alias("value")
+    )
+    wat = wat_from_warc(parse_warc_records(recs))
+    return (
+        wat.select(
+            "url",
+            "status",
+            F.size("outlinks").cast("long").alias("n_links"),
+            F.col("outlinks").getItem(0).alias("link1"),
+            F.col("outlinks").getItem(2).alias("link3"),
+        )
+        .distinct()
+        .orderBy("url")
+    )
+
+
 def q_stats_wire_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """S2/S4/A13 driver-checked: host counts → reference JSON\\tJSON wire
     lines (emit_stats_lines, incl. the MultiCount trailing-equal
@@ -929,6 +1028,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "languages_floor": q_languages_floor,
     "cdx_roundtrip": q_cdx_roundtrip,
     "warc_roundtrip": q_warc_roundtrip,
+    "wet_roundtrip": q_wet_roundtrip,
+    "wat_links": q_wat_links,
     "stats_wire_roundtrip": q_stats_wire_roundtrip,
     "crawler_metrics_roundtrip": q_crawler_metrics_roundtrip,
     "cc_pages_extract": q_cc_pages_extract,
@@ -1532,6 +1633,16 @@ SELECT status, mime,
 FROM pages GROUP BY status, mime ORDER BY status, mime
 """
         ),
+        "wet_roundtrip": _oracle(
+            """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_urls,
+  CAST(SUM(length(url || digest)) AS BIGINT) AS text_chars,
+  CAST(COUNT(*) AS BIGINT) AS n_conversion
+FROM pages
+"""
+        ),
+        "wat_links": _wat_links_oracle(),
         "cdx_roundtrip": _oracle(
             """
 SELECT scheme, tld, status,

@@ -31,17 +31,22 @@ RECORD_SEP = "WARC/1.0\r\n"
 _CRLF2 = "\r\n\r\n"
 
 
-def render_warc_records(pages: DataFrame) -> DataFrame:
+def render_warc_records(pages: DataFrame, body_col: str | None = None) -> DataFrame:
     """pages rows → one spec-shaped WARC response record string per fetch
-    (column ``value``). The payload is a deterministic HTML body derived
-    from the row, so byte integrity is checkable end-to-end."""
-    body = F.concat(
-        F.lit("<!doctype html><title>"),
-        F.col("url"),
-        F.lit("</title><p>"),
-        F.col("digest"),
-        F.lit("</p>"),
-    )
+    (column ``value``). The payload defaults to a deterministic HTML body
+    derived from the row, so byte integrity is checkable end-to-end;
+    ``body_col`` substitutes a real html string column (e.g. the linked
+    fixture pages, for WAT link extraction)."""
+    if body_col is not None:
+        body = F.col(body_col)
+    else:
+        body = F.concat(
+            F.lit("<!doctype html><title>"),
+            F.col("url"),
+            F.lit("</title><p>"),
+            F.col("digest"),
+            F.lit("</p>"),
+        )
     http_block = F.concat(
         F.lit("HTTP/1.1 "),
         F.col("status").cast("string"),
@@ -122,3 +127,119 @@ def parse_warc_records(records: DataFrame, value_col: str = "value") -> DataFram
         "is_valid",
         (F.col("url") != "") & F.col("status").isNotNull(),
     )
+
+
+# ---------------------------------------------------------------------------
+# WET / WAT — Common Crawl's derived companion formats
+# (WET = extracted-text conversion records; WAT = per-record metadata JSON
+# incl. outlinks). The reference's stats run downstream of these; producing
+# them closes the WARC->WET/WAT derivation the CC pipeline performs.
+# ---------------------------------------------------------------------------
+
+
+def wet_from_warc(parsed: DataFrame) -> DataFrame:
+    """Parsed WARC response records → WET conversion rows (url, refers_to,
+    text). Extraction is the engine's byte-identical Arrow UDF
+    (functions/extract.py) over the payload bytes — the same code path the
+    frontier's fetch stage uses, so the north-rule invariant covers WET
+    output too."""
+    from ..functions.extract import extract_text
+
+    return parsed.filter(F.col("is_valid")).select(
+        "url",
+        F.col("record_id").alias("refers_to"),
+        extract_text(F.encode(F.col("payload"), "UTF-8")).alias("text"),
+    )
+
+
+def render_wet_records(conv: DataFrame) -> DataFrame:
+    """(url, refers_to, text) → spec-shaped WARC/1.0 conversion records."""
+    return conv.select(
+        F.concat(
+            F.lit(RECORD_SEP),
+            F.lit("WARC-Type: conversion\r\n"),
+            F.lit("WARC-Target-URI: "), F.col("url"), F.lit("\r\n"),
+            F.lit("WARC-Refers-To: "), F.col("refers_to"), F.lit("\r\n"),
+            F.lit("Content-Type: text/plain\r\n"),
+            F.lit("Content-Length: "),
+            F.length("text").cast("string"),
+            F.lit(_CRLF2),
+            F.col("text"),
+            F.lit("\r\n"),
+        ).alias("value")
+    )
+
+
+def write_wet(conv: DataFrame, path: str, compression: str | None = None):
+    w = render_wet_records(conv).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def parse_wet_records(records: DataFrame, value_col: str = "value") -> DataFrame:
+    """WET record strings → (warc_type, url, refers_to, text). Conversion
+    records have ONE blank line (no HTTP block): header, then payload."""
+    v = F.col(value_col)
+    hdr = F.substring_index(v, _CRLF2, 1)
+    text = F.regexp_replace(
+        v.substr(F.length(hdr) + 5, F.length(v)), "[\\r\\n]+$", ""
+    )
+
+    def hfield(name: str) -> F.Column:
+        return F.regexp_extract(hdr, f"(?m)^{name}: (.*?)\r?$", 1)
+
+    return records.select(
+        hfield("WARC-Type").alias("warc_type"),
+        hfield("WARC-Target-URI").alias("url"),
+        hfield("WARC-Refers-To").alias("refers_to"),
+        text.alias("text"),
+    )
+
+
+def wat_from_warc(parsed: DataFrame) -> DataFrame:
+    """Parsed WARC response records → WAT metadata rows: envelope fields
+    plus the outlink hrefs parsed from the payload (codegen — the same
+    extraction the link-graph operators use). ``wat_json`` is the
+    CC-WAT-style JSON payload string."""
+    from ..functions.links import parse_outlinks_str_col
+
+    meta = parsed.filter(F.col("is_valid")).select(
+        "url",
+        F.col("record_id").alias("refers_to"),
+        "status",
+        "mime",
+        parse_outlinks_str_col(F.col("payload")).alias("outlinks"),
+        F.length("payload").cast("long").alias("payload_chars"),
+    )
+    return meta.withColumn(
+        "wat_json",
+        F.to_json(
+            F.struct("url", "status", "mime", "outlinks", "payload_chars")
+        ),
+    )
+
+
+def render_wat_records(wat: DataFrame) -> DataFrame:
+    """WAT rows → spec-shaped WARC/1.0 metadata records (JSON payload)."""
+    return wat.select(
+        F.concat(
+            F.lit(RECORD_SEP),
+            F.lit("WARC-Type: metadata\r\n"),
+            F.lit("WARC-Target-URI: "), F.col("url"), F.lit("\r\n"),
+            F.lit("WARC-Refers-To: "), F.col("refers_to"), F.lit("\r\n"),
+            F.lit("Content-Type: application/json\r\n"),
+            F.lit("Content-Length: "),
+            F.length("wat_json").cast("string"),
+            F.lit(_CRLF2),
+            F.col("wat_json"),
+            F.lit("\r\n"),
+        ).alias("value")
+    )
+
+
+def write_wat(wat: DataFrame, path: str, compression: str | None = None):
+    w = render_wat_records(wat).write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)

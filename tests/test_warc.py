@@ -95,3 +95,81 @@ def test_splittable_single_file(spark, tmp_path):
         assert parsed.filter("is_valid").count() == n
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+# --- WET / WAT derived formats ---------------------------------------------
+
+
+def test_wet_file_roundtrip(spark, tmp_path):
+    """WARC → WET files → re-parse: text equals the byte-identical
+    extraction of the response payload (url||digest for the deterministic
+    body), refers_to preserved."""
+    pages = pages_df(spark, SF).repartition(3)
+    warc_dir = str(tmp_path / "warc")
+    W.write_warc(pages, warc_dir)
+    parsed = W.parse_warc_records(W.read_warc_records(spark, warc_dir))
+    conv = W.wet_from_warc(parsed)
+    wet_dir = str(tmp_path / "wet")
+    W.write_wet(conv, wet_dir)
+    back = W.parse_wet_records(W.read_warc_records(spark, wet_dir))
+    assert back.filter(F.col("warc_type") != "conversion").count() == 0
+    want = pages.select(
+        "url", F.concat(F.col("url"), F.col("digest")).alias("text")
+    )
+    got = back.select("url", "text")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # refers_to round-trips the originating record ids
+    ids = parsed.select(F.col("record_id").alias("refers_to"))
+    assert back.select("refers_to").exceptAll(ids).count() == 0
+
+
+def test_wet_golden_record_bytes(spark):
+    """One pinned WET record, byte for byte."""
+    conv = spark.createDataFrame(
+        [("https://a.com/x", "<urn:uuid:abc>", "hello world")],
+        "url string, refers_to string, text string",
+    )
+    val = W.render_wet_records(conv).collect()[0].value
+    assert val == (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://a.com/x\r\n"
+        "WARC-Refers-To: <urn:uuid:abc>\r\n"
+        "Content-Type: text/plain\r\n"
+        "Content-Length: 11\r\n"
+        "\r\n"
+        "hello world\r\n"
+    )
+
+
+def test_wat_outlinks_and_json(spark, tmp_path):
+    """WAT rows carry the payload's raw hrefs and a parseable JSON
+    payload; file write/read preserves the JSON."""
+    import json
+
+    pages = pages_df(spark, SF).withColumn(
+        "body",
+        F.concat(
+            F.lit('<html><a href="https://b.org/1"></a>'),
+            F.lit('<a href="/rel.html"></a></html>'),
+        ),
+    )
+    warc_dir = str(tmp_path / "warc_wat")
+    W.render_warc_records(pages, body_col="body").write.mode(
+        "overwrite"
+    ).text(warc_dir)
+    parsed = W.parse_warc_records(W.read_warc_records(spark, warc_dir))
+    wat = W.wat_from_warc(parsed)
+    row = wat.limit(1).collect()[0]
+    assert row.outlinks == ["https://b.org/1", "/rel.html"]
+    doc = json.loads(row.wat_json)
+    assert doc["url"] == row.url and doc["outlinks"] == row.outlinks
+    wat_dir = str(tmp_path / "wat")
+    W.write_wat(wat, wat_dir)
+    back = W.parse_wet_records(W.read_warc_records(spark, wat_dir))
+    # metadata records: payload is the JSON line
+    n = back.filter(F.col("warc_type") == "metadata").count()
+    assert n == pages.count()
+    one = json.loads(back.limit(1).collect()[0].text)
+    assert set(one) == {"url", "status", "mime", "outlinks", "payload_chars"}
