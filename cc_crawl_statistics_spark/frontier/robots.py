@@ -90,6 +90,32 @@ def parse_robots(robots: DataFrame, body_col: str = "robots_txt") -> DataFrame:
     return parsed.withColumn("group_id", F.sum(starts.cast("int")).over(w))
 
 
+def sitemap_directives(robots: DataFrame, body_col: str = "robots_txt") -> DataFrame:
+    """(host, sitemap_url) rows from ``Sitemap:`` lines — RFC 9309 §2.3 /
+    sitemaps.org's cross-group field: position-independent (valid before
+    any user-agent group), case-insensitive, value must be an absolute
+    URL (relative values are ignored), multiple directives allowed.
+    Host-dimension work like the rest of the parser."""
+    lines = robots.select(
+        "host",
+        F.explode(F.split(F.col(body_col), "\r?\n")).alias("raw"),
+    )
+    return (
+        lines.select(
+            "host",
+            F.trim(
+                F.regexp_extract(
+                    F.regexp_replace("raw", "#.*$", ""),
+                    r"(?i)^\s*sitemap\s*:\s*(.*?)\s*$",
+                    1,
+                )
+            ).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url").rlike("(?i)^https?://"))
+        .distinct()
+    )
+
+
 def _selected_groups(directives: DataFrame, agent: str) -> DataFrame:
     """(host, group_id) of every group the crawler's agent selects —
     the group(s) whose user-agent token matches with the greatest
@@ -273,10 +299,20 @@ def synth_robots(hosts: DataFrame) -> DataFrame:
     """(host) → (host, fetch_status, robots_txt), deterministic."""
     site_id = F.regexp_extract(F.col("host"), "site([0-9]+)", 1).cast("int")
     delay = (F.lit(60) / (1 + site_id % 4)).cast("int").cast("string")
+    # Sitemap directive BEFORE any group (position-independence is part of
+    # the spec, sitemap_directives must find it); even sites advertise one
+    sitemap_line = F.when(
+        site_id % 2 == 0,
+        F.concat(
+            F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap.xml\n")
+        ),
+    ).otherwise(F.lit(""))
     base = F.concat(
         F.lit("# synthetic robots for "),
         F.col("host"),
-        F.lit("\nUser-agent: *\nDisallow: /private/\nCrawl-delay: "),
+        F.lit("\n"),
+        sitemap_line,
+        F.lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
         delay,
         F.lit("\n"),
     )

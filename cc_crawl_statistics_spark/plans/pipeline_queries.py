@@ -415,6 +415,21 @@ def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
     return TX.pii_counts(corpus)
 
 
+def q_robots_sitemap_seeds(spark: SparkSession, sf: str) -> DataFrame:
+    """The full seed-discovery chain driver-checked: synthetic robots.txt
+    bodies → ``Sitemap:`` directive parse (position-independent,
+    cross-group) → advertised-sitemap semi join → XML parse → frontier
+    seed rows. The oracle recomputes everything arithmetically (which
+    hosts advertise, per-URL priority permille) without parsing robots or
+    XML."""
+    pages = pages_df(spark, sf)
+    robots = RB.synth_robots(pages.select("host").distinct())
+    sm = SM.render_sitemaps(pages)
+    return SM.seeds_from_sitemaps(
+        SM.advertised_sitemaps(robots, sm)
+    ).orderBy("url")
+
+
 def q_outlinks(spark: SparkSession, sf: str) -> DataFrame:
     """HTML outlink parse + resolution (linkgraph.page_outlinks): Spark
     decodes the html BYTES and regexp-parses anchors in codegen; the
@@ -481,6 +496,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_link_graph": q_host_link_graph,
     "host_degrees": q_host_degrees,
     "host_degree_histogram": q_host_degree_histogram,
+    "robots_sitemap_seeds": q_robots_sitemap_seeds,
 }
 
 # ---------------------------------------------------------------------------
@@ -1124,3 +1140,21 @@ FROM ranked WHERE rank <= budget ORDER BY host, rank
 }
 
 PIPELINE_ORACLES.update(_LINKGRAPH_ORACLES)
+
+PIPELINE_ORACLES["robots_sitemap_seeds"] = oracle_cte(
+    """
+, per AS (
+  SELECT host, url,
+         MIN((doc_id * 37) % 100) AS prio
+  FROM pages
+  WHERE CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 2 = 0
+  GROUP BY host, url
+)
+SELECT url, host,
+       0 AS depth,
+       CAST(CASE WHEN prio = 100 THEN 1000 ELSE prio * 10 END AS BIGINT)
+         AS score,
+       'pending' AS state
+FROM per ORDER BY url
+"""
+)

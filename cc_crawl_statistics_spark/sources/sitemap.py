@@ -86,6 +86,24 @@ def parse_sitemaps(
     )
 
 
+def advertised_sitemaps(robots: DataFrame, sitemaps: DataFrame) -> DataFrame:
+    """Filter fetched sitemap documents to those a host's robots.txt
+    actually advertises (``Sitemap:`` directives,
+    frontier/robots.py:sitemap_directives) — the real discovery chain:
+    robots → sitemap URL → sitemap fetch → seeds. The directive relation
+    is host-dimension, so it broadcasts into the semi join; the sitemap
+    side never shuffles."""
+    from ..frontier.robots import sitemap_directives
+    from ..functions.urlkit import host_of
+
+    adv = (
+        sitemap_directives(robots)
+        .select(host_of(F.col("sitemap_url")).alias("host"))
+        .distinct()
+    )
+    return sitemaps.join(F.broadcast(adv), "host", "semi")
+
+
 def seeds_from_sitemaps(sitemaps: DataFrame) -> DataFrame:
     """Frontier seed list from sitemap entries: depth 0, score from the
     sitemap priority — the protocol-blessed analogue of seed_frontier's

@@ -62,3 +62,53 @@ def test_seeds_match_frontier_schema(spark):
     assert seeds.columns == ["url", "host", "depth", "score", "state"]
     assert seeds.filter("depth != 0 OR state != 'pending'").count() == 0
     assert seeds.count() == pages.select("url").distinct().count()
+
+
+# --- robots.txt Sitemap: directive discovery --------------------------------
+
+
+def test_sitemap_directives_parse(spark):
+    from cc_crawl_statistics_spark.frontier.robots import sitemap_directives
+
+    body = (
+        "Sitemap: https://h1/sm.xml\n"          # before any group
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap: HTTPS://h1/other.xml  # cmt\n"  # inside a group, mixed case
+        "Sitemap: /relative.xml\n"                # relative -> ignored
+        "Sitemap: https://h1/sm.xml\n"            # duplicate -> distinct
+    )
+    robots = spark.createDataFrame(
+        [("h1", body)], "host string, robots_txt string"
+    )
+    got = sorted(
+        r.sitemap_url for r in sitemap_directives(robots).collect()
+    )
+    assert got == ["HTTPS://h1/other.xml", "https://h1/sm.xml"]
+
+
+def test_advertised_sitemaps_filters_hosts(spark):
+    """Only hosts whose robots.txt advertises a sitemap survive the
+    discovery semi join (synthetic rule: even site_id)."""
+    from cc_crawl_statistics_spark.frontier.robots import synth_robots
+    from cc_crawl_statistics_spark.sources.sitemap import (
+        advertised_sitemaps,
+        render_sitemaps,
+        seeds_from_sitemaps,
+    )
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+
+    pages = pages_df(spark, SF)
+    robots = synth_robots(pages.select("host").distinct())
+    sm = render_sitemaps(pages)
+    adv = advertised_sitemaps(robots, sm)
+    sites = {
+        int(r.host.split("site")[1].split(".")[0])
+        for r in adv.select("host").distinct().collect()
+    }
+    assert sites and all(s % 2 == 0 for s in sites)
+    # seeds only come from advertised hosts
+    seeds = seeds_from_sitemaps(adv)
+    bad = seeds.filter(
+        F.regexp_extract("host", "site([0-9]+)", 1).cast("int") % 2 == 1
+    ).count()
+    assert bad == 0
