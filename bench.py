@@ -87,7 +87,32 @@ HEADLINE = {
     "crawl_overlap_hll": lambda p: TS.crawl_overlap_sketch(p),
     "trailing_hll_3": lambda p: TS.trailing_distinct_union(p, n=3),
     "size_estimate": lambda p: C.size_estimate(p),
+    # outlink parse throughput: synthesize the anchored html body with a
+    # codegen concat (cheap vs the regexp) and run the engine's real
+    # parse -> resolve -> host-graph chain over it — the blob-scan-heavy
+    # operator class (functions/links.py, operators/linkgraph.py)
+    "outlink_host_graph": lambda p: _outlink_host_graph(p),
 }
+
+
+def _outlink_host_graph(pages):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators import linkgraph as LG
+    from cc_crawl_statistics_spark.synth import child_url_sql
+
+    n = 1_000_000  # child-id modulus; value is irrelevant to plan cost
+    c1 = f"(doc_id * 2 + 1) % {n}"
+    body = F.concat(
+        F.lit("<!doctype html><title>"), F.col("url"),
+        F.lit("</title><p>"), F.col("digest"), F.lit("</p>"),
+        F.lit('<a href="'), F.expr(child_url_sql(c1)), F.lit('"></a>'),
+        F.lit('<a href="/page/'),
+        F.expr(f"CAST((doc_id * 5 + 3) % {n} AS STRING)"),
+        F.lit('.html"></a>'),
+    )
+    linked = pages.select("url", F.encode(body, "UTF-8").alias("html"))
+    return LG.host_link_graph(LG.page_outlinks(linked))
 
 
 def bench_frontier(spark: SparkSession, pages) -> tuple[float, int]:
