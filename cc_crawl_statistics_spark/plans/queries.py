@@ -1789,9 +1789,12 @@ ORACLES.update(PIPELINE_ORACLES)
 # ---------------------------------------------------------------------------
 
 _PRIORITY = [
-    # count-job aggregations (§2.4)
+    # count-job aggregations (§2.4); `languages` yields its slot to
+    # events_windowed — its A2 twin-count shape is already in-window via
+    # mimetype, and the language family stays visible via primary_language
+    # + languages_floor (languages itself stays oracle-tested in pytest)
     "crawl_size", "host_counts", "domain_counts", "tld_counts",
-    "surt_domain_counts", "mimetype", "languages", "primary_language",
+    "surt_domain_counts", "mimetype", "primary_language",
     "http_status", "robotstxt_status", "url_fetch_histogram", "top_hosts",
     # crawl-set / new-items over BOTH reference item types, incl. the
     # registry-id-scale bitmask fixture (ids 0/63/126)
@@ -1816,12 +1819,12 @@ _PRIORITY = [
     "cdx_roundtrip", "warc_roundtrip", "stats_wire_roundtrip",
     "crawler_metrics_roundtrip",
     "cc_pages_extract",
-    # LLM-pipeline operators + frontier (north rule); events_windowed
-    # yields its slot to the iterative-graph class (pagerank) and stays
-    # oracle-tested in pytest
+    # LLM-pipeline operators + frontier (north rule), incl. the
+    # iterative-graph class (pagerank) and both event-window flavors
     "dedup_exact", "ngram_jaccard", "embedding_near_dup", "ann_topk",
     "token_stats", "quality_scores", "language_id", "pagerank_priority",
-    "events_sessionize", "dedup_kept", "frontier_schedule",
+    "events_windowed", "events_sessionize", "dedup_kept",
+    "frontier_schedule",
 ]
 
 _ordered = {name: QUERIES[name] for name in _PRIORITY}
