@@ -611,6 +611,43 @@ def q_cdx_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cdx_zipnum_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ZipNum index sink driver-checked end-to-end: render every fetch as
+    a full-metadata CDX index line (to_json escaping), total-order range
+    sort + block-gzip into ZipNum members (sources/zipnum.py — the
+    cc-index publication format), decode the members back, re-parse with
+    the REAL cdx ingest path, and aggregate from the PARSED columns only.
+    Any drift in rendering, the sorted sharding, gzip member framing, or
+    parsing breaks value parity with the oracle computed straight from
+    the source table. (Seek offsets / cluster.idx are pinned byte-level
+    in tests/test_zipnum.py.)"""
+    from pyspark.sql import functions as F
+
+    from ..sources.cdx import parse_cdx_lines
+    from ..sources.zipnum import (
+        decode_members,
+        render_cdx_index_lines,
+        zipnum_members,
+    )
+
+    p = pages_df(spark, sf)
+    members = zipnum_members(
+        render_cdx_index_lines(p), n_shards=4, block_size=512
+    )
+    parsed = parse_cdx_lines(decode_members(members)).filter(
+        F.col("is_valid")
+    )
+    return (
+        parsed.groupBy("scheme", "tld", "status", "mime")
+        .agg(
+            F.count("*").alias("fetches"),
+            F.countDistinct("url").alias("urls"),
+            F.countDistinct("digest").alias("digests"),
+        )
+        .orderBy("scheme", "tld", "status", "mime")
+    )
+
+
 def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """WARC source driver-checked end-to-end: render every fetch as a
     spec-shaped WARC/1.0 response record (sources/warc.py), run the REAL
@@ -1027,6 +1064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frequent_hosts": q_frequent_hosts,
     "languages_floor": q_languages_floor,
     "cdx_roundtrip": q_cdx_roundtrip,
+    "cdx_zipnum_roundtrip": q_cdx_zipnum_roundtrip,
     "warc_roundtrip": q_warc_roundtrip,
     "wet_roundtrip": q_wet_roundtrip,
     "wat_links": q_wat_links,
@@ -1651,6 +1689,16 @@ SELECT scheme, tld, status,
   CAST(COUNT(DISTINCT domain) AS BIGINT) AS domains,
   CAST(COUNT(DISTINCT surt_domain) AS BIGINT) AS surt_domains
 FROM flagged GROUP BY scheme, tld, status ORDER BY scheme, tld, status
+"""
+        ),
+        "cdx_zipnum_roundtrip": _oracle(
+            """
+SELECT scheme, tld, status, mime,
+  CAST(COUNT(*) AS BIGINT) AS fetches,
+  CAST(COUNT(DISTINCT url) AS BIGINT) AS urls,
+  CAST(COUNT(DISTINCT digest) AS BIGINT) AS digests
+FROM flagged GROUP BY scheme, tld, status, mime
+ORDER BY scheme, tld, status, mime
 """
         ),
         "stats_wire_roundtrip": _oracle(
