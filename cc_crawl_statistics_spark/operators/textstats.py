@@ -20,6 +20,63 @@ STOPWORDS = (
 )
 
 
+def vocabulary(
+    docs: DataFrame,
+    top_k: int = 50,
+    n_salts: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the top-k whitespace tokens by occurrence count,
+    with document frequency and cumulative corpus-coverage permille —
+    tokenizer/BPE-training prep over the documents table.
+
+    Scale shape: token counting is one map-side-combined groupBy over the
+    unbounded token dimension (the only full shuffle); selection is the
+    salted two-phase top-k (same shape as timeseries.domain_coverage), so
+    no window ever ranks the whole vocabulary in one task — phase 1 ranks
+    within (salt), phase 2 sees <= n_salts*top_k survivors. Cumulative
+    coverage windows over the k survivors only; the corpus token total
+    joins in as a broadcast 1-row aggregate. Integer permille via `div`
+    so values are engine-exact (no float summation)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    order = (F.desc("n_tokens"), F.asc("token"))
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    survivors = (
+        counts.withColumn(
+            "_salt", F.pmod(F.xxhash64("token"), F.lit(n_salts))
+        )
+        .withColumn("_sr", F.row_number().over(w1))
+        .filter(F.col("_sr") <= top_k)
+        .drop("_salt", "_sr")
+    )
+    w2 = Window.orderBy(*order)
+    wcum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = counts.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .withColumn("_cum", F.sum("n_tokens").over(wcum))
+        .filter(F.col("rank") <= top_k)
+        .join(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "n_tokens",
+            "n_docs",
+            F.expr("(1000 * _cum) div _total").alias("cum_permille"),
+        )
+        .orderBy("rank")
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token counts: whitespace tokens and BPE-ish regex
     tokens, plus char length. regexp_count is whole-stage codegen."""

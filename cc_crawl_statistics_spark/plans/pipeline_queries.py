@@ -119,6 +119,10 @@ def q_quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     return TX.quality_scores(corpus_df(spark, sf))
 
 
+def q_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.vocabulary(corpus_df(spark, sf), top_k=50)
+
+
 def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
     return TX.language_id(corpus_df(spark, sf))
 
@@ -484,6 +488,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
+    "vocabulary": q_vocabulary,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
@@ -836,6 +841,32 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT)
     AS n_bpe_tokens
 FROM corpus ORDER BY doc_id
+"""
+    ),
+    "vocabulary": _corpus_oracle(
+        """
+, toks AS (
+  SELECT doc_id, t AS token
+  FROM corpus, unnest(string_split(text, ' ')) AS u(t)
+  WHERE t <> ''
+),
+tc AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT token, n_tokens, n_docs,
+    CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, token) AS BIGINT)
+      AS rank,
+    SUM(n_tokens) OVER (ORDER BY n_tokens DESC, token
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(n_tokens) OVER () AS total
+  FROM tc
+)
+SELECT rank, token, n_tokens, n_docs,
+  CAST((1000 * cum) // total AS BIGINT) AS cum_permille
+FROM ranked WHERE rank <= 50 ORDER BY rank
 """
     ),
     "quality_scores": _corpus_oracle(

@@ -1,0 +1,56 @@
+"""Vocabulary operator: salted two-phase top-k == naive ranking, coverage
+semantics, and plan shape (no unbounded-dimension single-partition window
+before the salt phase)."""
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.operators.textstats import vocabulary
+from tests.conftest import spark  # noqa: F401  (fixture)
+
+
+def _docs(spark, n=200):  # noqa: F811
+    # zipfian-ish: token w<j> appears in doc i iff j divides i
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("w1"),
+            F.when(F.col("id") % 2 == 0, "w2"),
+            F.when(F.col("id") % 3 == 0, "w3"),
+            F.when(F.col("id") % 5 == 0, "w5"),
+            F.when(F.col("id") % 7 == 0, "w7 w7"),
+        ).alias("text"),
+    )
+
+
+def test_two_phase_matches_naive_and_coverage(spark):  # noqa: F811
+    docs = _docs(spark)
+    got = vocabulary(docs, top_k=3, n_salts=4).collect()
+    # naive expected: counts over all tokens, rank by (count desc, token)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("t")
+    ).filter(F.col("t") != "")
+    naive = {
+        r.t: (r.n, r.d)
+        for r in toks.groupBy("t")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    expected = sorted(naive.items(), key=lambda kv: (-kv[1][0], kv[0]))[:3]
+    total = sum(n for n, _ in naive.values())
+    assert [(r.token, (r.n_tokens, r.n_docs)) for r in got] == expected
+    assert [r.rank for r in got] == [1, 2, 3]
+    # cumulative coverage is the running integer permille of total
+    cum = 0
+    for r in got:
+        cum += r.n_tokens
+        assert r.cum_permille == (1000 * cum) // total
+    assert got[0].cum_permille < 1000
+
+
+def test_full_vocab_coverage_closes_at_1000(spark):  # noqa: F811
+    docs = _docs(spark)
+    rows = vocabulary(docs, top_k=100, n_salts=4).collect()
+    assert rows[-1].cum_permille == 1000
+    permilles = [r.cum_permille for r in rows]
+    assert permilles == sorted(permilles)
