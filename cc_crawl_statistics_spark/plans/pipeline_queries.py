@@ -457,6 +457,25 @@ def q_host_degrees(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the host-level web graph (the iterative
+    min-label propagation from operators/dedup.py, reused on string host
+    labels). The DuckDB oracle computes the same components via a
+    RECURSIVE transitive-closure CTE — the only recursive oracle in the
+    registry, exercising the iterative-graph class exactly."""
+    edges = LG.host_link_graph(
+        LG.page_outlinks(cc_pages_linked_df(spark, sf))
+    )
+    pairs = edges.select(
+        F.col("src_host").alias("doc_a"), F.col("dst_host").alias("doc_b")
+    )
+    return (
+        D.connected_components(pairs)
+        .select(F.col("doc_id").alias("host"), "component")
+        .orderBy("host")
+    )
+
+
 def q_host_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return LG.host_degree_histogram(
         LG.host_link_graph(LG.page_outlinks(cc_pages_linked_df(spark, sf)))
@@ -499,6 +518,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surt_hll": q_surt_hll,
     "outlinks": q_outlinks,
     "host_link_graph": q_host_link_graph,
+    "host_components": q_host_components,
     "host_degrees": q_host_degrees,
     "host_degree_histogram": q_host_degree_histogram,
     "robots_sitemap_seeds": q_robots_sitemap_seeds,
@@ -571,6 +591,26 @@ SELECT host,
 FROM outd FULL OUTER JOIN ind USING (host) ORDER BY host
 """
     ),
+    # transitive closure needs WITH RECURSIVE; non-recursive CTEs coexist
+    "host_components": oracle_cte(
+        _EDGES_CTE
+        + """
+, nodes AS (
+  SELECT src_host AS host FROM egrp UNION SELECT dst_host FROM egrp
+),
+und AS (
+  SELECT src_host AS a, dst_host AS b FROM egrp
+  UNION
+  SELECT dst_host AS a, src_host AS b FROM egrp
+),
+rec AS (
+  SELECT host, host AS label FROM nodes
+  UNION
+  SELECT u.b AS host, r.label FROM rec r JOIN und u ON u.a = r.host
+)
+SELECT host, MIN(label) AS component FROM rec GROUP BY host ORDER BY host
+"""
+    ).replace("WITH pages", "WITH RECURSIVE pages", 1),
     "host_degree_histogram": oracle_cte(
         _EDGES_CTE
         + f"""
