@@ -77,6 +77,56 @@ def vocabulary(
     )
 
 
+def exact_percentiles(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    permilles: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Exact per-group percentiles of an integer metric (doc length
+    distribution per language — the p50/p90/p99 a curation pipeline
+    monitors), WITHOUT sorting the rows.
+
+    Scale shape: rows collapse to a (group, value) histogram first — one
+    map-side-combined groupBy; the cumulative window then runs over the
+    bounded histogram (distinct metric values, ~10^3-10^5), never the
+    ~10^10 rows, so no per-group row sort exists in the plan. The
+    percentile is the smallest value whose cumulative count reaches
+    ceil(p/1000 * total) — quantile_disc semantics — selected with a
+    conditional min, all integer arithmetic (engine-exact)."""
+    from pyspark.sql import Window
+
+    v, g = F.col(value_col), F.col(group_col)
+    hist = docs.groupBy(g.alias("grp"), v.alias("val")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "grp",
+        "val",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.partitionBy("grp")).alias("total"),
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * 1000 >= F.lit(p) * F.col("total"),
+                F.col("val"),
+            )
+        ).alias(f"p{p}")
+        for p in permilles
+    ]
+    return (
+        cum.groupBy("grp")
+        .agg(F.max("total").alias("n_rows"), *aggs)
+        .orderBy("grp")
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token counts: whitespace tokens and BPE-ish regex
     tokens, plus char length. regexp_count is whole-stage codegen."""

@@ -123,6 +123,10 @@ def q_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
     return TX.vocabulary(corpus_df(spark, sf), top_k=50)
 
 
+def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    return TX.exact_percentiles(load_table(spark, sf, "documents"))
+
+
 def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
     return TX.language_id(corpus_df(spark, sf))
 
@@ -508,6 +512,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "vocabulary": q_vocabulary,
+    "length_percentiles": q_length_percentiles,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
@@ -909,6 +914,28 @@ SELECT rank, token, n_tokens, n_docs,
 FROM ranked WHERE rank <= 50 ORDER BY rank
 """
     ),
+    "length_percentiles": """
+WITH hist AS (
+  SELECT lang AS grp, n_chars AS val, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT grp, val,
+    SUM(n) OVER (PARTITION BY grp ORDER BY val
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(n) OVER (PARTITION BY grp) AS total
+  FROM hist
+)
+SELECT grp,
+  CAST(MAX(total) AS BIGINT) AS n_rows,
+  CAST(MIN(CASE WHEN cum*1000 >= 500*total THEN val END) AS BIGINT)
+    AS p500,
+  CAST(MIN(CASE WHEN cum*1000 >= 900*total THEN val END) AS BIGINT)
+    AS p900,
+  CAST(MIN(CASE WHEN cum*1000 >= 990*total THEN val END) AS BIGINT)
+    AS p990
+FROM cum GROUP BY grp ORDER BY grp
+""",
     "quality_scores": _corpus_oracle(
         f"""
 , m AS (

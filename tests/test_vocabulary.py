@@ -54,3 +54,20 @@ def test_full_vocab_coverage_closes_at_1000(spark):  # noqa: F811
     assert rows[-1].cum_permille == 1000
     permilles = [r.cum_permille for r in rows]
     assert permilles == sorted(permilles)
+
+
+def test_exact_percentiles_quantile_disc_semantics(spark):  # noqa: F811
+    from cc_crawl_statistics_spark.operators.textstats import (
+        exact_percentiles,
+    )
+
+    # group a: values 1..4 -> p500 = 2 (first val with cum*1000 >= 500*4),
+    # p900 = 4, p990 = 4; group b: all equal -> every percentile = 7
+    rows = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3, 4)] + [("b", 7)] * 5,
+        "lang string, n_chars int",
+    )
+    got = {r.grp: r for r in exact_percentiles(rows).collect()}
+    assert (got["a"].p500, got["a"].p900, got["a"].p990) == (2, 4, 4)
+    assert (got["b"].p500, got["b"].p900, got["b"].p990) == (7, 7, 7)
+    assert got["a"].n_rows == 4 and got["b"].n_rows == 5
