@@ -16,6 +16,7 @@ records (same idempotent-commit posture as the frontier store).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +26,11 @@ from ..sources.warc import (
     parse_warc_records,
     render_wet_records,
     wet_from_warc,
+)
+from ..sources.zipnum import (
+    render_cdx_index_lines,
+    write_zipnum,
+    zipnum_members,
 )
 
 
@@ -70,6 +76,45 @@ def stream_warc_to_wet(
     return (
         stream_warc_records(spark, warc_dir)
         .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_publish_zipnum(
+    spark: SparkSession,
+    pages_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema,
+    n_shards: int = 4,
+    block_size: int = 3000,
+):
+    """Incremental index publication — Common Crawl's per-segment model as
+    a stream: as pages parquet lands, each micro-batch is rendered,
+    total-order sorted, and published as its own complete ZipNum shard
+    set + cluster.idx under ``batch-<id>/`` (segment indexes are later
+    merged by a plain sorted-merge over cluster.idx key ranges). Replays
+    after a crash rewrite the same batch-id directory, so publication is
+    exactly once. Returns the started query."""
+
+    def publish(batch_df: DataFrame, batch_id: int):
+        members = zipnum_members(
+            render_cdx_index_lines(batch_df), n_shards, block_size
+        ).persist()
+        try:
+            out = os.path.join(index_dir, f"batch-{batch_id}")
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            write_zipnum(members, out)
+        finally:
+            members.unpersist()
+
+    return (
+        spark.readStream.schema(schema)
+        .parquet(pages_dir)
+        .writeStream.foreachBatch(publish)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

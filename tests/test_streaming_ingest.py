@@ -19,6 +19,66 @@ def _write_warc_parts(spark, out):
     return pages
 
 
+def test_stream_publish_zipnum_incremental_and_idempotent(spark, tmp_path):
+    """Each pages micro-batch publishes a complete, self-contained ZipNum
+    segment index; a restarted query with no new data publishes nothing
+    more (exactly once)."""
+    import gzip
+
+    pages_dir = str(tmp_path / "pages")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    pages = pages_df(spark, SF_SMOKE)
+    crawls = sorted(r.crawl for r in pages.select("crawl").distinct().collect())
+
+    def run():
+        q = I.stream_publish_zipnum(
+            spark, pages_dir, index_dir, ckpt,
+            schema=pages.schema, n_shards=2, block_size=64,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # wave 1: first crawl lands
+    pages.filter(F.col("crawl") == crawls[0]).write.mode("append").parquet(
+        pages_dir
+    )
+    run()
+    batches = sorted(os.listdir(index_dir))
+    assert len(batches) == 1
+
+    # wave 2: second crawl lands -> one more segment index
+    pages.filter(F.col("crawl") == crawls[1]).write.mode("append").parquet(
+        pages_dir
+    )
+    run()
+    batches = sorted(os.listdir(index_dir))
+    assert len(batches) == 2
+
+    # restart with no new data publishes nothing more
+    run()
+    assert sorted(os.listdir(index_dir)) == batches
+
+    # the union of segment lines covers exactly all published rows, and
+    # each segment is internally sorted
+    total_lines = 0
+    for b in batches:
+        bdir = os.path.join(index_dir, b)
+        lines = []
+        for f in sorted(os.listdir(bdir)):
+            if f.startswith("cdx-"):
+                with open(os.path.join(bdir, f), "rb") as fh:
+                    lines.extend(
+                        gzip.decompress(fh.read()).decode().splitlines()
+                    )
+        # shard files concatenate in name order to the segment's total
+        # order (range partitioning: shard i's keys precede shard i+1's)
+        assert lines == sorted(lines)
+        total_lines += len(lines)
+    expected = pages.filter(F.col("crawl").isin(crawls[:2])).count()
+    assert total_lines == expected
+
+
 def test_stream_stats_match_batch(spark, tmp_path):
     """Complete-mode streaming aggregation over the WARC stream equals the
     batch aggregation over the same files — including the HLL distinct-URL
