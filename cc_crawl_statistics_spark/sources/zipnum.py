@@ -185,6 +185,49 @@ def zipnum_lookup(members: DataFrame, key_prefix: str) -> DataFrame:
     )
 
 
+def read_zipnum_lines(spark, path: str) -> DataFrame:
+    """Read a published index back to lines: ``binaryFile`` scan of the
+    shard files (one task per shard — CC's gzip-per-file layout), whole-
+    file multi-member decompression in an Arrow batch. For selective
+    reads use zipnum_lookup/cluster.idx instead; this is the full-scan
+    path (reindexing, merging, auditing)."""
+
+    def decompress(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[str] = []
+            for blob in pdf["content"]:
+                out.extend(
+                    gzip.decompress(bytes(blob)).decode("utf-8").splitlines()
+                )
+            yield pd.DataFrame({"value": out})
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "cdx-*.gz")
+        .load(path)
+        .select("content")
+    )
+    return files.mapInPandas(decompress, schema="value string")
+
+
+def merge_zipnum_segments(
+    spark,
+    segment_dirs: list[str],
+    out: str,
+    n_shards: int = 8,
+    block_size: int = 3000,
+) -> None:
+    """Merge per-segment indexes (e.g. streaming batch-N publications)
+    into one global index: union the segment lines, re-run the
+    total-order shard/block pass, publish. The shuffle is the sorted
+    merge — range partitioning with sampled bounds over already-sorted
+    inputs moves each line once."""
+    lines = read_zipnum_lines(spark, segment_dirs[0])
+    for d in segment_dirs[1:]:
+        lines = lines.union(read_zipnum_lines(spark, d))
+    write_zipnum(zipnum_members(lines, n_shards, block_size), out)
+
+
 def write_zipnum(members: DataFrame, path: str) -> None:
     """Materialize the index: one ``cdx-NNNNN.gz`` per shard (members
     appended in block order — executor-local streaming write, one

@@ -161,6 +161,46 @@ def test_write_zipnum_files(built, spark, tmp_path):  # noqa: F811
         assert len(blines) == int(n_lines)
 
 
+def test_read_back_and_merge_segments(built, spark, tmp_path):  # noqa: F811
+    from cc_crawl_statistics_spark.sources.zipnum import (
+        merge_zipnum_segments,
+        read_zipnum_lines,
+    )
+
+    lines, members, expected = built
+    # publish two disjoint segments, then merge into one global index
+    seg_a = str(tmp_path / "seg_a")
+    seg_b = str(tmp_path / "seg_b")
+    half = lines.filter(F.crc32(F.col("value")) % 2 == 0)
+    other = lines.filter(F.crc32(F.col("value")) % 2 == 1)
+    write_zipnum(zipnum_members(half, n_shards=2, block_size=5), seg_a)
+    write_zipnum(zipnum_members(other, n_shards=2, block_size=5), seg_b)
+    # read path returns exactly the published lines
+    got_a = sorted(r.value for r in read_zipnum_lines(spark, seg_a).collect())
+    assert got_a == sorted(r.value for r in half.collect())
+    merged = str(tmp_path / "merged")
+    merge_zipnum_segments(
+        spark, [seg_a, seg_b], merged, n_shards=3, block_size=7
+    )
+    got = sorted(
+        r.value for r in read_zipnum_lines(spark, merged).collect()
+    )
+    assert got == expected
+    # merged index is one total order across its shard files
+    import gzip as _gz
+    import os as _os
+
+    all_lines = []
+    for f in sorted(
+        x for x in _os.listdir(merged) if x.startswith("cdx-")
+    ):
+        with open(_os.path.join(merged, f), "rb") as fh:
+            all_lines.extend(
+                _gz.decompress(fh.read()).decode().splitlines()
+            )
+    assert all_lines == expected
+
+
 def test_render_from_pages_parses_back(spark):  # noqa: F811
     from cc_crawl_statistics_spark.sources.cdx import parse_cdx_lines
     from cc_crawl_statistics_spark.sources.tables import pages_df
