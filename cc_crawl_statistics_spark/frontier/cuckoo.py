@@ -60,7 +60,11 @@ def _alt_bucket(b: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
 
 
 def _n_buckets_for(keys_per_table: int, load_target: float) -> int:
-    need = max(1, int(np.ceil(keys_per_table / (SLOTS * load_target))))
+    # size against a routing-variance upper bound, not the mean: a table
+    # receives Binomial(n, 1/n_tables) keys, so pad ~6 sigma + slack —
+    # negligible relative inflation at scale, decisive at small n
+    upper = keys_per_table + int(np.ceil(6 * np.sqrt(keys_per_table))) + 16
+    need = max(1, int(np.ceil(upper / (SLOTS * load_target))))
     return 1 << int(np.ceil(np.log2(need)))
 
 
@@ -112,7 +116,9 @@ def _insert_keys(
                 table[b, free[0]] = fp
                 fill[b] += 1
                 break
-            victim = kick % SLOTS  # deterministic kick slot
+            # deterministic but bucket/fp-varied victim slot (a fixed
+            # cycling order can ping-pong between two buckets forever)
+            victim = (kick + fp + b) % SLOTS
             fp, table[b, victim] = int(table[b, victim]), fp
             alt = _alt_bucket(
                 np.array([b]), np.array([fp], dtype=np.uint16), n_buckets

@@ -388,13 +388,19 @@ def fetch_extract(sched: DataFrame, docs: DataFrame) -> DataFrame:
 _BLOOM_UDF_CACHE: dict = {}
 
 
-def _cached_bloom_udf(spark, path: str):
+def _cached_prefilter_udf(spark, kind: str, path: str):
     key = (spark.sparkContext.applicationId, path)
     if key not in _BLOOM_UDF_CACHE:
-        from .bloom import load_bloom, might_contain_udf
+        if kind == "cuckoo":
+            from .cuckoo import load_cuckoo, might_contain_udf
 
+            udf = might_contain_udf(spark, load_cuckoo(path))
+        else:
+            from .bloom import load_bloom, might_contain_udf
+
+            udf = might_contain_udf(spark, load_bloom(path))
         _BLOOM_UDF_CACHE.clear()
-        _BLOOM_UDF_CACHE[key] = might_contain_udf(spark, load_bloom(path))
+        _BLOOM_UDF_CACHE[key] = udf
     return _BLOOM_UDF_CACHE[key]
 
 
@@ -410,6 +416,7 @@ def run_round(
     bloom_min_seen: int = 10_000_000,
     timings: dict | None = None,
     expand_fn=None,
+    prefilter: str = "bloom",
 ) -> dict:
     """Execute the next scheduling round from the latest committed snapshot
     and commit round+1. Returns the round metrics (computed from the
@@ -424,8 +431,11 @@ def run_round(
     html/extracted-text columns and records the byte-identity invariant in
     its metrics (n_extract_mismatch must be 0). Every ``compact_every``
     rounds the seen-set deltas are compacted into one base table with a
-    materialized Bloom prefilter (post-commit maintenance: a crash during
-    compaction loses nothing, read_seen falls back to the deltas).
+    materialized prefilter — ``prefilter="bloom"`` (default) or
+    ``"cuckoo"`` (deletable; frontier/cuckoo.py) — post-commit
+    maintenance: a crash during compaction loses nothing, read_seen falls
+    back to the deltas. Results are bit-identical across prefilter
+    choices (test_compaction_and_bloom_bit_identical).
 
     ``expand_fn`` overrides link discovery (default: the arithmetic
     ``expand_links`` model). Pass ``html_discovery(spark, sf_dir)`` to
@@ -578,12 +588,16 @@ def run_round(
         discovered = (expand_fn or expand_links)(
             sched_materialized, universe, n_docs
         )
-        bloom_file = (
-            store.bloom_path(latest) if prev_seen >= bloom_min_seen else None
+        pf = (
+            store.prefilter_path(latest)
+            if prev_seen >= bloom_min_seen
+            else None
         )
-        if bloom_file is not None:
+        if pf is not None:
+            pf_kind, pf_path = pf
             might = _timed(
-                "bloom_load", lambda: _cached_bloom_udf(spark, bloom_file)
+                "bloom_load",
+                lambda: _cached_prefilter_udf(spark, pf_kind, pf_path),
             )
             base_rnd = store.seen_base_round(latest)
             recent = store.read_seen_deltas(spark, base_rnd + 1, latest)
@@ -689,6 +703,6 @@ def run_round(
         for k, v in getattr(store, "last_commit_timings", {}).items():
             timings[f"c_{k}"] = v
     if compact_every and rnd % compact_every == 0:
-        store.compact_seen(spark, rnd, n_partitions)
+        store.compact_seen(spark, rnd, n_partitions, prefilter=prefilter)
         store.compact_frontier(spark, rnd, n_partitions)
     return out

@@ -228,15 +228,16 @@ class SnapshotStore:
         upto_rnd: int,
         n_partitions: int = 4,
         bloom_bits_per_key: int = 10,
+        prefilter: str = "bloom",
     ) -> None:
         """Merge base + deltas up to ``upto_rnd`` into a single
         hash-partitioned ``url_seen_base`` under that round's directory,
-        and materialize the Bloom prefilter beside it. Idempotent: safe to
+        and materialize the chosen prefilter beside it — ``"bloom"``
+        (default, smallest) or ``"cuckoo"`` (deletable: recrawl re-opens
+        can remove keys in place, frontier/cuckoo.py). Idempotent: safe to
         re-run after a crash (tmp + rename into place); read_seen prefers
         the newest base, so an interrupted compaction never loses keys —
         the old deltas remain until the new base is in place."""
-        from .bloom import build_bloom, save_bloom
-
         seen = self.read_seen(spark, upto_rnd)
         rdir = self._round_dir(upto_rnd)
         tmp = os.path.join(rdir, "url_seen_base.tmp")
@@ -244,10 +245,18 @@ class SnapshotStore:
         seen.repartition(n_partitions, "seen_key").write.mode(
             "overwrite"
         ).parquet(tmp)
-        bloom = build_bloom(
-            spark.read.parquet(tmp), bits_per_key=bloom_bits_per_key
-        )
-        save_bloom(bloom, os.path.join(rdir, "url_seen_bloom.npy"))
+        if prefilter == "cuckoo":
+            from .cuckoo import build_cuckoo, save_cuckoo
+
+            ck = build_cuckoo(spark.read.parquet(tmp))
+            save_cuckoo(ck, os.path.join(rdir, "url_seen_cuckoo.npy"))
+        else:
+            from .bloom import build_bloom, save_bloom
+
+            bloom = build_bloom(
+                spark.read.parquet(tmp), bits_per_key=bloom_bits_per_key
+            )
+            save_bloom(bloom, os.path.join(rdir, "url_seen_bloom.npy"))
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
@@ -259,6 +268,22 @@ class SnapshotStore:
             return None
         p = os.path.join(self._round_dir(base), "url_seen_bloom.npy")
         return p if os.path.exists(p) else None
+
+    def prefilter_path(self, upto_rnd: int) -> tuple[str, str] | None:
+        """(kind, path) of the newest materialized seen-set prefilter ≤
+        upto_rnd — whichever of cuckoo/bloom the compaction wrote."""
+        base = self.seen_base_round(upto_rnd)
+        if base is None:
+            return None
+        rdir = self._round_dir(base)
+        for kind, fname in (
+            ("cuckoo", "url_seen_cuckoo.npy"),
+            ("bloom", "url_seen_bloom.npy"),
+        ):
+            p = os.path.join(rdir, fname)
+            if os.path.exists(p):
+                return kind, p
+        return None
 
     def manifest(self, rnd: int) -> dict:
         with open(os.path.join(self._round_dir(rnd), MANIFEST)) as f:

@@ -72,14 +72,24 @@ def test_save_load_roundtrip_deterministic(spark, built, tmp_path):  # noqa: F81
     )
 
 
-def test_eviction_path_high_load(spark):  # noqa: F811
-    # 1 table at 0.95 target load forces the sequential eviction tail
-    seen = _seen_df(spark, 4000)
-    f = CK.build_cuckoo(seen, n_tables=1, load_target=0.95)
-    keys = np.array([r.seen_key for r in seen.collect()], dtype=np.int64)
-    assert CK.contains(f, keys).all()
-    occupancy = sum((t != 0).sum() for t in f["tables"])
-    assert occupancy == len(keys)
+def test_eviction_path_high_load():
+    # drive the insert kernel directly at 0.94 load on a small table so
+    # the sequential eviction tail is exercised (the build path sizes
+    # with variance padding and rarely needs it)
+    n_buckets = 256
+    rng_keys = (np.arange(1, int(n_buckets * CK.SLOTS * 0.94)) * 2654435761
+                ).astype(np.int64)
+    table = np.zeros((n_buckets, CK.SLOTS), dtype=np.uint16)
+    fill = np.zeros(n_buckets, dtype=np.int64)
+    CK._insert_keys(table, fill, rng_keys.view(np.uint64), n_buckets)
+    assert (table != 0).sum() == len(rng_keys)
+    f = {
+        "tables": [table],
+        "n_tables": 1,
+        "n_buckets": n_buckets,
+        "n_keys": len(rng_keys),
+    }
+    assert CK.contains(f, rng_keys).all()
 
 
 def test_prefilter_udf_seam(spark, built):  # noqa: F811

@@ -171,20 +171,29 @@ def test_compaction_and_bloom_bit_identical(spark, tmp_path):
 
     a = SnapshotStore(str(tmp_path / "plain"))
     b = SnapshotStore(str(tmp_path / "compacted"))
+    c = SnapshotStore(str(tmp_path / "cuckoo"))
     for rnd in range(1, 4):
         scheduler.run_round(spark, a, SF_SMOKE, compact_every=0)
-        # bloom_min_seen=0 forces the Bloom path at fixture scale (the
-        # default engages it only past 10^7 seen keys)
+        # bloom_min_seen=0 forces the prefilter path at fixture scale
+        # (the default engages it only past 10^7 seen keys)
         scheduler.run_round(
             spark, b, SF_SMOKE, compact_every=1, bloom_min_seen=0
         )
+        scheduler.run_round(
+            spark, c, SF_SMOKE, compact_every=1, bloom_min_seen=0,
+            prefilter="cuckoo",
+        )
         assert schedule_rows(spark, a, rnd) == schedule_rows(spark, b, rnd)
+        assert schedule_rows(spark, a, rnd) == schedule_rows(spark, c, rnd)
     assert b.seen_base_round(3) == 3
     assert b.bloom_path(3) is not None
+    assert b.prefilter_path(3)[0] == "bloom"
+    assert c.prefilter_path(3)[0] == "cuckoo"
     assert os.path.exists(os.path.join(b.root, "round=0002", "url_seen_base"))
     seen_a = {r.seen_key for r in a.read_seen(spark, 3).collect()}
     seen_b = {r.seen_key for r in b.read_seen(spark, 3).collect()}
-    assert seen_a == seen_b
+    seen_c = {r.seen_key for r in c.read_seen(spark, 3).collect()}
+    assert seen_a == seen_b == seen_c
 
 
 def test_bloom_no_false_negatives(spark):
