@@ -118,7 +118,10 @@ class SnapshotStore:
         any) plus the per-round append-only deltas after it (the
         Iceberg-append + periodic-rewrite pattern — each round adds one
         delta instead of rewriting the 10^10-key set; compaction bounds
-        the delta-file count)."""
+        the delta-file count), minus any re-opened keys (reopen_seen)
+        not re-added by a later delta."""
+        from pyspark.sql import functions as F
+
         base = self.seen_base_round(upto_rnd)
         paths = []
         if base is not None:
@@ -128,9 +131,56 @@ class SnapshotStore:
             os.path.join(self._round_dir(r), "url_seen_delta")
             for r in range(start, upto_rnd + 1)
         ]
-        return self._read_parquet(
+        seen = self._read_parquet(
             spark, "url_seen_delta", *[p for p in paths if os.path.exists(p)]
         )
+        # reopen lists: bounded per round (recrawl tiers), retired by the
+        # next compaction (the rewritten base already excludes them).
+        # Range starts AT the base round: a reopen filed after that
+        # round's compaction must still apply; one filed before was
+        # folded in, and re-applying is a no-op thanks to the
+        # re-add guard below.
+        for r0 in range(max(start - 1, 0), upto_rnd + 1):
+            p = os.path.join(self._round_dir(r0), "url_seen_reopen")
+            if not os.path.exists(p):
+                continue
+            rk = self._read_parquet(spark, "url_seen_delta", p)
+            # a key re-seen AFTER its reopen is seen again — keep it
+            readd = self.read_seen_deltas(spark, r0 + 1, upto_rnd)
+            eff = rk.join(readd, "seen_key", "left_anti")
+            seen = seen.join(F.broadcast(eff), "seen_key", "left_anti")
+        return seen
+
+    def reopen_seen(
+        self, spark: SparkSession, rnd: int, keys: DataFrame
+    ) -> None:
+        """Re-open previously-seen URLs for refetch (adaptive recrawl,
+        operators/recrawl.py decides which): file a bounded reopen list
+        under ``rnd``. read_seen subtracts these keys until a later delta
+        re-adds them; a materialized cuckoo prefilter drops them in place
+        (frontier/cuckoo.py — the reason it exists); a Bloom needs no
+        change (it only over-approximates, and the exact anti-join
+        consults the reopen-adjusted seen set — the scheduler's running
+        broadcast may stay stale until the next compaction, which only
+        costs those keys the maybe-path, never correctness). The next
+        discovery of a reopened URL schedules it again."""
+        out = os.path.join(self._round_dir(rnd), "url_seen_reopen")
+        keys.select("seen_key").coalesce(1).write.mode("overwrite").parquet(
+            out
+        )
+        pf = self.prefilter_path(rnd)
+        if pf is not None and pf[0] == "cuckoo":
+            import numpy as np
+
+            from .cuckoo import delete_keys, load_cuckoo, save_cuckoo
+
+            f = load_cuckoo(pf[1])
+            arr = np.array(
+                [r.seen_key for r in keys.select("seen_key").collect()],
+                dtype=np.int64,
+            )
+            delete_keys(f, arr)
+            save_cuckoo(f, pf[1])
 
     def read_seen_deltas(
         self, spark: SparkSession, from_rnd: int, upto_rnd: int

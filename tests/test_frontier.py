@@ -196,6 +196,59 @@ def test_compaction_and_bloom_bit_identical(spark, tmp_path):
     assert seen_a == seen_b == seen_c
 
 
+def test_reopen_seen_for_recrawl(spark, tmp_path):
+    """reopen_seen subtracts re-opened keys from the seen set (until a
+    later delta re-adds them) and drops them from a materialized cuckoo
+    prefilter in place — the recrawl re-open path."""
+    from cc_crawl_statistics_spark.frontier.cuckoo import (
+        contains,
+        load_cuckoo,
+    )
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    scheduler.run_round(
+        spark, store, SF_SMOKE, compact_every=1, bloom_min_seen=0,
+        prefilter="cuckoo",
+    )
+    scheduler.run_round(spark, store, SF_SMOKE, compact_every=0)
+    base_keys = sorted(
+        r.seen_key for r in store.read_seen(spark, 1).collect()
+    )
+    victims = base_keys[:5]
+    seen_before = {r.seen_key for r in store.read_seen(spark, 2).collect()}
+    store.reopen_seen(
+        spark, 2,
+        spark.createDataFrame([(k,) for k in victims], "seen_key bigint"),
+    )
+    seen_after = {r.seen_key for r in store.read_seen(spark, 2).collect()}
+    assert seen_after == seen_before - set(victims)
+    # cuckoo prefilter dropped the keys in place (bloom would stay stale
+    # but correct; the cuckoo makes the reopened keys take the clean path)
+    import numpy as np
+
+    kind, path = store.prefilter_path(2)
+    assert kind == "cuckoo"
+    f = load_cuckoo(path)
+    assert not contains(f, np.array(victims, dtype=np.int64)).any()
+    remaining = np.array(
+        [k for k in base_keys if k not in victims], dtype=np.int64
+    )
+    assert contains(f, remaining).all()
+    # a later delta re-adding a reopened key wins over the reopen
+    import os as _os
+
+    d3 = _os.path.join(store.root, "round=0003")
+    _os.makedirs(d3, exist_ok=True)
+    spark.createDataFrame(
+        [(victims[0],)], "seen_key bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(d3, "url_seen_delta")
+    )
+    seen3 = {r.seen_key for r in store.read_seen(spark, 3).collect()}
+    assert victims[0] in seen3
+    assert not any(v in seen3 for v in victims[1:])
+
+
 def test_bloom_no_false_negatives(spark):
     """Membership over the built Bloom: every inserted key tests positive
     (no false negatives ever); a disjoint key set has a low positive rate
