@@ -706,3 +706,31 @@ def run_round(
         store.compact_seen(spark, rnd, n_partitions, prefilter=prefilter)
         store.compact_frontier(spark, rnd, n_partitions)
     return out
+
+
+def reopen_for_recrawl(
+    spark: SparkSession,
+    store: SnapshotStore,
+    rnd: int,
+    pages: DataFrame,
+    tiers: tuple[str, ...] = ("hot",),
+) -> int:
+    """Adaptive-recrawl glue: URLs whose digest history puts them in the
+    given refresh tiers (operators/recrawl.py) are re-opened in the seen
+    store — their canonical seen keys are filed via state.reopen_seen
+    (cuckoo prefilter pruned in place), so the next round that
+    re-discovers them schedules a refetch. Returns how many URLs were
+    re-opened. The tier list bounds the volume per invocation (hot «
+    frontier size), keeping the reopen anti-join side broadcastable."""
+    from ..operators.recrawl import recrawl_tiers
+
+    due = (
+        recrawl_tiers(pages)
+        .filter(F.col("tier").isin(*tiers))
+        .select(seen_key(F.col("url")).alias("seen_key"))
+        .distinct()
+    )
+    n = due.count()
+    if n:
+        store.reopen_seen(spark, rnd, due)
+    return n

@@ -249,6 +249,38 @@ def test_reopen_seen_for_recrawl(spark, tmp_path):
     assert not any(v in seen3 for v in victims[1:])
 
 
+def test_reopen_for_recrawl_glue(spark, tmp_path):
+    """The adaptive-recrawl glue re-opens exactly the due-tier URLs that
+    are in the seen set (canonical seen keys, deduplicated)."""
+    from cc_crawl_statistics_spark.frontier.scheduler import (
+        reopen_for_recrawl,
+        seen_key,
+    )
+    from cc_crawl_statistics_spark.operators.recrawl import recrawl_tiers
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    scheduler.run_round(
+        spark, store, SF_SMOKE, compact_every=1, bloom_min_seen=0,
+        prefilter="cuckoo",
+    )
+    pages = pages_df(spark, SF_SMOKE)
+    before = {r.seen_key for r in store.read_seen(spark, 1).collect()}
+    n = reopen_for_recrawl(spark, store, 1, pages, tiers=("cold",))
+    after = {r.seen_key for r in store.read_seen(spark, 1).collect()}
+    due_keys = {
+        r.k
+        for r in recrawl_tiers(pages)
+        .filter(F.col("tier") == "cold")
+        .select(seen_key(F.col("url")).alias("k"))
+        .distinct()
+        .collect()
+    }
+    assert n == len(due_keys)
+    assert after == before - due_keys
+    assert len(after) < len(before)
+
+
 def test_bloom_no_false_negatives(spark):
     """Membership over the built Bloom: every inserted key tests positive
     (no false negatives ever); a disjoint key set has a low positive rate
