@@ -480,6 +480,25 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Redirect-chain resolution over the fixture's deterministic 301
+    edges (doc d redirects to doc (11d+5) mod N, the child-url formula):
+    pointer-jumping joins in Spark vs a bounded RECURSIVE walk in DuckDB
+    — hop counts, terminal URLs, and the unresolved/cycle flag must all
+    agree exactly."""
+    from ..operators.redirects import resolve_redirects
+    from ..synth import child_url_sql
+
+    p = pages_df(spark, sf)
+    n = load_table(spark, sf, "documents").count()
+    src = p.filter(F.col("status") == 301).select("url", "doc_id").distinct()
+    edges = src.select(
+        F.col("url").alias("src"),
+        F.expr(child_url_sql(f"(doc_id*11+5) % {n}")).alias("dst"),
+    )
+    return resolve_redirects(edges, max_hops=8)
+
+
 def q_host_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return LG.host_degree_histogram(
         LG.host_link_graph(LG.page_outlinks(cc_pages_linked_df(spark, sf)))
@@ -524,6 +543,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlinks": q_outlinks,
     "host_link_graph": q_host_link_graph,
     "host_components": q_host_components,
+    "redirect_resolve": q_redirect_resolve,
     "host_degrees": q_host_degrees,
     "host_degree_histogram": q_host_degree_histogram,
     "robots_sitemap_seeds": q_robots_sitemap_seeds,
@@ -596,6 +616,30 @@ SELECT host,
 FROM outd FULL OUTER JOIN ind USING (host) ORDER BY host
 """
     ),
+    # bounded-walk redirect resolution needs WITH RECURSIVE too
+    "redirect_resolve": oracle_cte(
+        f"""
+, nd AS (SELECT COUNT(*) AS n FROM documents),
+rsrc AS (
+  SELECT DISTINCT url AS src, (doc_id*11+5) % n AS dst_doc
+  FROM pages, nd WHERE status = 301
+),
+redges AS (SELECT src, {child_url_sql('dst_doc')} AS dst FROM rsrc),
+rec AS (
+  SELECT src AS url, dst AS final_url, 1 AS hops FROM redges
+  UNION ALL
+  SELECT w.url, e.dst, w.hops + 1
+  FROM rec w JOIN redges e ON w.final_url = e.src
+  WHERE w.hops < 8
+)
+SELECT url, final_url, CAST(hops AS BIGINT) AS hops,
+  CAST(CASE WHEN final_url IN (SELECT src FROM redges) THEN 0 ELSE 1 END
+       AS BIGINT) AS resolved
+FROM rec r
+QUALIFY hops = MAX(hops) OVER (PARTITION BY url)
+ORDER BY url
+"""
+    ).replace("WITH pages", "WITH RECURSIVE pages", 1),
     # transitive closure needs WITH RECURSIVE; non-recursive CTEs coexist
     "host_components": oracle_cte(
         _EDGES_CTE
