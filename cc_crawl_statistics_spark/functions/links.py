@@ -79,6 +79,27 @@ def parse_outlinks_str_col(html_str: Column) -> Column:
     return F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), F.lit(1))
 
 
+_ANCHOR_PATTERN = r'<a href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def parse_anchors_col(html: Column) -> Column:
+    """array<struct<href,text>> of anchors WITH their anchor text — the
+    web-graph signal ranking/training pipelines aggregate per target.
+    Still pure codegen: regexp_extract_all pulls whole ``<a …>text</a>``
+    spans (one capture group per call is the engine limit), then a
+    higher-order transform re-extracts the two fields per element — no
+    Python, no explode here (callers explode after pruning the blob)."""
+    page = F.decode(html, "UTF-8")
+    anchors = F.regexp_extract_all(page, F.lit(_ANCHOR_PATTERN), F.lit(0))
+    return F.transform(
+        anchors,
+        lambda a: F.struct(
+            F.regexp_extract(a, r'href="([^"]*)"', 1).alias("href"),
+            F.regexp_extract(a, r">([^<]*)</a>", 1).alias("text"),
+        ),
+    )
+
+
 def resolve_href_col(scheme: Column, host: Column, base_path: Column,
                      href: Column) -> Column:
     """Codegen href resolution against (scheme, host, base_path).

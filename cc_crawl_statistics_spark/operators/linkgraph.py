@@ -114,3 +114,42 @@ def host_degree_histogram(host_edges: DataFrame) -> DataFrame:
         F.col("dst_host").alias("host")
     ).agg(F.count("*").alias("in_degree"))
     return pseudo_log_histogram(in_deg, "in_degree")
+
+
+def anchor_text_stats(pages_html: DataFrame, top_k: int = 2) -> DataFrame:
+    """Top anchor texts per target host — the anchor-text web-graph
+    product (what link-based ranking / query-independent relevance
+    training consumes). Input: rows with an ``html`` binary column.
+
+    Plan shape: anchors parse in codegen (functions/links.py
+    parse_anchors_col), the blob is pruned BEFORE the explode, counts
+    pre-aggregate map-side on (dst_host, text), and the ranking window
+    partitions by dst_host over the already-aggregated distinct-text
+    rows (per-host cardinality, not per-anchor volume). A pathological
+    host with ~10^6 distinct texts is one partition of counted rows —
+    acceptable; the salted two-phase shape (textstats.vocabulary) drops
+    in if a corpus ever breaks that."""
+    from pyspark.sql import Window
+
+    from ..functions.links import parse_anchors_col
+
+    anchors = pages_html.select(
+        F.explode(parse_anchors_col(F.col("html"))).alias("a")
+    )
+    counted = (
+        anchors.select(
+            host_of(F.col("a.href")).alias("dst_host"),
+            F.col("a.text").alias("anchor_text"),
+        )
+        .filter(F.col("dst_host").isNotNull() & (F.col("dst_host") != ""))
+        .groupBy("dst_host", "anchor_text")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n"), F.asc("anchor_text")
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+        .orderBy("dst_host", "rank")
+    )

@@ -30,6 +30,7 @@ from ..synth import (
     CORPUS_SQL,
     EMB_CORPUS_SQL_DUCK,
     EMB_CORPUS_SQL_SPARK,
+    child_host_sql,
     child_url_sql,
     oracle_cte,
 )
@@ -480,6 +481,35 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_anchor_texts(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation driver-checked end-to-end: each page's html
+    is synthesized in codegen with two labeled anchors (nav-/rec- of the
+    deterministic children), parsed back by the two-field anchor
+    extractor (functions/links.py:parse_anchors_col), and aggregated to
+    the top anchor texts per target host. The oracle reconstructs the
+    expected (host, text) multiset purely arithmetically — parse drift
+    breaks value parity."""
+    from ..synth import child_url_sql
+
+    p = pages_df(spark, sf)
+    n = load_table(spark, sf, "documents").count()
+    base = p.select("url", "doc_id").distinct()
+    c1, c2 = f"(doc_id*2+1) % {n}", f"(doc_id*3+7) % {n}"
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        F.expr(child_url_sql(c1)),
+        F.lit('">nav-'),
+        F.expr(f"CAST({c1} AS STRING)"),
+        F.lit('</a><a href="'),
+        F.expr(child_url_sql(c2)),
+        F.lit('" rel="x">rec-'),
+        F.expr(f"CAST({c2} AS STRING)"),
+        F.lit("</a></body></html>"),
+    )
+    anchored = base.select(F.encode(html, "UTF-8").alias("html"))
+    return LG.anchor_text_stats(anchored, top_k=2)
+
+
 def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
     """Redirect-chain resolution over the fixture's deterministic 301
     edges (doc d redirects to doc (11d+5) mod N, the child-url formula):
@@ -544,6 +574,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_link_graph": q_host_link_graph,
     "host_components": q_host_components,
     "redirect_resolve": q_redirect_resolve,
+    "anchor_texts": q_anchor_texts,
     "host_degrees": q_host_degrees,
     "host_degree_histogram": q_host_degree_histogram,
     "robots_sitemap_seeds": q_robots_sitemap_seeds,
@@ -614,6 +645,31 @@ SELECT host,
        CAST(COALESCE(out_links, 0) AS BIGINT) AS out_links,
        CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree
 FROM outd FULL OUTER JOIN ind USING (host) ORDER BY host
+"""
+    ),
+    "anchor_texts": oracle_cte(
+        f"""
+, nd AS (SELECT COUNT(*) AS n FROM documents),
+base AS (SELECT DISTINCT doc_id FROM pages),
+an AS (
+  SELECT {child_host_sql('(doc_id*2+1) % n')} AS dst_host,
+         'nav-' || CAST((doc_id*2+1) % n AS STRING) AS anchor_text
+  FROM base, nd
+  UNION ALL
+  SELECT {child_host_sql('(doc_id*3+7) % n')},
+         'rec-' || CAST((doc_id*3+7) % n AS STRING)
+  FROM base, nd
+),
+agg AS (
+  SELECT dst_host, anchor_text, CAST(COUNT(*) AS BIGINT) AS n
+  FROM an GROUP BY dst_host, anchor_text
+)
+SELECT dst_host, anchor_text, n, rank FROM (
+  SELECT dst_host, anchor_text, n,
+    CAST(ROW_NUMBER() OVER (PARTITION BY dst_host
+         ORDER BY n DESC, anchor_text) AS BIGINT) AS rank
+  FROM agg
+) WHERE rank <= 2 ORDER BY dst_host, rank
 """
     ),
     # bounded-walk redirect resolution needs WITH RECURSIVE too

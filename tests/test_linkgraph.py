@@ -22,6 +22,27 @@ from cc_crawl_statistics_spark.functions.links import (
     synth_linked_html_bytes,
 )
 from cc_crawl_statistics_spark.operators import linkgraph as LG
+
+
+def test_parse_anchors_two_fields(spark):
+    from cc_crawl_statistics_spark.functions.links import parse_anchors_col
+
+    html = (
+        b'<html><body><a href="https://a.com/x">Click here</a>'
+        b'<a href="/rel/p.html" rel="nofollow">rel text</a>'
+        b'<a href="https://b.org/">'
+        b"</a></body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html binary")
+    rows = df.select(
+        F.explode(parse_anchors_col(F.col("html"))).alias("a")
+    ).select("a.href", "a.text")
+    got = [(r.href, r.text) for r in rows.collect()]
+    assert got == [
+        ("https://a.com/x", "Click here"),
+        ("/rel/p.html", "rel text"),
+        ("https://b.org/", ""),
+    ]
 from cc_crawl_statistics_spark.sources.cc_pages import cc_pages_linked_df
 from cc_crawl_statistics_spark.sources.tables import load_table
 
