@@ -58,8 +58,15 @@ def materialize_scaled_pages(
         .repartition(cpus * 2)
         .createOrReplaceTempView("documents_raw")
     )
-    spark.sql(scaled_documents_sql(factor, "documents_raw")) \
-        .createOrReplaceTempView("documents")
+    # materialize the scaled documents once so document-side queries
+    # (vocabulary_topk) measure the operator, not corpus re-derivation —
+    # and the pages generation below reads the parquet instead of
+    # re-exploding
+    docs_out = out_dir + "_documents"
+    spark.sql(scaled_documents_sql(factor, "documents_raw")).write.mode(
+        "overwrite"
+    ).parquet(docs_out)
+    spark.read.parquet(docs_out).createOrReplaceTempView("documents")
     pages = spark.sql(
         pages_view_sql(host_pool=HOST_POOL, site_pool=(HOST_POOL * 3) // 10)
     )
@@ -92,7 +99,19 @@ HEADLINE = {
     # parse -> resolve -> host-graph chain over it — the blob-scan-heavy
     # operator class (functions/links.py, operators/linkgraph.py)
     "outlink_host_graph": lambda p: _outlink_host_graph(p),
+    # LLM-pipeline class: token explode -> map-side-combined vocab count ->
+    # salted two-phase top-k over the scaled documents view (~10^8 token
+    # occurrences at factor 200)
+    "vocabulary_topk": lambda p: _vocabulary_bench(p),
 }
+
+
+def _vocabulary_bench(pages):
+    from cc_crawl_statistics_spark.operators.textstats import vocabulary
+
+    return vocabulary(
+        pages.sparkSession.table("documents"), top_k=1000, n_salts=32
+    )
 
 
 def _outlink_host_graph(pages):
