@@ -86,3 +86,59 @@ def test_hll_insensitive_to_duplicates_and_order(values):
     for v in reversed(values + values):
         b.add(v)
     assert a.M == b.M
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter insert/contains/delete kernel (pure numpy, no Spark)
+# ---------------------------------------------------------------------------
+
+int64_keys = st.lists(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    min_size=1,
+    max_size=400,
+    unique=True,
+)
+
+
+def _fresh_table(n_keys):
+    from cc_crawl_statistics_spark.frontier import cuckoo as CK
+
+    n_buckets = CK._n_buckets_for(n_keys, 0.8)
+    import numpy as np
+
+    return (
+        np.zeros((n_buckets, CK.SLOTS), dtype=np.uint16),
+        np.zeros(n_buckets, dtype=np.int64),
+        n_buckets,
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(int64_keys)
+def test_cuckoo_no_false_negatives_property(keys):
+    import numpy as np
+
+    from cc_crawl_statistics_spark.frontier import cuckoo as CK
+
+    arr = np.array(keys, dtype=np.int64)
+    table, fill, n_buckets = _fresh_table(len(arr))
+    CK._insert_keys(table, fill, arr.view(np.uint64), n_buckets)
+    f = {"tables": [table], "n_tables": 1, "n_buckets": n_buckets}
+    assert CK.contains(f, arr).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(int64_keys)
+def test_cuckoo_delete_keeps_remaining_property(keys):
+    import numpy as np
+
+    from cc_crawl_statistics_spark.frontier import cuckoo as CK
+
+    arr = np.array(keys, dtype=np.int64)
+    table, fill, n_buckets = _fresh_table(len(arr))
+    CK._insert_keys(table, fill, arr.view(np.uint64), n_buckets)
+    f = {"tables": [table], "n_tables": 1, "n_buckets": n_buckets}
+    victims, rest = arr[: len(arr) // 2], arr[len(arr) // 2 :]
+    assert CK.delete_keys(f, victims) == len(victims)
+    if len(rest):
+        assert CK.contains(f, rest).all()

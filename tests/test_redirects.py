@@ -34,6 +34,30 @@ def test_chain_cycle_and_terminal(spark):  # noqa: F811
     assert got["s"] == ("s", 8, 0)
 
 
+def test_random_graphs_match_python_model(spark):  # noqa: F811
+    """Randomized functional redirect graphs (seeded) vs an independent
+    single-threaded model of the same semantics."""
+    import random
+
+    def model(edge_map, max_hops=8):
+        out = {}
+        for src, dst in edge_map.items():
+            cur, hops = dst, 1
+            while cur in edge_map and hops < max_hops:
+                cur, hops = edge_map[cur], hops + 1
+            out[src] = (cur, hops, 0 if cur in edge_map else 1)
+        return out
+
+    rng = random.Random(42)
+    for trial in range(12):
+        n = rng.randint(2, 40)
+        nodes = [f"u{i}" for i in range(n + 10)]
+        srcs = rng.sample(nodes, n)
+        edge_map = {s: rng.choice(nodes) for s in srcs}
+        got = _resolve(spark, list(edge_map.items()))
+        assert got == model(edge_map), (trial, edge_map)
+
+
 def test_hop_bound_truncates_long_chain(spark):  # noqa: F811
     chain = [(f"n{i}", f"n{i + 1}") for i in range(12)]
     got = _resolve(spark, chain, max_hops=4)
