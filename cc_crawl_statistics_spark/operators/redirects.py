@@ -25,21 +25,28 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     """(src, dst) redirect edges → (url, final_url, hops, resolved).
 
     hops = edges followed (≥1); resolved = 1 iff final_url is not itself
-    a redirect source within the bound. Each iteration is one equi-join
-    of the still-moving cursors against the edge table + localCheckpoint
-    (lineage cut); rows stop moving the hop their cursor leaves the
-    redirect domain, so the join side shrinks monotonically."""
+    a redirect source within the bound. Each iteration equi-joins ONLY
+    the still-moving cursors against the edge table (+ localCheckpoint
+    lineage cut); a row whose cursor finds no outgoing edge is settled —
+    its final_url is permanently outside the redirect domain (the edge
+    table is static), so it is banked with resolved=1 and never rejoins.
+    The join side therefore genuinely shrinks each hop (chains in the
+    wild are short), and only the leftover still-moving rows after the
+    bound need the final is-it-a-source membership join — a plain join
+    against the distinct sources, NOT a broadcast: at crawl scale the
+    source set is frontier-sized and must never transit the driver."""
     nxt = edges.select(
         F.col("src").alias("_s"), F.col("dst").alias("_d")
     )
-    walk = edges.select(
+    moving = edges.select(
         F.col("src").alias("url"),
         F.col("dst").alias("final_url"),
         F.lit(1).alias("hops"),
     ).localCheckpoint(eager=True)
+    settled = []
     for _ in range(max_hops - 1):
         stepped = (
-            walk.join(nxt, walk.final_url == nxt._s, "left")
+            moving.join(nxt, moving.final_url == nxt._s, "left")
             .select(
                 "url",
                 F.coalesce("_d", "final_url").alias("final_url"),
@@ -48,26 +55,33 @@ def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
                 .alias("hops"),
                 F.col("_d").isNotNull().alias("_moved"),
             )
+            .localCheckpoint(eager=True)
         )
-        n_moved = stepped.agg(F.sum(F.col("_moved").cast("int"))).first()[0]
-        walk = stepped.drop("_moved").localCheckpoint(eager=True)
-        if not n_moved:
+        settled.append(stepped.filter(~F.col("_moved")).drop("_moved"))
+        moving = stepped.filter(F.col("_moved")).drop("_moved")
+        if moving.isEmpty():
             break
     srcs = (
         edges.select(F.col("src").alias("final_url"))
         .distinct()
         .withColumn("_is_src", F.lit(1))
     )
-    return (
-        walk.join(F.broadcast(srcs), "final_url", "left")
-        .select(
-            "url",
-            "final_url",
-            F.col("hops").cast("long").alias("hops"),
-            F.when(F.col("_is_src").isNull(), 1)
-            .otherwise(0)
-            .cast("long")
-            .alias("resolved"),
-        )
-        .orderBy("url")
+    leftover = moving.join(srcs, "final_url", "left").select(
+        "url",
+        "final_url",
+        "hops",
+        F.when(F.col("_is_src").isNull(), 1).otherwise(0).alias("_res"),
     )
+    banked = [
+        s.select("url", "final_url", "hops", F.lit(1).alias("_res"))
+        for s in settled
+    ]
+    walk = leftover
+    for part in banked:
+        walk = walk.unionByName(part)
+    return walk.select(
+        "url",
+        "final_url",
+        F.col("hops").cast("long").alias("hops"),
+        F.col("_res").cast("long").alias("resolved"),
+    ).orderBy("url")
