@@ -209,7 +209,9 @@ def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
     ).distinct()
     dec = RB.robots_decision(urls, rules)
     return (
-        dec.join(F.broadcast(ledger), "host")
+        # plain equi-join: the ledger is host-cardinality (unbounded at
+        # crawl scale) — AQE still broadcasts it when it is actually small
+        dec.join(ledger, "host")
         .select(
             "host",
             "robots_status",
@@ -334,7 +336,9 @@ def q_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
     groups = D.exact_dedup(corpus)
     pairs = (
         corpus.select(F.md5("text").alias("digest"), "doc_id")
-        .join(F.broadcast(groups.select("digest", "canonical_doc_id")), "digest")
+        # plain equi-join: groups is digest-cardinality (corpus-sized at
+        # scale) — never force it through the driver; AQE decides
+        .join(groups.select("digest", "canonical_doc_id"), "digest")
         .filter(F.col("doc_id") != F.col("canonical_doc_id"))
         .select(
             F.col("canonical_doc_id").alias("doc_a"),
