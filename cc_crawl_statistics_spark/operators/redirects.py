@@ -6,9 +6,10 @@ crawlstats.py status histograms — and WAT metadata records the hop);
 training pipelines need the terminal URL as the canonical document key.
 
 Operator shape: the redirect mapping is FUNCTIONAL (one Location per
-source URL), so resolution is pointer-jumping over a (src, dst) edge
-table — the same bounded-iteration join pattern as
-dedup.connected_components, keyed on the current cursor each hop.
+source URL), so resolution is bounded hop-stepping over a (src, dst)
+edge table — the same bounded-iteration join pattern as
+dedup.connected_components, keyed on the current cursor each hop,
+with settled rows banked out so the join side shrinks.
 Chains in the wild are short (browsers cap ~20); ``max_hops`` bounds
 both work and cycle exposure, and a chain still pointing at another
 redirect after the bound is reported unresolved (resolved=0) — cycles
