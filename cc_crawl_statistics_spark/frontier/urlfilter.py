@@ -1,0 +1,137 @@
+"""URL filter chain for frontier admission — the crawler's scope rules.
+
+Every production crawler gates discovered URLs through an ordered filter
+chain before they enter the frontier (Nutch's urlfilter-{validator,
+suffix,regex} plugins; Heritrix's DecideRule scope): drop non-fetchable
+schemes, absurd lengths, crawler traps, binary payloads the pipeline
+won't parse, and session-id churn that defeats the URL-seen set. The
+reference repo measures crawls that were produced behind exactly such a
+chain (its CDX rows are post-filter), so the engine that *runs* a crawl
+needs the operator itself.
+
+Rules, first-match-wins, all whole-stage-codegen string expressions — a
+single projection, no shuffle, no UDF, safe to run inline in the
+discovery path at any scale:
+
+1. ``scheme``            — scheme not in the allowlist (http/https).
+2. ``too_long``          — URL longer than ``max_len`` (default 2048,
+                           the conventional interop limit).
+3. ``too_many_segments`` — more than ``max_segments`` path segments
+                           (Heritrix TooManyPathSegmentsDecideRule; the
+                           classic calendar/mirror trap signature).
+                           Segments are counted as slashes beyond the
+                           scheme's two.
+4. ``binary_extension``  — path (query string stripped) ends in a
+                           media/archive extension the pipeline won't
+                           parse (Nutch urlfilter-suffix).
+5. ``session_id``        — session-token query parameter; infinite
+                           alias space for the same resource.
+6. ``accept``            — everything else.
+
+The semantics are deliberately expressible in ANSI SQL (no regex
+backreferences) so the ``url_filters`` query has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ALLOWED_SCHEMES = ("http", "https")
+
+# media / archive suffixes a text pipeline won't parse (lower-case,
+# checked against the path with the query string stripped)
+BLOCKED_EXTENSIONS = (
+    ".jpg", ".jpeg", ".png", ".gif", ".webp", ".bmp", ".ico", ".svg",
+    ".css", ".js", ".zip", ".gz", ".tar", ".rar", ".7z", ".exe",
+    ".dmg", ".mp3", ".mp4", ".avi", ".mov", ".wmv", ".flv", ".woff",
+    ".woff2", ".ttf",
+)
+
+# lower-case needles; any occurrence anywhere in the URL disqualifies
+SESSION_PARAMS = ("jsessionid=", "phpsessid=", "sessionid=")
+
+MAX_URL_LEN = 2048
+MAX_PATH_SEGMENTS = 20
+
+
+def url_filter_verdict(
+    url: Column,
+    *,
+    max_len: int = MAX_URL_LEN,
+    max_segments: int = MAX_PATH_SEGMENTS,
+) -> Column:
+    """Column expression: the first-match-wins verdict for one URL."""
+    u = F.coalesce(url, F.lit(""))
+    scheme = F.substring_index(u, "://", 1)
+    path_segments = (
+        F.length(u) - F.length(F.replace(u, F.lit("/"), F.lit(""))) - 2
+    )
+    base = F.lower(F.substring_index(u, "?", 1))
+    lower_u = F.lower(u)
+    is_blocked_ext = None
+    for ext in BLOCKED_EXTENSIONS:
+        c = base.endswith(ext)
+        is_blocked_ext = c if is_blocked_ext is None else (is_blocked_ext | c)
+    has_session = None
+    for p in SESSION_PARAMS:
+        c = lower_u.contains(p)
+        has_session = c if has_session is None else (has_session | c)
+    return (
+        F.when(~scheme.isin(*ALLOWED_SCHEMES), F.lit("scheme"))
+        .when(F.length(u) > max_len, F.lit("too_long"))
+        .when(path_segments > max_segments, F.lit("too_many_segments"))
+        .when(is_blocked_ext, F.lit("binary_extension"))
+        .when(has_session, F.lit("session_id"))
+        .otherwise(F.lit("accept"))
+    )
+
+
+def url_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    *,
+    max_len: int = MAX_URL_LEN,
+    max_segments: int = MAX_PATH_SEGMENTS,
+) -> DataFrame:
+    """Append a ``verdict`` column classifying ``url_col`` against the
+    rule chain. Pure projection — composes inline after any discovery
+    step (scheduler.run_round's pluggable ``discover``) with zero plan
+    impact beyond the expression."""
+    return df.withColumn(
+        "verdict",
+        url_filter_verdict(
+            F.col(url_col), max_len=max_len, max_segments=max_segments
+        ),
+    )
+
+
+def accepted(df: DataFrame, url_col: str = "url", **kw) -> DataFrame:
+    """Only the URLs that pass the chain, verdict column dropped — the
+    frontier-admission form."""
+    return url_filter(df, url_col, **kw).filter(
+        F.col("verdict") == "accept"
+    ).drop("verdict")
+
+
+def oracle_verdict_sql(url_expr: str = "url") -> str:
+    """The identical rule chain as an ANSI-SQL CASE expression (DuckDB
+    oracle side). Kept adjacent to the Column builder so the two rule
+    lists can never drift apart silently."""
+    ext_checks = " OR ".join(
+        f"lower(split_part({url_expr}, '?', 1)) LIKE '%{e}'"
+        for e in BLOCKED_EXTENSIONS
+    )
+    sess_checks = " OR ".join(
+        f"lower({url_expr}) LIKE '%{p}%'" for p in SESSION_PARAMS
+    )
+    schemes = ", ".join(f"'{s}'" for s in ALLOWED_SCHEMES)
+    return f"""CASE
+      WHEN split_part({url_expr}, '://', 1) NOT IN ({schemes}) THEN 'scheme'
+      WHEN length({url_expr}) > {MAX_URL_LEN} THEN 'too_long'
+      WHEN length({url_expr}) - length(replace({url_expr}, '/', '')) - 2
+           > {MAX_PATH_SEGMENTS} THEN 'too_many_segments'
+      WHEN {ext_checks} THEN 'binary_extension'
+      WHEN {sess_checks} THEN 'session_id'
+      ELSE 'accept'
+    END"""

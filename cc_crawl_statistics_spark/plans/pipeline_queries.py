@@ -443,6 +443,45 @@ def q_robots_sitemap_seeds(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_url_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier-admission URL filter chain (frontier/urlfilter.py) over a
+    deterministically mutated URL population: each distinct page URL is
+    perturbed by md5-bucket into one of seven shapes (clean, .jpg suffix,
+    ftp scheme, session param, 25-segment trap, 2100-char tail, .tar.gz)
+    so every rule fires. The oracle rebuilds the identical population and
+    applies the identical CASE chain (urlfilter.oracle_verdict_sql) —
+    rule-list drift hash-mismatches."""
+    from ..frontier.urlfilter import url_filter
+
+    urls = pages_df(spark, sf).select("url").distinct()
+    h = F.pmod(F.ascii(F.substring(F.md5("url"), 1, 1)), F.lit(7))
+    mutated = urls.select(
+        F.when(h == 0, F.col("url"))
+        .when(h == 1, F.concat(F.col("url"), F.lit(".jpg")))
+        .when(
+            h == 2,
+            F.concat(
+                F.lit("ftp://mirror.invalid/"),
+                F.length("url").cast("string"),
+            ),
+        )
+        .when(h == 3, F.concat(F.col("url"), F.lit("?phpsessid=deadbeef")))
+        .when(h == 4, F.concat(F.col("url"), F.repeat(F.lit("/x"), 25)))
+        .when(h == 5, F.concat(F.col("url"), F.repeat(F.lit("a"), 2100)))
+        .otherwise(F.concat(F.col("url"), F.lit(".tar.gz")))
+        .alias("url")
+    )
+    return (
+        url_filter(mutated)
+        .groupBy("verdict")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("url").alias("example_url"),
+        )
+        .orderBy("verdict")
+    )
+
+
 def q_outlinks(spark: SparkSession, sf: str) -> DataFrame:
     """HTML outlink parse + resolution (linkgraph.page_outlinks): Spark
     decodes the html BYTES and regexp-parses anchors in codegen; the
@@ -582,6 +621,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_degrees": q_host_degrees,
     "host_degree_histogram": q_host_degree_histogram,
     "robots_sitemap_seeds": q_robots_sitemap_seeds,
+    "url_filters": q_url_filters,
 }
 
 # ---------------------------------------------------------------------------
@@ -1342,6 +1382,34 @@ FROM ranked WHERE rank <= budget ORDER BY host, rank
 }
 
 PIPELINE_ORACLES.update(_LINKGRAPH_ORACLES)
+
+def _url_filters_oracle() -> str:
+    from ..frontier.urlfilter import oracle_verdict_sql
+
+    return oracle_cte(
+        f"""
+, urls AS (SELECT DISTINCT url FROM pages),
+mutated AS (
+  SELECT CASE ascii(substr(md5(url), 1, 1)) % 7
+    WHEN 0 THEN url
+    WHEN 1 THEN url || '.jpg'
+    WHEN 2 THEN 'ftp://mirror.invalid/' || CAST(length(url) AS VARCHAR)
+    WHEN 3 THEN url || '?phpsessid=deadbeef'
+    WHEN 4 THEN url || repeat('/x', 25)
+    WHEN 5 THEN url || repeat('a', 2100)
+    ELSE url || '.tar.gz'
+  END AS url FROM urls
+),
+dec AS (SELECT url, {oracle_verdict_sql('url')} AS verdict FROM mutated)
+SELECT verdict,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       MIN(url) AS example_url
+FROM dec GROUP BY verdict ORDER BY verdict
+"""
+    )
+
+
+PIPELINE_ORACLES["url_filters"] = _url_filters_oracle()
 
 PIPELINE_ORACLES["robots_sitemap_seeds"] = oracle_cte(
     """

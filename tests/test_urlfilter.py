@@ -1,0 +1,86 @@
+"""URL filter chain: per-rule semantics, precedence, frontier composition."""
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.frontier.urlfilter import (
+    accepted,
+    url_filter,
+)
+from tests.conftest import spark  # noqa: F401  (fixture)
+
+
+def _verdicts(spark, urls, **kw):  # noqa: F811
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r.url: r.verdict for r in url_filter(df, **kw).collect()}
+
+
+def test_each_rule_fires(spark):  # noqa: F811
+    got = _verdicts(
+        spark,
+        [
+            "https://example.com/a.html",            # clean
+            "ftp://example.com/a.html",              # scheme
+            "javascript:void(0)",                    # scheme (no ://)
+            "https://example.com/" + "a" * 2100,     # too_long
+            "https://example.com" + "/x" * 25,       # trap
+            "https://example.com/logo.PNG",          # ext, case-folded
+            "https://example.com/pic.jpg?x=1",       # ext before query
+            "https://example.com/p;JSESSIONID=abc=", # session, case-folded
+            "https://example.com/p?phpsessid=1",     # session
+        ],
+    )
+    assert got["https://example.com/a.html"] == "accept"
+    assert got["ftp://example.com/a.html"] == "scheme"
+    assert got["javascript:void(0)"] == "scheme"
+    assert got["https://example.com/" + "a" * 2100] == "too_long"
+    assert got["https://example.com" + "/x" * 25] == "too_many_segments"
+    assert got["https://example.com/logo.PNG"] == "binary_extension"
+    assert got["https://example.com/pic.jpg?x=1"] == "binary_extension"
+    assert got["https://example.com/p;JSESSIONID=abc="] == "session_id"
+    assert got["https://example.com/p?phpsessid=1"] == "session_id"
+
+
+def test_precedence_first_match_wins(spark):  # noqa: F811
+    # scheme beats length; length beats segments; segments beat extension
+    long_ftp = "ftp://e.com/" + "a" * 2100
+    long_trap = "https://e.com" + "/x" * 1200          # >2048 AND >20 segs
+    trap_jpg = "https://e.com" + "/x" * 25 + "/a.jpg"  # trap AND extension
+    got = _verdicts(spark, [long_ftp, long_trap, trap_jpg])
+    assert got[long_ftp] == "scheme"
+    assert got[long_trap] == "too_long"
+    assert got[trap_jpg] == "too_many_segments"
+
+
+def test_query_string_not_an_extension(spark):  # noqa: F811
+    # .jpg inside the query string must NOT trigger the suffix rule
+    got = _verdicts(spark, ["https://e.com/page.html?img=photo.jpg"])
+    assert got["https://e.com/page.html?img=photo.jpg"] == "accept"
+
+
+def test_null_url_is_rejected(spark):  # noqa: F811
+    df = spark.createDataFrame([(None,)], "url string")
+    assert url_filter(df).first().verdict == "scheme"
+
+
+def test_parameter_overrides(spark):  # noqa: F811
+    url = "https://e.com/a/b/c/d.html"
+    assert _verdicts(spark, [url], max_segments=3)[url] == (
+        "too_many_segments"
+    )
+    assert _verdicts(spark, [url], max_len=10)[url] == "too_long"
+
+
+def test_accepted_composes_on_discovery_shape(spark):  # noqa: F811
+    """accepted() drops rejects and keeps the frontier row shape — the
+    admission seam after any discover() step in scheduler.run_round."""
+    rows = [
+        ("https://e.com/a.html", "e.com", 1, 50, "pending"),
+        ("https://e.com/logo.png", "e.com", 1, 50, "pending"),
+        ("ftp://e.com/b.html", "e.com", 2, 10, "pending"),
+    ]
+    disc = spark.createDataFrame(
+        rows, "url string, host string, depth int, score int, state string"
+    )
+    out = accepted(disc)
+    assert out.columns == ["url", "host", "depth", "score", "state"]
+    assert [r.url for r in out.collect()] == ["https://e.com/a.html"]
