@@ -70,6 +70,58 @@ def test_parameter_overrides(spark):  # noqa: F811
     assert _verdicts(spark, [url], max_len=10)[url] == "too_long"
 
 
+def test_randomized_urls_match_python_model(spark):  # noqa: F811
+    """Seeded adversarial URL soup (multi-'://', uppercase extensions,
+    '?' repeats, empty pieces) vs an independent Python model of the rule
+    chain — one Spark job over the whole batch."""
+    import random
+
+    from cc_crawl_statistics_spark.frontier.urlfilter import (
+        BLOCKED_EXTENSIONS,
+        SESSION_PARAMS,
+    )
+
+    def model(u):
+        u = u or ""
+        scheme = u.split("://", 1)[0]
+        if scheme not in ("http", "https"):
+            return "scheme"
+        if len(u) > 2048:
+            return "too_long"
+        if u.count("/") - 2 > 20:
+            return "too_many_segments"
+        base = u.split("?", 1)[0].lower()
+        if any(base.endswith(e) for e in BLOCKED_EXTENSIONS):
+            return "binary_extension"
+        if any(p in u.lower() for p in SESSION_PARAMS):
+            return "session_id"
+        return "accept"
+
+    rng = random.Random(20260819)
+    schemes = ["http", "https", "ftp", "file", "HTTP", ""]
+    hosts = ["e.com", "a.b.c.example.org", "xn--p1ai", ""]
+    tails = [
+        "", ".jpg", ".JPG", ".tar.gz", ".html", ".jpg?x=1", "?a=.png",
+        "?phpsessid=1", ";jsessionid=X", "?x=1&SESSIONID=2", "://twice",
+        "/x" * 21, "/x" * 20, "a" * 2049, "a" * 2000, "?" * 3,
+    ]
+    urls = []
+    for _ in range(300):
+        u = (
+            rng.choice(schemes)
+            + ("://" if rng.random() < 0.9 else ":")
+            + rng.choice(hosts)
+            + "/"
+            + "/".join("p%d" % rng.randrange(9) for _ in range(rng.randrange(4)))
+            + rng.choice(tails)
+        )
+        urls.append(u)
+    urls = list(dict.fromkeys(urls))
+    got = _verdicts(spark, urls)
+    expected = {u: model(u) for u in urls}
+    assert got == expected
+
+
 def test_accepted_composes_on_discovery_shape(spark):  # noqa: F811
     """accepted() drops rejects and keeps the frontier row shape — the
     admission seam after any discover() step in scheduler.run_round."""
