@@ -230,17 +230,58 @@ def url_fetch_histogram(pages: DataFrame) -> DataFrame:
     )
 
 
-def mimetype_counts(pages: DataFrame, detected: bool = False) -> DataFrame:
-    """A2 mime branch with plot-layer normalization fused in
-    (crawlstats.py:566-572; mimetype.py:14-33): lowercase + extract the
-    leading well-formed media type, fall back to the quote-stripped raw."""
-    col = "mime_detected" if detected else "mime"
+def mime_norm(col: str) -> F.Column:
+    """Plot-layer media-type normalization (crawlstats.py:566-572;
+    mimetype.py:14-33): lowercase + extract the leading well-formed media
+    type, fall back to the quote-stripped raw."""
     pat = r"^\s*([a-z0-9._-]+/[a-z0-9._+-]+)"
-    norm = F.coalesce(
+    return F.coalesce(
         F.nullif(F.regexp_extract(F.lower(F.col(col)), pat, 1), F.lit("")),
         F.regexp_replace(F.lower(F.col(col)), '"', ""),
     )
-    return dim_counts(pages, norm, out="mimetype")
+
+
+def mimetype_counts(pages: DataFrame, detected: bool = False) -> DataFrame:
+    """A2 mime branch with the plot-layer normalization fused in."""
+    return dim_counts(
+        pages, mime_norm("mime_detected" if detected else "mime"), out="mimetype"
+    )
+
+
+def mime_agreement_matrix(
+    pages: DataFrame, mismatch_only: bool = False
+) -> DataFrame:
+    """Agreement matrix between the server-declared Content-Type and the
+    content-detected media type — the comparison the reference's media-type
+    plots invite by publishing both columns side by side
+    (crawlstats.py:566-572 mime vs mime_detected). One row per normalized
+    (mimetype, mimetype_detected) pair with the twin [pages, urls] counts
+    and an ``agree`` flag; ``mismatch_only`` keeps just the disagreements
+    (the mislabeled-content inventory).
+
+    Same Expand-free two-stage shape as dim_counts: shuffle once on
+    (crawl, pair, url) with map-side combine, then reduce the per-url
+    level — never count+countDistinct over the raw fetch rows."""
+    df = page_rows(pages)
+    pairs = df.select(
+        "crawl",
+        mime_norm("mime").alias("mimetype"),
+        mime_norm("mime_detected").alias("mimetype_detected"),
+        "url",
+    )
+    if mismatch_only:
+        pairs = pairs.filter(F.col("mimetype") != F.col("mimetype_detected"))
+    per_url = pairs.groupBy(
+        "crawl", "mimetype", "mimetype_detected", "url"
+    ).agg(F.count("*").alias("cnt"))
+    return (
+        per_url.groupBy("crawl", "mimetype", "mimetype_detected")
+        .agg(F.sum("cnt").alias("pages"), F.count("*").alias("urls"))
+        .withColumn(
+            "agree", (F.col("mimetype") == F.col("mimetype_detected"))
+        )
+        .orderBy("crawl", "mimetype", "mimetype_detected")
+    )
 
 
 def charset_counts(pages: DataFrame) -> DataFrame:

@@ -657,3 +657,62 @@ def continent_rollup(tld_counts_df: DataFrame, tld_dim_df: DataFrame) -> DataFra
         )
         .orderBy("crawl", "continent")
     )
+
+
+def host_churn(pages: DataFrame) -> DataFrame:
+    """Host churn per crawl transition: how many hosts appeared
+    (``hosts_gained``), persisted (``hosts_retained``), and disappeared
+    since the immediately-preceding crawl present in the data
+    (``hosts_lost``). Extends the reference's one-sided new-items
+    detection (crawlstats.py:841-863 — appearance only) with the
+    disappearance side plot users ask of a crawl series.
+
+    Scale shape: one distinct on (crawl_id, host) — the same reduction
+    host_counts performs — then a lag/lead window PARTITIONED BY HOST
+    (high-cardinality key, tiny groups ≤ n_crawls ≤ 126; this is NOT a
+    crawl-dimension single-partition window). Crawl ids map to a dense
+    sequence via a broadcast of the ≤126-row crawl dimension so gaps in
+    registration ids don't fake churn."""
+    hosts = page_rows(pages).select("crawl_id", "crawl", "host").distinct()
+    # dense sequence over the crawls actually present (≤126 rows; the
+    # single-partition window on this dim is the documented cheap case)
+    crawls = (
+        hosts.select("crawl_id", "crawl")
+        .distinct()
+        .withColumn(
+            "seq", F.row_number().over(Window.orderBy("crawl_id")) - 1
+        )
+    )
+    h = hosts.join(F.broadcast(crawls), ["crawl_id", "crawl"])
+    w = Window.partitionBy("host").orderBy("seq")
+    flags = h.select(
+        "seq",
+        "crawl",
+        (F.coalesce(F.lag("seq").over(w), F.lit(-2)) < F.col("seq") - 1).alias(
+            "is_gained"
+        ),
+        (
+            F.coalesce(F.lead("seq").over(w), F.lit(2**31)) > F.col("seq") + 1
+        ).alias("is_lost_after"),
+    )
+    per_seq = flags.groupBy("seq", "crawl").agg(
+        F.count("*").alias("n_hosts"),
+        F.sum(F.col("is_gained").cast("long")).alias("hosts_gained"),
+        F.sum(F.col("is_lost_after").cast("long")).alias("lost_after"),
+    )
+    # attribute "lost" to the crawl where the host is absent: one lag over
+    # the ≤126-row per-crawl aggregate
+    wseq = Window.orderBy("seq")
+    # first crawl: every host counts as gained (lag is null), matching the
+    # reference's new-items convention for the first crawl of a series
+    return per_seq.select(
+        "crawl",
+        "n_hosts",
+        F.col("hosts_gained").cast("long").alias("hosts_gained"),
+        (F.col("n_hosts") - F.col("hosts_gained")).cast("long").alias(
+            "hosts_retained"
+        ),
+        F.coalesce(F.lag("lost_after").over(wseq), F.lit(0))
+        .cast("long")
+        .alias("hosts_lost"),
+    ).orderBy("crawl")

@@ -1003,6 +1003,78 @@ def q_crawl_registry_lookup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_warc_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX index generation (the cc-index build step the reference's input
+    files come from): per-record (warc_filename, offset, length) addresses
+    for the WARC layout (sources/warc.py:cdx_index_from_pages), folded to
+    per-file invariants. The oracle constructs the IDENTICAL record string
+    in SQL and re-derives length/offset, so any drift in the shared record
+    expression, the +1 row terminator, or the per-file running-sum window
+    breaks value parity. ``offset_sum`` is sensitive to both record order
+    and every individual length; ``end_of_file`` must equal ``file_bytes``
+    (max(offset+length) == total span). Byte-exactness against physically
+    written files is pinned in tests/test_warc.py."""
+    from pyspark.sql import functions as F
+
+    from ..sources.warc import cdx_index_from_pages
+
+    idx = cdx_index_from_pages(pages_df(spark, sf))
+    return (
+        idx.groupBy("warc_filename")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.sum("warc_record_length").cast("long").alias("file_bytes"),
+            F.sum("warc_record_offset").cast("long").alias("offset_sum"),
+            F.max(
+                F.col("warc_record_offset") + F.col("warc_record_length")
+            )
+            .cast("long")
+            .alias("end_of_file"),
+        )
+        .orderBy("warc_filename")
+    )
+
+
+def q_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
+    """Fetch-time digest dedup as WARC revisit records
+    (sources/warc.py:revisit_records): first capture per (crawl, digest)
+    stays a response, later fetches become revisits pointing at the
+    original. The aggregate checksums the refers-to linkage itself
+    (sum of refers_to_url lengths + refers_to_ts), so a wrong "original"
+    pick — not just a wrong split — breaks parity."""
+    from pyspark.sql import functions as F
+
+    from ..sources.warc import revisit_records
+
+    rv = revisit_records(pages_df(spark, sf))
+    return (
+        rv.groupBy("crawl", "warc_type")
+        .agg(
+            F.count("*").cast("long").alias("n_records"),
+            F.countDistinct("digest").cast("long").alias("n_digests"),
+            F.coalesce(F.sum(F.length("refers_to_url")), F.lit(0))
+            .cast("long")
+            .alias("refers_chars"),
+            F.coalesce(F.sum("refers_to_ts"), F.lit(0))
+            .cast("long")
+            .alias("refers_ts_sum"),
+        )
+        .orderBy("crawl", "warc_type")
+    )
+
+
+def q_host_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Hosts gained/retained/lost per crawl transition
+    (operators/timeseries.py:host_churn)."""
+    return TS.host_churn(pages_df(spark, sf))
+
+
+def q_mime_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-vs-detected media-type agreement matrix
+    (operators/counts.py:mime_agreement_matrix)."""
+    return C.mime_agreement_matrix(pages_df(spark, sf))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1068,6 +1140,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_roundtrip": q_warc_roundtrip,
     "wet_roundtrip": q_wet_roundtrip,
     "wat_links": q_wat_links,
+    "warc_cdx_index": q_warc_cdx_index,
+    "warc_revisit": q_warc_revisit,
+    "host_churn": q_host_churn,
+    "mime_matrix": q_mime_matrix,
     "stats_wire_roundtrip": q_stats_wire_roundtrip,
     "crawler_metrics_roundtrip": q_crawler_metrics_roundtrip,
     "cc_pages_extract": q_cc_pages_extract,
@@ -1681,6 +1757,128 @@ FROM pages
 """
         ),
         "wat_links": _wat_links_oracle(),
+        # the oracle rebuilds the WARC record string itself (same concat
+        # pieces as sources/warc.py:warc_record_expr) and re-derives the
+        # per-file (offset, length) layout from scratch
+        "warc_cdx_index": _oracle(
+            """
+, rec AS (
+  SELECT warc_filename, fetch_ts, url,
+    strlen(
+      'WARC/1.0' || chr(13) || chr(10)
+      || 'WARC-Type: response' || chr(13) || chr(10)
+      || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+      || 'WARC-Record-ID: <urn:uuid:'
+      || md5(url || CAST(fetch_ts AS STRING)) || '>' || chr(13) || chr(10)
+      || 'WARC-Filename: ' || warc_filename || chr(13) || chr(10)
+      || 'Content-Type: application/http; msgtype=response'
+      || chr(13) || chr(10)
+      || 'Content-Length: ' || CAST(length(hb) AS STRING)
+      || chr(13) || chr(10) || chr(13) || chr(10)
+      || hb || chr(13) || chr(10)
+    ) + 1 AS rec_len
+  FROM (
+    SELECT *,
+      'HTTP/1.1 ' || CAST(status AS STRING) || ' -' || chr(13) || chr(10)
+      || 'Content-Type: ' || mime
+      || chr(13) || chr(10) || chr(13) || chr(10)
+      || '<!doctype html><title>' || url || '</title><p>' || digest
+      || '</p>' AS hb
+    FROM pages
+  )
+),
+idx AS (
+  SELECT warc_filename, rec_len,
+    COALESCE(SUM(rec_len) OVER (
+      PARTITION BY warc_filename ORDER BY fetch_ts, url
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM rec
+)
+SELECT warc_filename,
+  CAST(COUNT(*) AS BIGINT) AS n_records,
+  CAST(SUM(rec_len) AS BIGINT) AS file_bytes,
+  CAST(SUM(off) AS BIGINT) AS offset_sum,
+  CAST(MAX(off + rec_len) AS BIGINT) AS end_of_file
+FROM idx GROUP BY warc_filename ORDER BY warc_filename
+"""
+        ),
+        "warc_revisit": _oracle(
+            """
+, rv AS (
+  SELECT crawl, digest, url, fetch_ts,
+    ROW_NUMBER() OVER (
+      PARTITION BY crawl, digest ORDER BY fetch_ts, url) AS rn,
+    FIRST_VALUE(url) OVER (
+      PARTITION BY crawl, digest ORDER BY fetch_ts, url) AS furl,
+    FIRST_VALUE(fetch_ts) OVER (
+      PARTITION BY crawl, digest ORDER BY fetch_ts, url) AS fts
+  FROM pages
+)
+SELECT crawl,
+  CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS warc_type,
+  CAST(COUNT(*) AS BIGINT) AS n_records,
+  CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_digests,
+  CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 0 ELSE length(furl) END), 0)
+       AS BIGINT) AS refers_chars,
+  CAST(COALESCE(SUM(CASE WHEN rn = 1 THEN 0 ELSE fts END), 0)
+       AS BIGINT) AS refers_ts_sum
+FROM rv GROUP BY crawl, warc_type ORDER BY crawl, warc_type
+"""
+        ),
+        "host_churn": _oracle(
+            """
+, hosts AS (SELECT DISTINCT crawl_id, crawl, host FROM prows),
+seqd AS (
+  SELECT crawl_id, crawl,
+         CAST(DENSE_RANK() OVER (ORDER BY crawl_id) - 1 AS INTEGER) AS seq
+  FROM (SELECT DISTINCT crawl_id, crawl FROM hosts)
+),
+h AS (
+  SELECT hosts.host, seqd.seq, seqd.crawl
+  FROM hosts JOIN seqd USING (crawl_id, crawl)
+),
+flags AS (
+  SELECT seq, crawl,
+    (COALESCE(LAG(seq) OVER (PARTITION BY host ORDER BY seq), -2)
+       < seq - 1) AS is_gained,
+    (COALESCE(LEAD(seq) OVER (PARTITION BY host ORDER BY seq), 2147483647)
+       > seq + 1) AS is_lost_after
+  FROM h
+),
+per_seq AS (
+  SELECT seq, crawl, COUNT(*) AS n_hosts,
+    SUM(CASE WHEN is_gained THEN 1 ELSE 0 END) AS hosts_gained,
+    SUM(CASE WHEN is_lost_after THEN 1 ELSE 0 END) AS lost_after
+  FROM flags GROUP BY seq, crawl
+)
+SELECT crawl,
+  CAST(n_hosts AS BIGINT) AS n_hosts,
+  CAST(hosts_gained AS BIGINT) AS hosts_gained,
+  CAST(n_hosts - hosts_gained AS BIGINT) AS hosts_retained,
+  CAST(COALESCE(LAG(lost_after) OVER (ORDER BY seq), 0) AS BIGINT)
+    AS hosts_lost
+FROM per_seq ORDER BY crawl
+"""
+        ),
+        "mime_matrix": _oracle(
+            f"""
+, m AS (
+  SELECT crawl, {_MIME_NORM.format(c="mime")} AS mimetype,
+         {_MIME_NORM.format(c="mime_detected")} AS mimetype_detected, url
+  FROM prows
+),
+per_url AS (
+  SELECT crawl, mimetype, mimetype_detected, url, COUNT(*) AS cnt
+  FROM m GROUP BY crawl, mimetype, mimetype_detected, url
+)
+SELECT crawl, mimetype, mimetype_detected,
+  CAST(SUM(cnt) AS BIGINT) AS pages,
+  CAST(COUNT(*) AS BIGINT) AS urls,
+  (mimetype = mimetype_detected) AS agree
+FROM per_url GROUP BY crawl, mimetype, mimetype_detected
+ORDER BY crawl, mimetype, mimetype_detected
+"""
+        ),
         "cdx_roundtrip": _oracle(
             """
 SELECT scheme, tld, status,

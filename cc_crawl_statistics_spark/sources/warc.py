@@ -23,7 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 RECORD_SEP = "WARC/1.0\r\n"
@@ -31,12 +31,11 @@ RECORD_SEP = "WARC/1.0\r\n"
 _CRLF2 = "\r\n\r\n"
 
 
-def render_warc_records(pages: DataFrame, body_col: str | None = None) -> DataFrame:
-    """pages rows → one spec-shaped WARC response record string per fetch
-    (column ``value``). The payload defaults to a deterministic HTML body
-    derived from the row, so byte integrity is checkable end-to-end;
-    ``body_col`` substitutes a real html string column (e.g. the linked
-    fixture pages, for WAT link extraction)."""
+def warc_record_expr(body_col: str | None = None) -> F.Column:
+    """The rendered WARC/1.0 response record as a Column expression over
+    pages fields — shared by the record sink (`render_warc_records`) and
+    the CDX index builder (`cdx_index_from_pages`), so the index's length
+    arithmetic can never drift from what the sink writes."""
     if body_col is not None:
         body = F.col(body_col)
     else:
@@ -55,8 +54,7 @@ def render_warc_records(pages: DataFrame, body_col: str | None = None) -> DataFr
         F.lit(_CRLF2),
         body,
     )
-    return pages.select(
-        F.concat(
+    return F.concat(
             F.lit(RECORD_SEP),
             F.lit("WARC-Type: response\r\n"),
             F.lit("WARC-Target-URI: "),
@@ -74,8 +72,16 @@ def render_warc_records(pages: DataFrame, body_col: str | None = None) -> DataFr
             F.lit(_CRLF2),  # header line end + the blank line
             http_block,
             F.lit("\r\n"),
-        ).alias("value")
     )
+
+
+def render_warc_records(pages: DataFrame, body_col: str | None = None) -> DataFrame:
+    """pages rows → one spec-shaped WARC response record string per fetch
+    (column ``value``). The payload defaults to a deterministic HTML body
+    derived from the row, so byte integrity is checkable end-to-end;
+    ``body_col`` substitutes a real html string column (e.g. the linked
+    fixture pages, for WAT link extraction)."""
+    return pages.select(warc_record_expr(body_col).alias("value"))
 
 
 def write_warc(pages: DataFrame, path: str, compression: str | None = None):
@@ -243,3 +249,113 @@ def write_wat(wat: DataFrame, path: str, compression: str | None = None):
     if compression:
         w = w.option("compression", compression)
     w.text(path)
+
+
+# ---------------------------------------------------------------------------
+# CDX index generation (the cc-index build step: WARC layout → per-record
+# (filename, offset, length) index) and fetch-time digest dedup (WARC
+# `revisit` records). The reference repo CONSUMES cdx files
+# (/root/reference/crawlstats.py:549-595) produced upstream by exactly
+# this indexing step; closing it makes the engine self-hosting:
+# pages → WARC files → CDX index → the whole stats layer.
+# ---------------------------------------------------------------------------
+
+
+def cdx_index_from_pages(
+    pages: DataFrame, body_col: str | None = None
+) -> DataFrame:
+    """Per-fetch CDX index entry: the byte address (``warc_filename``,
+    ``warc_record_offset``, ``warc_record_length``) of the rendered WARC
+    record, for the layout ``write_warc_with_index`` writes (records in
+    (fetch_ts, url) order per file, one ``\\n`` row terminator per record
+    — included in the span, so offsets are physical file positions).
+
+    Scale shape: lengths come straight off the shared record expression
+    (``warc_record_expr`` — pure codegen, byte-exact vs the sink), and the
+    offset is one running sum windowed per warc_filename. The window
+    partition is bounded by construction: a crawl's WARC files are
+    size-capped (~1 GB / tens of thousands of records each, the real
+    Common Crawl layout of ~64k files per crawl), so no
+    unbounded-cardinality window exists here.
+
+    Offsets address the uncompressed stream; the gzip-per-file layout's
+    unit of random access is the whole member (file), as in CC's
+    one-task-per-.gz processing model.
+    """
+    rec_len = (F.octet_length(warc_record_expr(body_col)) + F.lit(1)).cast(
+        "long"
+    )
+    w = Window.partitionBy("warc_filename").orderBy("fetch_ts", "url")
+    idx = pages.select(
+        "url",
+        "surt_key",
+        "fetch_ts",
+        "status",
+        "digest",
+        "crawl",
+        "warc_filename",
+        rec_len.alias("warc_record_length"),
+    )
+    return idx.withColumn(
+        "warc_record_offset",
+        F.coalesce(
+            F.sum("warc_record_length").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+def write_warc_with_index(pages: DataFrame, path: str) -> DataFrame:
+    """Write the WARC layout the index addresses: one physical file per
+    ``warc_filename`` (``partitionBy`` + hash repartition on the filename
+    puts each file's records in exactly one task → exactly one part file
+    per directory), records in (fetch_ts, url) order within the file.
+    Returns the matching ``cdx_index_from_pages`` frame; byte-exactness of
+    (offset, length) against the written files is pinned in
+    tests/test_warc.py::test_cdx_index_addresses_physical_bytes."""
+    ordered = pages.repartition("warc_filename").sortWithinPartitions(
+        "warc_filename", "fetch_ts", "url"
+    )
+    recs = ordered.select(
+        "warc_filename", warc_record_expr().alias("value")
+    )
+    recs.write.mode("overwrite").partitionBy("warc_filename").text(path)
+    return cdx_index_from_pages(pages)
+
+
+def revisit_records(pages: DataFrame) -> DataFrame:
+    """Fetch-time digest dedup — WARC ``revisit`` records (WARC/1.0 §6.7.2,
+    the dedup policy Common Crawl's crawler applies at write time): the
+    first capture of a payload digest within a crawl is stored as the
+    ``response`` record; every later fetch of the same digest becomes a
+    ``revisit`` record pointing at the original capture
+    (``refers_to_url`` / ``refers_to_ts`` ≅ WARC-Refers-To-Target-URI /
+    WARC-Refers-To-Date). "First" is total-ordered by (fetch_ts, url).
+
+    One sort-based window keyed by (crawl, digest) — high-cardinality
+    partitioning key, so the shuffle spreads; a pathologically hot digest
+    (e.g. the empty page) concentrates one group in one task, which AQE
+    skew handling splits at the preceding exchange.
+    """
+    w = Window.partitionBy("crawl", "digest").orderBy("fetch_ts", "url")
+    rn = F.row_number().over(w)
+    first_url = F.first("url").over(w)
+    first_ts = F.first("fetch_ts").over(w)
+    is_first = rn == 1
+    return pages.select(
+        "url",
+        "fetch_ts",
+        "crawl",
+        "digest",
+        F.when(is_first, F.lit("response"))
+        .otherwise(F.lit("revisit"))
+        .alias("warc_type"),
+        F.when(is_first, F.lit(None).cast("string"))
+        .otherwise(first_url)
+        .alias("refers_to_url"),
+        F.when(is_first, F.lit(None).cast("long"))
+        .otherwise(first_ts)
+        .alias("refers_to_ts"),
+    )

@@ -235,3 +235,37 @@ def test_spearman_drops_single_member_groups(spark):
     out = TS.spearman_rank_x1000(df, "tld").toPandas()
     assert list(out.crawl) == ["c1"]  # c2 has n=1 -> dropped
     assert out.iloc[0]["spearman_x1000"] == 1000  # identical rank order
+
+
+def test_host_churn_hand_computed_with_id_gap(spark):
+    """Churn over crawls with a registration-id GAP (0, 5, 6): the dense
+    crawl sequence must treat 0→5 as consecutive, and a host absent for
+    one crawl is lost once and gained once on return."""
+    from cc_crawl_statistics_spark.operators import timeseries as TS
+
+    rows = []
+    presence = {"h1": [0, 5, 6], "h2": [0, 6], "h3": [5]}
+    for host, ids in presence.items():
+        for cid in ids:
+            rows.append(
+                (
+                    f"http://{host}/x",
+                    host,
+                    f"C{cid}",
+                    cid,
+                    200,
+                    "seg/warc/p.warc.gz",
+                )
+            )
+    pages = spark.createDataFrame(
+        rows,
+        "url string, host string, crawl string, crawl_id int, "
+        "status int, warc_filename string",
+    )
+    got = {r.crawl: r for r in TS.host_churn(pages).collect()}
+    assert (got["C0"].n_hosts, got["C0"].hosts_gained,
+            got["C0"].hosts_retained, got["C0"].hosts_lost) == (2, 2, 0, 0)
+    assert (got["C5"].n_hosts, got["C5"].hosts_gained,
+            got["C5"].hosts_retained, got["C5"].hosts_lost) == (2, 1, 1, 1)
+    assert (got["C6"].n_hosts, got["C6"].hosts_gained,
+            got["C6"].hosts_retained, got["C6"].hosts_lost) == (2, 1, 1, 1)

@@ -173,3 +173,92 @@ def test_wat_outlinks_and_json(spark, tmp_path):
     assert n == pages.count()
     one = json.loads(back.limit(1).collect()[0].text)
     assert set(one) == {"url", "status", "mime", "outlinks", "payload_chars"}
+
+
+def test_cdx_index_addresses_physical_bytes(spark, tmp_path):
+    """write_warc_with_index lays out one file per warc_filename in
+    (fetch_ts, url) order; every index row's (offset, length) must slice
+    the PHYSICAL file bytes to exactly one record that re-parses to the
+    indexed url/status/digest."""
+    pages = pages_df(spark, SF)
+    # keep the test I/O small: two warc files' worth of records
+    keep = pages.filter(
+        F.col("warc_filename").rlike("part-[03]\\.warc\\.gz$")
+        & F.col("warc_filename").rlike("/warc/")
+    )
+    out = str(tmp_path / "warc_layout")
+    idx = W.write_warc_with_index(keep, out).toPandas()
+    assert len(idx) == keep.count()
+
+    # locate the single part file per partition directory
+    import urllib.parse
+
+    def file_for(filename: str) -> str:
+        d = os.path.join(
+            out, "warc_filename=" + urllib.parse.quote(filename, safe="")
+        )
+        parts = [f for f in os.listdir(d) if f.startswith("part-")]
+        assert len(parts) == 1, (filename, parts)
+        return os.path.join(d, parts[0])
+
+    blobs = {
+        fn: open(file_for(fn), "rb").read()
+        for fn in idx["warc_filename"].unique()
+    }
+    checked = 0
+    for row in idx.itertuples(index=False):
+        blob = blobs[row.warc_filename]
+        span = blob[
+            row.warc_record_offset : row.warc_record_offset
+            + row.warc_record_length
+        ]
+        assert span.startswith(b"WARC/1.0\r\n")
+        assert span.endswith(b"\r\n\n")  # record CRLF + writer row terminator
+        rec = span.decode("utf-8")[len(W.RECORD_SEP) :]
+        one = W.parse_warc_records(
+            spark.createDataFrame([(rec,)], "value string")
+        ).collect()[0]
+        assert one.is_valid
+        assert one.url == row.url
+        assert one.status == row.status
+        assert row.digest in one.payload
+        checked += 1
+    # offsets tile each file exactly: total span == file size
+    for fn, blob in blobs.items():
+        sub = idx[idx["warc_filename"] == fn]
+        assert (
+            sub["warc_record_length"].sum() == len(blob)
+        ), f"{fn}: index does not tile the file"
+    assert checked == len(idx)
+
+
+def test_revisit_records_semantics(spark):
+    """First capture per (crawl, digest) is the response; later fetches are
+    revisits pointing at exactly that capture."""
+    rows = [
+        # crawl A, digest d1: three fetches, earliest ts wins; tie on ts
+        # broken by url
+        ("http://a/2", 200, "A", "d1"),
+        ("http://a/1", 100, "A", "d1"),
+        ("http://a/3", 100, "A", "d1"),  # ts tie with /1 -> /1 first
+        # crawl B same digest: dedup is per-crawl, so B gets its own response
+        ("http://b/1", 500, "B", "d1"),
+        # unique digest: single response, no revisits
+        ("http://a/solo", 50, "A", "d9"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, fetch_ts long, crawl string, digest string"
+    )
+    got = {
+        (r.crawl, r.url): r
+        for r in W.revisit_records(pages).collect()
+    }
+    assert got[("A", "http://a/1")].warc_type == "response"
+    assert got[("A", "http://a/1")].refers_to_url is None
+    for u in ("http://a/2", "http://a/3"):
+        r = got[("A", u)]
+        assert r.warc_type == "revisit"
+        assert r.refers_to_url == "http://a/1"
+        assert r.refers_to_ts == 100
+    assert got[("B", "http://b/1")].warc_type == "response"
+    assert got[("A", "http://a/solo")].warc_type == "response"
