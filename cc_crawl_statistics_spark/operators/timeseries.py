@@ -659,32 +659,35 @@ def continent_rollup(tld_counts_df: DataFrame, tld_dim_df: DataFrame) -> DataFra
     )
 
 
-def host_churn(pages: DataFrame) -> DataFrame:
-    """Host churn per crawl transition: how many hosts appeared
-    (``hosts_gained``), persisted (``hosts_retained``), and disappeared
-    since the immediately-preceding crawl present in the data
-    (``hosts_lost``). Extends the reference's one-sided new-items
-    detection (crawlstats.py:841-863 — appearance only) with the
-    disappearance side plot users ask of a crawl series.
+def item_churn(pages: DataFrame, item_col: str = "host") -> DataFrame:
+    """Churn per crawl transition for any item dimension (host, url,
+    digest): how many items appeared (``n_gained``), persisted
+    (``n_retained``), and disappeared since the immediately-preceding
+    crawl present in the data (``n_lost``). Extends the reference's
+    one-sided new-items detection (crawlstats.py:841-863 — appearance
+    only, over the same two item types CST.url/CST.digest) with the
+    disappearance side; ``digest`` churn measures content turnover.
 
-    Scale shape: one distinct on (crawl_id, host) — the same reduction
-    host_counts performs — then a lag/lead window PARTITIONED BY HOST
-    (high-cardinality key, tiny groups ≤ n_crawls ≤ 126; this is NOT a
-    crawl-dimension single-partition window). Crawl ids map to a dense
-    sequence via a broadcast of the ≤126-row crawl dimension so gaps in
-    registration ids don't fake churn."""
-    hosts = page_rows(pages).select("crawl_id", "crawl", "host").distinct()
+    Scale shape: one distinct on (crawl_id, item) — the same reduction
+    the count family performs — then a lag/lead window PARTITIONED BY
+    THE ITEM (high-cardinality key, tiny groups ≤ n_crawls ≤ 126; this
+    is NOT a crawl-dimension single-partition window). Crawl ids map to
+    a dense sequence via a broadcast of the ≤126-row crawl dimension so
+    gaps in registration ids don't fake churn."""
+    items = (
+        page_rows(pages).select("crawl_id", "crawl", item_col).distinct()
+    )
     # dense sequence over the crawls actually present (≤126 rows; the
     # single-partition window on this dim is the documented cheap case)
     crawls = (
-        hosts.select("crawl_id", "crawl")
+        items.select("crawl_id", "crawl")
         .distinct()
         .withColumn(
             "seq", F.row_number().over(Window.orderBy("crawl_id")) - 1
         )
     )
-    h = hosts.join(F.broadcast(crawls), ["crawl_id", "crawl"])
-    w = Window.partitionBy("host").orderBy("seq")
+    h = items.join(F.broadcast(crawls), ["crawl_id", "crawl"])
+    w = Window.partitionBy(item_col).orderBy("seq")
     flags = h.select(
         "seq",
         "crawl",
@@ -696,23 +699,36 @@ def host_churn(pages: DataFrame) -> DataFrame:
         ).alias("is_lost_after"),
     )
     per_seq = flags.groupBy("seq", "crawl").agg(
-        F.count("*").alias("n_hosts"),
-        F.sum(F.col("is_gained").cast("long")).alias("hosts_gained"),
+        F.count("*").alias("n_items"),
+        F.sum(F.col("is_gained").cast("long")).alias("n_gained"),
         F.sum(F.col("is_lost_after").cast("long")).alias("lost_after"),
     )
-    # attribute "lost" to the crawl where the host is absent: one lag over
+    # attribute "lost" to the crawl where the item is absent: one lag over
     # the ≤126-row per-crawl aggregate
     wseq = Window.orderBy("seq")
-    # first crawl: every host counts as gained (lag is null), matching the
+    # first crawl: every item counts as gained (lag is null), matching the
     # reference's new-items convention for the first crawl of a series
     return per_seq.select(
         "crawl",
-        "n_hosts",
-        F.col("hosts_gained").cast("long").alias("hosts_gained"),
-        (F.col("n_hosts") - F.col("hosts_gained")).cast("long").alias(
-            "hosts_retained"
+        "n_items",
+        F.col("n_gained").cast("long").alias("n_gained"),
+        (F.col("n_items") - F.col("n_gained")).cast("long").alias(
+            "n_retained"
         ),
         F.coalesce(F.lag("lost_after").over(wseq), F.lit(0))
         .cast("long")
-        .alias("hosts_lost"),
+        .alias("n_lost"),
     ).orderBy("crawl")
+
+
+def host_churn(pages: DataFrame) -> DataFrame:
+    """Host-dimension churn (item_churn specialized to the host rollup the
+    reference's host plots read)."""
+    c = item_churn(pages, "host")
+    return c.select(
+        "crawl",
+        F.col("n_items").alias("n_hosts"),
+        F.col("n_gained").alias("hosts_gained"),
+        F.col("n_retained").alias("hosts_retained"),
+        F.col("n_lost").alias("hosts_lost"),
+    )

@@ -676,6 +676,49 @@ def q_warc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _churn_oracle(
+    item: str, n_col: str, gained: str, retained: str, lost: str
+) -> str:
+    """DuckDB ground truth for timeseries.item_churn on any item column:
+    dense crawl sequence + per-item lag/lead, loss attributed to the crawl
+    where the item is absent."""
+    return _oracle(
+        f"""
+, items AS (SELECT DISTINCT crawl_id, crawl, {item} AS item FROM prows),
+seqd AS (
+  SELECT crawl_id, crawl,
+         CAST(DENSE_RANK() OVER (ORDER BY crawl_id) - 1 AS INTEGER) AS seq
+  FROM (SELECT DISTINCT crawl_id, crawl FROM items)
+),
+h AS (
+  SELECT items.item, seqd.seq, seqd.crawl
+  FROM items JOIN seqd USING (crawl_id, crawl)
+),
+flags AS (
+  SELECT seq, crawl,
+    (COALESCE(LAG(seq) OVER (PARTITION BY item ORDER BY seq), -2)
+       < seq - 1) AS is_gained,
+    (COALESCE(LEAD(seq) OVER (PARTITION BY item ORDER BY seq), 2147483647)
+       > seq + 1) AS is_lost_after
+  FROM h
+),
+per_seq AS (
+  SELECT seq, crawl, COUNT(*) AS n_items,
+    SUM(CASE WHEN is_gained THEN 1 ELSE 0 END) AS n_gained,
+    SUM(CASE WHEN is_lost_after THEN 1 ELSE 0 END) AS lost_after
+  FROM flags GROUP BY seq, crawl
+)
+SELECT crawl,
+  CAST(n_items AS BIGINT) AS {n_col},
+  CAST(n_gained AS BIGINT) AS {gained},
+  CAST(n_items - n_gained AS BIGINT) AS {retained},
+  CAST(COALESCE(LAG(lost_after) OVER (ORDER BY seq), 0) AS BIGINT)
+    AS {lost}
+FROM per_seq ORDER BY crawl
+"""
+    )
+
+
 def _wat_links_oracle() -> str:
     """Arithmetic ground truth for the WAT outlink extraction: raw hrefs
     recomputed from doc_id (never parsing the WARC payload)."""
@@ -1069,6 +1112,17 @@ def q_host_churn(spark: SparkSession, sf: str) -> DataFrame:
     return TS.host_churn(pages_df(spark, sf))
 
 
+def q_url_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level churn (operators/timeseries.py:item_churn) — the two-sided
+    companion to new_items over the reference's CST.url item type."""
+    return TS.item_churn(pages_df(spark, sf), "url")
+
+
+def q_digest_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-turnover churn over CST.digest (item_churn on digest)."""
+    return TS.item_churn(pages_df(spark, sf), "digest")
+
+
 def q_mime_matrix(spark: SparkSession, sf: str) -> DataFrame:
     """Declared-vs-detected media-type agreement matrix
     (operators/counts.py:mime_agreement_matrix)."""
@@ -1143,6 +1197,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_cdx_index": q_warc_cdx_index,
     "warc_revisit": q_warc_revisit,
     "host_churn": q_host_churn,
+    "url_churn": q_url_churn,
+    "digest_churn": q_digest_churn,
     "mime_matrix": q_mime_matrix,
     "stats_wire_roundtrip": q_stats_wire_roundtrip,
     "crawler_metrics_roundtrip": q_crawler_metrics_roundtrip,
@@ -1825,40 +1881,14 @@ SELECT crawl,
 FROM rv GROUP BY crawl, warc_type ORDER BY crawl, warc_type
 """
         ),
-        "host_churn": _oracle(
-            """
-, hosts AS (SELECT DISTINCT crawl_id, crawl, host FROM prows),
-seqd AS (
-  SELECT crawl_id, crawl,
-         CAST(DENSE_RANK() OVER (ORDER BY crawl_id) - 1 AS INTEGER) AS seq
-  FROM (SELECT DISTINCT crawl_id, crawl FROM hosts)
-),
-h AS (
-  SELECT hosts.host, seqd.seq, seqd.crawl
-  FROM hosts JOIN seqd USING (crawl_id, crawl)
-),
-flags AS (
-  SELECT seq, crawl,
-    (COALESCE(LAG(seq) OVER (PARTITION BY host ORDER BY seq), -2)
-       < seq - 1) AS is_gained,
-    (COALESCE(LEAD(seq) OVER (PARTITION BY host ORDER BY seq), 2147483647)
-       > seq + 1) AS is_lost_after
-  FROM h
-),
-per_seq AS (
-  SELECT seq, crawl, COUNT(*) AS n_hosts,
-    SUM(CASE WHEN is_gained THEN 1 ELSE 0 END) AS hosts_gained,
-    SUM(CASE WHEN is_lost_after THEN 1 ELSE 0 END) AS lost_after
-  FROM flags GROUP BY seq, crawl
-)
-SELECT crawl,
-  CAST(n_hosts AS BIGINT) AS n_hosts,
-  CAST(hosts_gained AS BIGINT) AS hosts_gained,
-  CAST(n_hosts - hosts_gained AS BIGINT) AS hosts_retained,
-  CAST(COALESCE(LAG(lost_after) OVER (ORDER BY seq), 0) AS BIGINT)
-    AS hosts_lost
-FROM per_seq ORDER BY crawl
-"""
+        "host_churn": _churn_oracle(
+            "host", "n_hosts", "hosts_gained", "hosts_retained", "hosts_lost"
+        ),
+        "url_churn": _churn_oracle(
+            "url", "n_items", "n_gained", "n_retained", "n_lost"
+        ),
+        "digest_churn": _churn_oracle(
+            "digest", "n_items", "n_gained", "n_retained", "n_lost"
         ),
         "mime_matrix": _oracle(
             f"""
