@@ -668,37 +668,39 @@ def item_churn(pages: DataFrame, item_col: str = "host") -> DataFrame:
     only, over the same two item types CST.url/CST.digest) with the
     disappearance side; ``digest`` churn measures content turnover.
 
-    Scale shape: one distinct on (crawl_id, item) — the same reduction
-    the count family performs — then a lag/lead window PARTITIONED BY
-    THE ITEM (high-cardinality key, tiny groups ≤ n_crawls ≤ 126; this
-    is NOT a crawl-dimension single-partition window). Crawl ids map to
-    a dense sequence via a broadcast of the ≤126-row crawl dimension so
-    gaps in registration ids don't fake churn."""
-    items = (
-        page_rows(pages).select("crawl_id", "crawl", item_col).distinct()
-    )
+    Scale shape: ONE item-keyed shuffle. Crawl ids map to a dense
+    sequence via a broadcast of the ≤126-row crawl dimension (so gaps in
+    registration ids don't fake churn), then a single
+    groupBy(item).collect_set(seq) — map-side combined, array bounded by
+    n_crawls ≤ 126 — replaces both the distinct and a per-item window:
+    gained/lost fall out of array membership (seq±1 ∈ seqs). Everything
+    after the explode is crawl-dimension-sized.
+    """
+    rows = page_rows(pages).select("crawl_id", "crawl", item_col)
     # dense sequence over the crawls actually present (≤126 rows; the
     # single-partition window on this dim is the documented cheap case)
     crawls = (
-        items.select("crawl_id", "crawl")
+        rows.select("crawl_id", "crawl")
         .distinct()
         .withColumn(
             "seq", F.row_number().over(Window.orderBy("crawl_id")) - 1
         )
     )
-    h = items.join(F.broadcast(crawls), ["crawl_id", "crawl"])
-    w = Window.partitionBy(item_col).orderBy("seq")
-    flags = h.select(
-        "seq",
-        "crawl",
-        (F.coalesce(F.lag("seq").over(w), F.lit(-2)) < F.col("seq") - 1).alias(
-            "is_gained"
-        ),
-        (
-            F.coalesce(F.lead("seq").over(w), F.lit(2**31)) > F.col("seq") + 1
-        ).alias("is_lost_after"),
+    with_seq = rows.join(
+        F.broadcast(crawls.select("crawl_id", "seq")), "crawl_id"
     )
-    per_seq = flags.groupBy("seq", "crawl").agg(
+    per_item = with_seq.groupBy(item_col).agg(
+        F.collect_set("seq").alias("seqs")
+    )
+    ex = per_item.select(F.explode("seqs").alias("seq"), "seqs")
+    flags = ex.select(
+        "seq",
+        (~F.array_contains("seqs", F.col("seq") - 1)).alias("is_gained"),
+        (~F.array_contains("seqs", F.col("seq") + 1)).alias(
+            "is_lost_after"
+        ),
+    )
+    per_seq = flags.groupBy("seq").agg(
         F.count("*").alias("n_items"),
         F.sum(F.col("is_gained").cast("long")).alias("n_gained"),
         F.sum(F.col("is_lost_after").cast("long")).alias("lost_after"),
@@ -706,19 +708,23 @@ def item_churn(pages: DataFrame, item_col: str = "host") -> DataFrame:
     # attribute "lost" to the crawl where the item is absent: one lag over
     # the ≤126-row per-crawl aggregate
     wseq = Window.orderBy("seq")
-    # first crawl: every item counts as gained (lag is null), matching the
+    # first crawl: every item counts as gained (no seq -1), matching the
     # reference's new-items convention for the first crawl of a series
-    return per_seq.select(
-        "crawl",
-        "n_items",
-        F.col("n_gained").cast("long").alias("n_gained"),
-        (F.col("n_items") - F.col("n_gained")).cast("long").alias(
-            "n_retained"
-        ),
-        F.coalesce(F.lag("lost_after").over(wseq), F.lit(0))
-        .cast("long")
-        .alias("n_lost"),
-    ).orderBy("crawl")
+    return (
+        per_seq.join(F.broadcast(crawls.select("seq", "crawl")), "seq")
+        .select(
+            "crawl",
+            "n_items",
+            F.col("n_gained").cast("long").alias("n_gained"),
+            (F.col("n_items") - F.col("n_gained")).cast("long").alias(
+                "n_retained"
+            ),
+            F.coalesce(F.lag("lost_after").over(wseq), F.lit(0))
+            .cast("long")
+            .alias("n_lost"),
+        )
+        .orderBy("crawl")
+    )
 
 
 def host_churn(pages: DataFrame) -> DataFrame:
