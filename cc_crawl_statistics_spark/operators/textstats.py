@@ -418,3 +418,125 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) — the Zipf-compressed table BPE training actually
+    iterates over. ONE map-side-combined shuffle reduces the corpus to its
+    distinct words; every training iteration afterwards touches only this
+    table, never the corpus again."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+def bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 12,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> DataFrame:
+    """Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+    tokenizer-training step downstream of `vocabulary`: learn the top
+    ``n_merges`` adjacent-symbol merges by corpus frequency, deterministic
+    tie-break (freq desc, left asc, right asc). Returns one row per merge:
+    (rank, left, right, merged, pair_freq).
+
+    Scale design — the iteration state is the WORD-FREQUENCY table, not
+    the corpus: classic BPE trains on (word, freq) because the distinct
+    words are Zipf-small relative to the token stream (one corpus-sized
+    shuffle total, in word_frequency_table). Each of the K iterations is
+    then (a) one explode of adjacent symbol pairs + a map-side-combined
+    sum — selecting the argmax pair is a 1-row driver scalar, the same
+    bounded per-iteration control decision the PageRank loop makes — and
+    (b) one all-codegen higher-order `aggregate` fold that applies the
+    merge greedily left-to-right per word (accumulator carries a pending
+    symbol, so "aaa" under (a,a) merges positions 0-1 only).
+    localCheckpoint per iteration cuts the K-deep lineage exactly like
+    operators/pagerank.py. For a trillion-token corpus, cap the state
+    with the salted top-K of `vocabulary` first (coverage loss is the
+    standard BPE-trainer truncation); the fold itself never touches the
+    driver."""
+    # word -> character symbols: split only BETWEEN two chars (lookbehind
+    # + lookahead), so no leading/trailing empty elements
+    syms = F.split(F.col("word"), "(?<=.)(?=.)")
+    state = word_frequency_table(docs, text_col).select(
+        syms.alias("syms"), "freq"
+    )
+    state = state.localCheckpoint()
+    out_rows = []
+    for rank in range(n_merges):
+        pairs = state.select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(syms, 1, size(syms) - 1)"),
+                    F.expr("slice(syms, 2, size(syms) - 1)"),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").cast("long").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].pair_freq < min_pair_freq:
+            break
+        l, r, pf = top[0].l, top[0].r, top[0].pair_freq
+        out_rows.append((rank, l, r, l + r, pf))
+        merged = F.lit(l + r)
+        nul = F.lit(None).cast("string")
+
+        def make_step(_l: str, _r: str, _m, _n):
+            def step(acc, s):
+                return (
+                    F.when(
+                        acc.pend.isNull(),
+                        F.struct(acc.out.alias("out"), s.alias("pend")),
+                    )
+                    .when(
+                        (acc.pend == F.lit(_l)) & (s == F.lit(_r)),
+                        F.struct(
+                            F.concat(acc.out, F.array(_m)).alias("out"),
+                            _n.alias("pend"),
+                        ),
+                    )
+                    .otherwise(
+                        F.struct(
+                            F.concat(acc.out, F.array(acc.pend)).alias(
+                                "out"
+                            ),
+                            s.alias("pend"),
+                        )
+                    )
+                )
+
+            return step
+
+        step = make_step(l, r, merged, nul)
+
+        state = state.select(
+            F.aggregate(
+                "syms",
+                F.struct(
+                    F.array().cast("array<string>").alias("out"),
+                    nul.alias("pend"),
+                ),
+                step,
+                lambda acc: F.when(acc.pend.isNull(), acc.out).otherwise(
+                    F.concat(acc.out, F.array(acc.pend))
+                ),
+            ).alias("syms"),
+            "freq",
+        ).localCheckpoint()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        out_rows,
+        "rank int, left string, right string, merged string, pair_freq long",
+    )

@@ -128,6 +128,15 @@ def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return TX.exact_percentiles(load_table(spark, sf, "documents"))
 
 
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE merge learning over the documents corpus
+    (operators/textstats.py:bpe_merges). Iterative (one argmax scalar per
+    merge), so no SQL oracle — rows-only for the driver; semantics pinned
+    bit-for-bit against an independent Python model in
+    tests/test_vocabulary.py."""
+    return TX.bpe_merges(corpus_df(spark, sf), n_merges=10)
+
+
 def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
     return TX.language_id(corpus_df(spark, sf))
 
@@ -604,6 +613,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "vocabulary": q_vocabulary,
+    "bpe_merges": q_bpe_merges,
     "length_percentiles": q_length_percentiles,
     "language_id": q_language_id,
     "fingerprint": q_fingerprint,

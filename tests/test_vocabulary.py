@@ -71,3 +71,82 @@ def test_exact_percentiles_quantile_disc_semantics(spark):  # noqa: F811
     assert (got["a"].p500, got["a"].p900, got["a"].p990) == (2, 4, 4)
     assert (got["b"].p500, got["b"].p900, got["b"].p990) == (7, 7, 7)
     assert got["a"].n_rows == 4 and got["b"].n_rows == 5
+
+
+def _model_bpe(wordfreq, n_merges, min_pair_freq=2):
+    """Independent pure-Python BPE trainer (greedy left-to-right merge,
+    tie-break freq desc then pair asc) — the semantics
+    textstats.bpe_merges must reproduce bit-for-bit."""
+    state = [(tuple(w), f) for w, f in wordfreq.items()]
+    merges = []
+    for rank in range(n_merges):
+        pc = {}
+        for syms, f in state:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + f
+        if not pc:
+            break
+        (l, r), pf = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if pf < min_pair_freq:
+            break
+        merges.append((rank, l, r, l + r, pf))
+        nxt = []
+        for syms, f in state:
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == l and s == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            nxt.append((tuple(out), f))
+        state = nxt
+    return merges
+
+
+def test_bpe_merges_bit_for_bit_vs_model(spark):
+    """Engineered corpus: overlap case ('aaaa' under (a,a) merges greedily
+    left-to-right), a frequency tie broken by pair order, and a merged
+    symbol that participates in a later merge."""
+    from cc_crawl_statistics_spark.operators.textstats import bpe_merges
+
+    words = {
+        "aaaa": 3,      # overlapping pair (a,a): greedy -> [aa, aa]
+        "abab": 2,
+        "banana": 2,
+        "bandana": 1,
+        "cc": 5,        # tie-break candidate vs other freq-5 pairs
+        "ca": 5,
+    }
+    rows = []
+    doc = 0
+    for w, f in words.items():
+        for _ in range(f):
+            rows.append((doc, w))
+            doc += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in bpe_merges(docs, n_merges=8).collect()
+    ]
+    want = _model_bpe(words, n_merges=8)
+    assert got == want
+    assert len(got) >= 4  # the fixture genuinely exercises several merges
+
+
+def test_bpe_merges_respects_min_pair_freq(spark):
+    from cc_crawl_statistics_spark.operators.textstats import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "xy xy xy"), (1, "zq")], "doc_id long, text string"
+    )
+    got = bpe_merges(docs, n_merges=5, min_pair_freq=2).collect()
+    # only (x,y) reaches freq 2; (z,q) has freq 1 and must not be learned
+    assert [(r.left, r.right) for r in got] == [("x", "y")]
