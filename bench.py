@@ -103,7 +103,25 @@ HEADLINE = {
     # salted two-phase top-k over the scaled documents view (~10^8 token
     # occurrences at factor 200)
     "vocabulary_topk": lambda p: _vocabulary_bench(p),
+    # cc-index build step: record-length arithmetic + per-file running-sum
+    # window (bounded partitions = warc files)
+    "warc_cdx_index": lambda p: _warc_cdx_index(p),
+    # fetch-time dedup: row_number/first over the high-cardinality
+    # (crawl, digest) key — the sort-window class
+    "warc_revisit": lambda p: _warc_revisit(p),
 }
+
+
+def _warc_cdx_index(pages):
+    from cc_crawl_statistics_spark.sources.warc import cdx_index_from_pages
+
+    return cdx_index_from_pages(pages)
+
+
+def _warc_revisit(pages):
+    from cc_crawl_statistics_spark.sources.warc import revisit_records
+
+    return revisit_records(pages)
 
 
 def _vocabulary_bench(pages):
