@@ -141,6 +141,25 @@ def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
     return TX.language_id(corpus_df(spark, sf))
 
 
+def q_language_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Classifier evaluation: confusion matrix of the declared document
+    language vs the stopword-profile prediction (language_id), with the
+    summed scores — the calibration table a curation pipeline reads before
+    trusting the cheap classifier."""
+    docs = corpus_df(spark, sf)
+    pred = TX.language_id(docs)
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_declared"))
+        .join(pred, "doc_id")
+        .groupBy("lang_declared", "lang_pred")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("lang_score").cast("long").alias("score_sum"),
+        )
+        .orderBy("lang_declared", "lang_pred")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     # xxhash64-based: rows-only
     return TX.fingerprint(corpus_df(spark, sf))
@@ -616,6 +635,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_merges": q_bpe_merges,
     "length_percentiles": q_length_percentiles,
     "language_id": q_language_id,
+    "language_confusion": q_language_confusion,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "events_windowed": q_events_windowed,
@@ -802,6 +822,33 @@ sh AS (
 ),
 ex AS (SELECT doc_id, unnest(s) AS s FROM sh)
 """
+
+_LANG_ID_CTE = """
+, scores AS (
+  SELECT doc_id, 'de' AS lang,
+         len(regexp_extract_all(lower(text),
+             '\\b(der|die|und|das|ist|nicht)\\b')) AS score FROM corpus
+  UNION ALL
+  SELECT doc_id, 'en',
+         len(regexp_extract_all(lower(text),
+             '\\b(the|and|of|to|in|is)\\b')) FROM corpus
+  UNION ALL
+  SELECT doc_id, 'es',
+         len(regexp_extract_all(lower(text),
+             '\\b(el|la|de|que|los|es)\\b')) FROM corpus
+  UNION ALL
+  SELECT doc_id, 'fr',
+         len(regexp_extract_all(lower(text),
+             '\\b(le|la|et|les|des|est)\\b')) FROM corpus
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS rn
+  FROM scores
+)
+"""
+
 
 PIPELINE_ORACLES: dict[str, str] = {
     "curate_corpus": _corpus_oracle(
@@ -1115,34 +1162,24 @@ FROM m ORDER BY doc_id
 """
     ),
     "language_id": _corpus_oracle(
-        """
-, scores AS (
-  SELECT doc_id, 'de' AS lang,
-         len(regexp_extract_all(lower(text),
-             '\\b(der|die|und|das|ist|nicht)\\b')) AS score FROM corpus
-  UNION ALL
-  SELECT doc_id, 'en',
-         len(regexp_extract_all(lower(text),
-             '\\b(the|and|of|to|in|is)\\b')) FROM corpus
-  UNION ALL
-  SELECT doc_id, 'es',
-         len(regexp_extract_all(lower(text),
-             '\\b(el|la|de|que|los|es)\\b')) FROM corpus
-  UNION ALL
-  SELECT doc_id, 'fr',
-         len(regexp_extract_all(lower(text),
-             '\\b(le|la|et|les|des|est)\\b')) FROM corpus
-),
-best AS (
-  SELECT doc_id, lang, score,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY score DESC, lang DESC) AS rn
-  FROM scores
-)
-SELECT doc_id,
+        _LANG_ID_CTE
+        + """SELECT doc_id,
        CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
        CAST(score AS BIGINT) AS lang_score
 FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+    ),
+    "language_confusion": _corpus_oracle(
+        _LANG_ID_CTE
+        + """
+SELECT c.lang AS lang_declared,
+       CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.score) AS BIGINT) AS score_sum
+FROM best b JOIN corpus c USING (doc_id)
+WHERE b.rn = 1
+GROUP BY lang_declared, lang_pred
+ORDER BY lang_declared, lang_pred
 """
     ),
     "embedding_near_dup": _emb_oracle(
