@@ -6,7 +6,7 @@ regex below stays in codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
@@ -539,4 +539,198 @@ def bpe_merges(
     return spark.createDataFrame(
         out_rows,
         "rank int, left string, right string, merged string, pair_freq long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-engine Naive Bayes text classifier (train + infer as pure aggregations)
+# ---------------------------------------------------------------------------
+#
+# The quality/language filtering stage of a webtext curation pipeline is a
+# cheap linear text classifier (fastText-style) applied to every document.
+# Training one does not need an ML runtime: multinomial Naive Bayes is
+# exactly a pair of grouped counts plus a log transform, so both training
+# and inference stay whole-stage-codegen DataFrame plans. Weights are
+# integer fixed-point (floor(1e6*ln(p))) so every score is an integer sum —
+# order-independent, engine-exact (measured: floor(1e6*ln(x)) is
+# bit-identical between Spark's java.lang.Math.log and DuckDB's libm over
+# 3M integer and rational inputs; see tests/test_nb_classifier.py).
+#
+# Extends the reference's per-page language *counting*
+# (/root/reference/crawlstats.py primary-language fields) with the
+# train-a-model-and-filter step downstream pipelines bolt on.
+
+NB_PRIOR_TOKEN = "<prior>"
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 50,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Train a multinomial Naive Bayes classifier; returns the DENSE
+    (vocab x label) weight table plus one ``<prior>`` row per label:
+
+      weight_x1m = floor(1e6 * ln((n(token,label)+1) / (N_label + V)))
+      prior_x1m  = floor(1e6 * ln(docs_label / docs_total))
+
+    with add-one smoothing over the capped vocabulary (V = actual vocab
+    rows; N_label = vocab-token occurrences in the label's docs).
+
+    Scale shape: ONE map-side-combined token shuffle for the counts (the
+    corpus is never shuffled again); vocab selection is the salted
+    two-phase top-K (no single-task vocabulary sort); the dense matrix is
+    built label x vocab (K*C rows, broadcast-sized by construction) with
+    the observed counts LEFT-joined in, so the model ships to inference as
+    one broadcast. No driver loop, no MLlib, no UDF."""
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tc = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    order = (F.desc("n"), F.asc("token"))
+    w1 = Window.partitionBy("_salt").orderBy(*order)
+    w2 = Window.orderBy(*order)
+    vocab = (
+        tc.withColumn("_salt", F.pmod(F.xxhash64("token"), F.lit(n_salts)))
+        .withColumn("_sr", F.row_number().over(w1))
+        .filter(F.col("_sr") <= vocab_size)
+        .withColumn("_r", F.row_number().over(w2))
+        .filter(F.col("_r") <= vocab_size)
+        .select("token")
+    )
+    cls = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("label", "token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    nc = cls.groupBy("label").agg(F.sum("cnt").alias("n_c"))
+    lab = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    vsize = vocab.agg(F.count("*").alias("v"))
+    total = docs.agg(F.count("*").alias("n_total"))
+    dense = (
+        vocab.crossJoin(F.broadcast(lab.select("label")))
+        .join(cls, ["label", "token"], "left")
+        .join(F.broadcast(nc), "label", "left")
+        .join(F.broadcast(vsize))
+        .select(
+            "token",
+            "label",
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("n_c"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("weight_x1m"),
+        )
+    )
+    priors = (
+        lab.join(F.broadcast(total))
+        .select(
+            F.lit(NB_PRIOR_TOKEN).alias("token"),
+            "label",
+            F.floor(
+                F.lit(1_000_000)
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("n_total").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("weight_x1m"),
+        )
+    )
+    return dense.unionByName(priors).orderBy("token", "label")
+
+
+def nb_classify(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against an `nb_train` model and emit the argmax
+    label: (doc_id, label_pred, score_x1m). Deterministic tie-break on the
+    ascending label code; docs with zero vocab tokens fall back to priors.
+
+    Scale shape: the model is broadcast (K*C + C rows by construction);
+    per-doc token counts pre-aggregate before the join so each (doc,
+    vocab-token) pair crosses the wire once; the per-(doc,label) score sum
+    is map-side combinable integers; argmax is a window over the
+    high-cardinality doc_id partition (C rows per partition)."""
+    mat = weights.filter(F.col("token") != NB_PRIOR_TOKEN)
+    priors = weights.filter(F.col("token") == NB_PRIOR_TOKEN).select(
+        "label", F.col("weight_x1m").alias("prior_x1m")
+    )
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    sc = (
+        dt.join(F.broadcast(mat), "token")
+        .groupBy("doc_id", "label")
+        .agg(F.sum(F.col("cnt") * F.col("weight_x1m")).alias("s"))
+    )
+    base = docs.select("doc_id").crossJoin(F.broadcast(priors))
+    scored = base.join(sc, ["doc_id", "label"], "left").select(
+        "doc_id",
+        "label",
+        (F.col("prior_x1m") + F.coalesce(F.col("s"), F.lit(0))).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("label").alias("label_pred"),
+            F.col("score").cast("long").alias("score_x1m"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def nb_self_agreement(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    vocab_size: int = 50,
+) -> DataFrame:
+    """CCNet-style self-agreement filter: train on the declared labels,
+    re-classify the same corpus, keep documents where the model agrees
+    with the declaration (keep=1). The disagreement set is exactly the
+    suspicious-metadata inventory a curation run reviews."""
+    weights = nb_train(
+        docs, label_col=label_col, text_col=text_col, vocab_size=vocab_size
+    )
+    pred = nb_classify(docs, weights, text_col=text_col)
+    return (
+        docs.select("doc_id", F.col(label_col).alias("label_declared"))
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "label_declared",
+            "label_pred",
+            (F.col("label_declared") == F.col("label_pred"))
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("doc_id")
     )

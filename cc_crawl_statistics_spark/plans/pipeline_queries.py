@@ -137,6 +137,25 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return TX.bpe_merges(corpus_df(spark, sf), n_merges=10)
 
 
+def q_nb_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """In-engine Naive Bayes training: the dense integer fixed-point
+    weight matrix (textstats.nb_train) learned from the declared language
+    labels — classifier training as pure aggregations."""
+    return TX.nb_train(corpus_df(spark, sf), vocab_size=50)
+
+
+def q_nb_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Train + infer in one plan: per-document argmax label and integer
+    score from the broadcast NB model."""
+    docs = corpus_df(spark, sf)
+    return TX.nb_classify(docs, TX.nb_train(docs, vocab_size=50))
+
+
+def q_nb_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style declared-vs-model agreement verdict per document."""
+    return TX.nb_self_agreement(corpus_df(spark, sf), vocab_size=50)
+
+
 def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
     return TX.language_id(corpus_df(spark, sf))
 
@@ -636,6 +655,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_percentiles": q_length_percentiles,
     "language_id": q_language_id,
     "language_confusion": q_language_confusion,
+    "nb_weights": q_nb_weights,
+    "nb_classify": q_nb_classify,
+    "nb_agreement": q_nb_agreement,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "events_windowed": q_events_windowed,
@@ -846,6 +868,70 @@ best AS (
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, lang DESC) AS rn
   FROM scores
+)
+"""
+
+
+# shared CTE for the Naive Bayes family: tokenize -> capped vocab -> dense
+# integer fixed-point weight matrix + priors (mirrors textstats.nb_train;
+# floor(1e6*ln(x)) measured bit-identical between Spark and DuckDB)
+_NB_CTE = """
+, toks AS (
+  SELECT c.doc_id, c.lang AS label, u.t AS token
+  FROM corpus c, unnest(string_split(c.text, ' ')) AS u(t)
+  WHERE u.t <> ''
+),
+tc AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+vocab AS (SELECT token FROM tc ORDER BY n DESC, token LIMIT 50),
+vsize AS (SELECT COUNT(*) AS v FROM vocab),
+lab AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM corpus GROUP BY lang),
+tot AS (SELECT COUNT(*) AS n_total FROM corpus),
+cls AS (
+  SELECT t.label, t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks t JOIN vocab v USING (token)
+  GROUP BY t.label, t.token
+),
+nc AS (SELECT label, SUM(cnt) AS n_c FROM cls GROUP BY label),
+wts AS (
+  SELECT v.token, l.label,
+         CAST(floor(1000000 * ln(
+           (COALESCE(c.cnt, 0) + 1)::DOUBLE
+           / (COALESCE(n.n_c, 0) + s.v)::DOUBLE)) AS BIGINT) AS weight_x1m
+  FROM vocab v
+  CROSS JOIN (SELECT label FROM lab) l
+  LEFT JOIN cls c ON c.label = l.label AND c.token = v.token
+  LEFT JOIN nc n ON n.label = l.label
+  CROSS JOIN vsize s
+),
+pri AS (
+  SELECT '<prior>' AS token, l.label,
+         CAST(floor(1000000 * ln(l.n_docs::DOUBLE / t.n_total::DOUBLE))
+              AS BIGINT) AS weight_x1m
+  FROM lab l CROSS JOIN tot t
+)
+"""
+
+# classification tail shared by nb_classify / nb_agreement
+_NB_BEST_CTE = """
+, dt AS (
+  SELECT t.doc_id, t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks t JOIN vocab USING (token) GROUP BY t.doc_id, t.token
+),
+sc AS (
+  SELECT d.doc_id, w.label, SUM(d.cnt * w.weight_x1m) AS s
+  FROM dt d JOIN wts w USING (token) GROUP BY d.doc_id, w.label
+),
+base AS (
+  SELECT c.doc_id, p.label, p.weight_x1m + COALESCE(sc.s, 0) AS score
+  FROM corpus c CROSS JOIN pri p
+  LEFT JOIN sc ON sc.doc_id = c.doc_id AND sc.label = p.label
+),
+best AS (
+  SELECT doc_id, label, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, label) AS rn
+  FROM base
 )
 """
 
@@ -1167,6 +1253,33 @@ FROM m ORDER BY doc_id
        CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
        CAST(score AS BIGINT) AS lang_score
 FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+    ),
+    "nb_weights": _corpus_oracle(
+        _NB_CTE
+        + """
+SELECT token, label, weight_x1m FROM wts
+UNION ALL
+SELECT token, label, weight_x1m FROM pri
+ORDER BY token, label
+"""
+    ),
+    "nb_classify": _corpus_oracle(
+        _NB_CTE
+        + _NB_BEST_CTE
+        + """
+SELECT doc_id, label AS label_pred, CAST(score AS BIGINT) AS score_x1m
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+    ),
+    "nb_agreement": _corpus_oracle(
+        _NB_CTE
+        + _NB_BEST_CTE
+        + """
+SELECT c.doc_id, c.lang AS label_declared, b.label AS label_pred,
+       CAST(CASE WHEN c.lang = b.label THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM corpus c JOIN best b ON b.doc_id = c.doc_id AND b.rn = 1
+ORDER BY c.doc_id
 """
     ),
     "language_confusion": _corpus_oracle(
