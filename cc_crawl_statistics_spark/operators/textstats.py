@@ -734,3 +734,68 @@ def nb_self_agreement(
         )
         .orderBy("doc_id")
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: top-k tokens by integer TF-IDF —
+    score_x1m = tf(doc, token) * floor(1e6 * ln(N_docs / df(token))) —
+    the keyword/tagging signal curation pipelines attach to every page.
+    Deterministic tie-break (score desc, token asc); rank is 1-based.
+
+    Scale shape: the document-frequency table is ONE map-side-combined
+    groupBy over (token) (df fits the vocabulary dimension, Zipf-small
+    relative to the token stream); attaching df back to the per-(doc,
+    token) counts is a token-keyed shuffle join whose hot keys (stopwords)
+    carry the LOWEST idf — AQE skew-join splits them at runtime. The
+    top-k window partitions by doc_id (high cardinality, bounded rows per
+    partition). Integer fixed-point throughout (floor(1e6*ln) is
+    engine-exact; see nb_train)."""
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col(text_col), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    df_tab = dt.groupBy("token").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        dt.join(df_tab, "token")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.lit(1_000_000)
+                    * F.log(
+                        F.col("n_docs").cast("double")
+                        / F.col("df").cast("double")
+                    )
+                ).cast("long")
+            ).alias("score_x1m"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_x1m"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("score_x1m").cast("long").alias("score_x1m"),
+        )
+        .orderBy("doc_id", "rank")
+    )

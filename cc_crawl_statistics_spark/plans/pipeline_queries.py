@@ -156,6 +156,12 @@ def q_nb_agreement(spark: SparkSession, sf: str) -> DataFrame:
     return TX.nb_self_agreement(corpus_df(spark, sf), vocab_size=50)
 
 
+def q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 keywords by integer TF-IDF
+    (textstats.tfidf_keywords)."""
+    return TX.tfidf_keywords(corpus_df(spark, sf), top_k=3)
+
+
 def q_language_id(spark: SparkSession, sf: str) -> DataFrame:
     return TX.language_id(corpus_df(spark, sf))
 
@@ -658,6 +664,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_weights": q_nb_weights,
     "nb_classify": q_nb_classify,
     "nb_agreement": q_nb_agreement,
+    "tfidf_keywords": q_tfidf_keywords,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "events_windowed": q_events_windowed,
@@ -1253,6 +1260,36 @@ FROM m ORDER BY doc_id
        CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
        CAST(score AS BIGINT) AS lang_score
 FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+    ),
+    "tfidf_keywords": _corpus_oracle(
+        """
+, toks AS (
+  SELECT c.doc_id, u.t AS token
+  FROM corpus c, unnest(string_split(c.text, ' ')) AS u(t)
+  WHERE u.t <> ''
+),
+dt AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY token),
+nd AS (SELECT COUNT(*) AS n_docs FROM corpus),
+scored AS (
+  SELECT d.doc_id, d.token,
+         d.tf * CAST(floor(1000000 * ln(n.n_docs::DOUBLE / f.df::DOUBLE))
+                     AS BIGINT) AS score_x1m
+  FROM dt d JOIN dfq f USING (token) CROSS JOIN nd n
+),
+ranked AS (
+  SELECT doc_id, token, score_x1m,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_x1m DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, CAST(rn AS BIGINT) AS rank, token,
+       CAST(score_x1m AS BIGINT) AS score_x1m
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank
 """
     ),
     "nb_weights": _corpus_oracle(

@@ -118,3 +118,30 @@ def test_fixed_point_log_is_cross_engine_deterministic(spark, duck):
         q.format(src="(SELECT n::BIGINT + 1 AS n FROM range(200000) t(n))")
     ).fetchone()[0]
     assert got_spark == got_duck
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple banana common"),
+            (1, "banana cherry common"),
+            (2, "cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["token"], r["score_x1m"])
+        for r in TX.tfidf_keywords(docs, top_k=2).collect()
+    }
+    idf = {
+        "apple": math.floor(1_000_000 * math.log(3 / 1)),
+        "banana": math.floor(1_000_000 * math.log(3 / 2)),
+        "cherry": math.floor(1_000_000 * math.log(3 / 2)),
+        "common": math.floor(1_000_000 * math.log(3 / 3)),
+    }
+    assert got[(0, 1)] == ("apple", 2 * idf["apple"])
+    assert got[(0, 2)] == ("banana", idf["banana"])
+    assert got[(2, 1)] == ("cherry", 2 * idf["cherry"])
+    # ubiquitous token scores 0 and still ranks (tie broken by token asc)
+    assert got[(1, 1)] == ("banana", idf["banana"])
+    assert got[(1, 2)] == ("cherry", idf["cherry"])
