@@ -738,3 +738,104 @@ def host_churn(pages: DataFrame) -> DataFrame:
         F.col("n_retained").alias("hosts_retained"),
         F.col("n_lost").alias("hosts_lost"),
     )
+
+
+def distribution_drift(counts: DataFrame, key_col: str) -> DataFrame:
+    """Crawl-over-crawl distribution drift for a bounded dimension.
+
+    The reference's plot layer publishes per-crawl share series for the
+    bounded dimensions (MIME, charset, language, TLD — crawlplot.py's
+    percentage plots); this reduces each consecutive-crawl step of that
+    series to one summary row: the total-variation distance between the
+    two crawls' page-share distributions, key churn (how many dimension
+    values appeared/disappeared), and the single largest-moving key.
+    Drift spikes are how a crawl operator notices a pipeline change
+    (e.g. a new MIME detector) between two crawls.
+
+    Integer-exact end to end: shares are ppm via integer division
+    ((1e6 * pages) div total), the TVD is ``sum(|Δppm|) div 2``, so the
+    oracle hash comparison never sees a float.
+
+    Scale shape: input is an already-reduced (crawl, key) count table.
+    Per-crawl totals and the ≤126-row consecutive-pair skeleton are
+    broadcast; each share row is tagged with its two pair memberships
+    (as predecessor and as successor) by broadcast equi-joins, so the
+    only wide shuffle is the groupBy on (pair, key) — proportional to
+    the counts table, never to pages. The per-pair window is bounded by
+    the dimension's key cardinality: use bounded dims (mime/charset/
+    language/tld), not host/url.
+    """
+    totals = counts.groupBy("crawl").agg(F.sum("pages").alias("total"))
+    shares = (
+        counts.join(F.broadcast(totals), "crawl")
+        .select(
+            "crawl",
+            F.col(key_col).alias("k"),
+            F.expr("(1000000 * pages) div total").cast("long").alias("ppm"),
+        )
+    )
+    # bounded crawl dimension (≤126 rows) → dense index + consecutive pairs
+    crawls = counts.select("crawl").distinct()
+    w = Window.orderBy("crawl")
+    crawls = crawls.withColumn("idx", F.row_number().over(w) - F.lit(1))
+    a, b = crawls.alias("a"), crawls.alias("b")
+    pairs = a.join(b, F.col("b.idx") == F.col("a.idx") + 1).select(
+        F.col("a.crawl").alias("crawl_prev"),
+        F.col("b.crawl").alias("crawl"),
+        F.col("a.idx").alias("p"),
+    )
+    s = shares.join(F.broadcast(crawls), "crawl").select("idx", "k", "ppm")
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    prev = s.join(F.broadcast(pairs), s["idx"] == pairs["p"]).select(
+        "crawl_prev",
+        "crawl",
+        "k",
+        F.col("ppm").alias("prev_ppm"),
+        zero.alias("curr_ppm"),
+        one.alias("prev_present"),
+        zero.alias("curr_present"),
+    )
+    curr = s.join(F.broadcast(pairs), s["idx"] == pairs["p"] + 1).select(
+        "crawl_prev",
+        "crawl",
+        "k",
+        zero.alias("prev_ppm"),
+        F.col("ppm").alias("curr_ppm"),
+        zero.alias("prev_present"),
+        one.alias("curr_present"),
+    )
+    merged = (
+        prev.unionByName(curr)
+        .groupBy("crawl_prev", "crawl", "k")
+        .agg(
+            F.sum("prev_ppm").alias("prev_ppm"),
+            F.sum("curr_ppm").alias("curr_ppm"),
+            F.sum("prev_present").alias("prev_present"),
+            F.sum("curr_present").alias("curr_present"),
+        )
+        .withColumn("abs_shift", F.abs(F.col("curr_ppm") - F.col("prev_ppm")))
+    )
+    wp = Window.partitionBy("crawl_prev", "crawl")
+    keyed = merged.withColumn("max_abs", F.max("abs_shift").over(wp))
+    return (
+        keyed.groupBy("crawl_prev", "crawl")
+        .agg(
+            F.sum("prev_present").cast("long").alias("keys_prev"),
+            F.sum("curr_present").cast("long").alias("keys_curr"),
+            F.sum(
+                ((F.col("curr_present") == 1) & (F.col("prev_present") == 0))
+                .cast("long")
+            ).cast("long").alias("new_keys"),
+            F.sum(
+                ((F.col("prev_present") == 1) & (F.col("curr_present") == 0))
+                .cast("long")
+            ).cast("long").alias("dropped_keys"),
+            F.expr("sum(abs_shift) div 2").cast("long").alias("tvd_ppm"),
+            F.max("abs_shift").cast("long").alias("max_shift_ppm"),
+            F.min(
+                F.when(F.col("abs_shift") == F.col("max_abs"), F.col("k"))
+            ).alias("max_shift_key"),
+        )
+        .orderBy("crawl_prev")
+    )

@@ -2054,6 +2054,95 @@ from .pipeline_queries import PIPELINE_ORACLES, PIPELINE_QUERIES  # noqa: E402
 QUERIES.update(PIPELINE_QUERIES)
 ORACLES.update(PIPELINE_ORACLES)
 
+
+# ---------------------------------------------------------------------------
+# crawl-over-crawl distribution drift (timeseries.distribution_drift)
+# ---------------------------------------------------------------------------
+
+
+def q_mime_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """TVD(ppm) + key churn between consecutive crawls' MIME-share
+    distributions (timeseries.distribution_drift over mimetype_counts)."""
+    return TS.distribution_drift(
+        C.mimetype_counts(pages_df(spark, sf)), "mimetype"
+    )
+
+
+def q_language_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Same drift summary over the primary-language distribution."""
+    return TS.distribution_drift(
+        C.primary_language_counts(pages_df(spark, sf)), "primary_language"
+    )
+
+
+def _drift_oracle(expr: str) -> str:
+    """DuckDB mirror of timeseries.distribution_drift: integer-ppm shares
+    ((1e6*pages) // total), consecutive-pair skeleton over the crawl
+    dimension, TVD = sum(|Δppm|) // 2, deterministic min-key tiebreak for
+    the largest mover."""
+    return _oracle(
+        f"""
+, c AS (
+  SELECT crawl, {expr} AS k, CAST(COUNT(*) AS BIGINT) AS pages
+  FROM prows GROUP BY crawl, k
+),
+t AS (SELECT crawl, SUM(pages) AS total FROM c GROUP BY crawl),
+shares AS (
+  SELECT c.crawl, c.k, CAST((1000000 * c.pages) // t.total AS BIGINT) AS ppm
+  FROM c JOIN t USING (crawl)
+),
+cr AS (
+  SELECT crawl, ROW_NUMBER() OVER (ORDER BY crawl) - 1 AS idx
+  FROM (SELECT DISTINCT crawl FROM c)
+),
+pairs AS (
+  SELECT a.crawl AS crawl_prev, b.crawl AS crawl, a.idx AS p
+  FROM cr a JOIN cr b ON b.idx = a.idx + 1
+),
+s AS (SELECT cr.idx, shares.k, shares.ppm FROM shares JOIN cr USING (crawl)),
+contrib AS (
+  SELECT p.crawl_prev, p.crawl, s.k,
+         s.ppm AS prev_ppm, 0 AS curr_ppm,
+         1 AS prev_present, 0 AS curr_present
+  FROM s JOIN pairs p ON s.idx = p.p
+  UNION ALL
+  SELECT p.crawl_prev, p.crawl, s.k,
+         0, s.ppm, 0, 1
+  FROM s JOIN pairs p ON s.idx = p.p + 1
+),
+merged AS (
+  SELECT crawl_prev, crawl, k,
+         SUM(prev_ppm) AS prev_ppm, SUM(curr_ppm) AS curr_ppm,
+         SUM(prev_present) AS prev_present,
+         SUM(curr_present) AS curr_present
+  FROM contrib GROUP BY crawl_prev, crawl, k
+),
+keyed AS (
+  SELECT *, ABS(curr_ppm - prev_ppm) AS abs_shift,
+         MAX(ABS(curr_ppm - prev_ppm))
+           OVER (PARTITION BY crawl_prev, crawl) AS max_abs
+  FROM merged
+)
+SELECT crawl_prev, crawl,
+  CAST(SUM(prev_present) AS BIGINT) AS keys_prev,
+  CAST(SUM(curr_present) AS BIGINT) AS keys_curr,
+  CAST(SUM(CASE WHEN curr_present = 1 AND prev_present = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS new_keys,
+  CAST(SUM(CASE WHEN prev_present = 1 AND curr_present = 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS dropped_keys,
+  CAST(SUM(abs_shift) // 2 AS BIGINT) AS tvd_ppm,
+  CAST(MAX(abs_shift) AS BIGINT) AS max_shift_ppm,
+  MIN(CASE WHEN abs_shift = max_abs THEN k END) AS max_shift_key
+FROM keyed GROUP BY crawl_prev, crawl ORDER BY crawl_prev
+"""
+    )
+
+
+QUERIES["mime_drift"] = q_mime_drift
+QUERIES["language_drift"] = q_language_drift
+ORACLES["mime_drift"] = _drift_oracle(_MIME_NORM.format(c="mime"))
+ORACLES["language_drift"] = _drift_oracle("string_split(languages, ',')[1]")
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's CORRECTNESS gate records the FIRST 50
 # entries in insertion order, so the 50 most coverage-distinctive
