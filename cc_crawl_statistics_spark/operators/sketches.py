@@ -1,0 +1,162 @@
+"""Mergeable frequency sketches: space-saving heavy hitters.
+
+The engine's exact top-K (counts.top_k, host_bucketed_topk) shuffles one
+partial row per distinct key — correct, but at 100-TB scale the host/URL
+dimensions have 10^8-10^10 distinct keys, so even the pre-aggregated
+shuffle is key-cardinality-sized. This module adds the classic bounded-
+memory alternative (Metwally et al. space-saving; Agarwal et al.
+"Mergeable Summaries", PODS'12): each partition keeps at most ``k``
+counters, so the shuffle carries ``k × partitions`` rows regardless of key
+cardinality, at the price of rigorous-but-approximate counts.
+
+Complements the HLL sketches (distinct counts, counts.size_estimate) with
+the frequency-sketch class the reference family of crawl dashboards needs
+for "top hosts this crawl" at index scale.
+
+Guarantees (and what the tests pin):
+  - every emitted key carries exact integer bounds
+    ``est_lo ≤ true ≤ est_hi``;
+  - any key whose true weight exceeds the summed per-partition minima
+    (≤ N/k per partition) is guaranteed present in the merged sketch;
+  - the per-partition summary loop touches only batch-pre-aggregated
+    (key, weight) pairs (pandas groupby first), never raw rows.
+
+The sketch output depends on the input partitioning/order (like any
+space-saving summary), so queries over it are registered rows-only —
+the error-bound tests, not a SQL oracle, are the correctness evidence.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PARTIAL_SCHEMA = (
+    "key string, est long, err long, part_id long, part_min long"
+)
+
+
+def _space_saving_batches(
+    batches: Iterator[pd.DataFrame], k: int
+) -> Iterator[pd.DataFrame]:
+    """One partition's bounded summary: dict of ≤k (est, err) counters fed
+    with per-batch pre-aggregated weights; eviction replaces the current
+    minimum counter (est = min + w, err = min)."""
+    est: dict[str, int] = {}
+    err: dict[str, int] = {}
+    part_id = -1
+    for pdf in batches:
+        if part_id < 0 and len(pdf):
+            part_id = int(pdf["part_id"].iloc[0])
+        agg = pdf.groupby("key", sort=False)["w"].sum()
+        for key, w in agg.items():
+            w = int(w)
+            if key in est:
+                est[key] += w
+            elif len(est) < k:
+                est[key] = w
+                err[key] = 0
+            else:
+                mkey = min(est, key=lambda x: (est[x], x))
+                mval = est.pop(mkey)
+                err.pop(mkey)
+                est[key] = mval + w
+                err[key] = mval
+    if part_id < 0:
+        return
+    part_min = min(est.values()) if len(est) >= k else 0
+    yield pd.DataFrame(
+        {
+            "key": list(est),
+            "est": [est[x] for x in est],
+            "err": [err[x] for x in est],
+            "part_id": part_id,
+            "part_min": part_min,
+        }
+    )
+
+
+def space_saving_partials(
+    df: DataFrame, key_col, k: int = 1024, weight_col=None
+) -> DataFrame:
+    """Per-partition space-saving summaries (≤k rows each): the map-side
+    half of the mergeable sketch. ``part_min`` is the partition's smallest
+    counter — the proven upper bound on the true weight of ANY key the
+    summary evicted (0 while the summary never filled)."""
+    w = (
+        F.col(weight_col).cast("long")
+        if isinstance(weight_col, str)
+        else (weight_col.cast("long") if weight_col is not None else F.lit(1).cast("long"))
+    )
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    slim = df.select(
+        key.cast("string").alias("key"),
+        w.alias("w"),
+        F.spark_partition_id().cast("long").alias("part_id"),
+    )
+    return slim.mapInPandas(
+        lambda it: _space_saving_batches(it, k),
+        schema=_PARTIAL_SCHEMA,
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col,
+    k: int = 1024,
+    top: int = 100,
+    weight_col=None,
+) -> DataFrame:
+    """Merged heavy-hitters sketch: top ``top`` keys by upper-bound weight
+    with exact integer bounds (est_lo ≤ true ≤ est_hi).
+
+    Merge semantics (Mergeable Summaries, PODS'12): per key,
+      est_hi = Σ present est_i  +  Σ absent part_min_i
+             = Σ est_i + (total_min − Σ covered part_min_i)
+      est_lo = Σ present (est_i − err_i)
+    Both sums are over the bounded partials table (k × partitions rows) —
+    the only shuffle in the plan; the 1-row total_min scalar is a cross
+    join, not a collect."""
+    partials = space_saving_partials(df, key_col, k, weight_col)
+    # cache boundary: the partial summaries are tiny but feed two branches
+    partials = partials.localCheckpoint(eager=False)
+    total_min = (
+        partials.select("part_id", "part_min")
+        .distinct()
+        .agg(F.sum("part_min").alias("total_min"))
+    )
+    merged = (
+        partials.groupBy("key")
+        .agg(
+            F.sum("est").alias("sum_est"),
+            F.sum(F.col("est") - F.col("err")).alias("est_lo"),
+            F.sum("part_min").alias("covered_min"),
+        )
+        .crossJoin(F.broadcast(total_min))
+        .select(
+            "key",
+            F.greatest(F.col("est_lo"), F.lit(0)).alias("est_lo"),
+            (
+                F.col("sum_est") + F.col("total_min") - F.col("covered_min")
+            ).alias("est_hi"),
+        )
+    )
+    # bounded single-partition window: merged has ≤ k × partitions rows
+    w_rank = Window.orderBy(F.desc("est_hi"), F.desc("est_lo"), F.asc("key"))
+    return (
+        merged.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= top)
+        .select("key", "est_lo", "est_hi", F.col("rank").cast("long").alias("rank"))
+        .orderBy("rank")
+    )
+
+
+__all__ = ["space_saving_partials", "heavy_hitters"]
+
+# referenced semantics: the reference's bounded top-K with tie-break
+# (/root/reference/crawlstats.py:909-935 frequent-item emission) is the
+# exact-mode ancestor; this is its sketch-mode counterpart for dimensions
+# too wide to shuffle per-key partials.

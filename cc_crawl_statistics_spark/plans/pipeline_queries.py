@@ -242,6 +242,43 @@ def q_frontier_schedule(spark: SparkSession, sf: str) -> DataFrame:
     return first_round_schedule(pages_df(spark, sf))
 
 
+def q_schedule_politeness(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness audit of the round-1 schedule: per host, the ledger's
+    Crawl-delay budget vs what host_bucketed_topk actually scheduled, with
+    a ``compliant`` verdict (never over budget; 403-gated hosts scheduled
+    nothing). This turns the north rule's politeness guarantee into a
+    driver-checkable table instead of a property only unit tests see.
+
+    Scale shape: the schedule is budget-bounded (≤ hosts × max budget) and
+    the ledger is host-cardinality; the rollup + left join shuffle on host
+    only — nothing here is frontier-sized."""
+    from ..frontier.scheduler import host_ledger, url_universe
+
+    pages = pages_df(spark, sf)
+    ledger = host_ledger(url_universe(pages))
+    per_host = first_round_schedule(pages).groupBy("host").agg(
+        F.count("*").cast("long").alias("scheduled"),
+        F.max("rank").cast("long").alias("max_rank"),
+    )
+    zero = F.lit(0).cast("long")
+    sched = F.coalesce("scheduled", zero)
+    return (
+        ledger.join(per_host, "host", "left")
+        .select(
+            "host",
+            F.col("robots_status").cast("long").alias("robots_status"),
+            F.col("max_per_round").cast("long").alias("budget"),
+            sched.alias("scheduled"),
+            F.coalesce("max_rank", zero).alias("max_rank"),
+            (
+                (sched <= F.col("max_per_round"))
+                & ((F.col("robots_status") != 403) | (sched == 0))
+            ).alias("compliant"),
+        )
+        .orderBy("host")
+    )
+
+
 def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end robots.txt politeness pipeline (frontier/robots.py): parse
     each host's synthetic robots body with the vectorized RFC 9309 parser,
@@ -670,6 +707,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "frontier_schedule": q_frontier_schedule,
+    "schedule_politeness": q_schedule_politeness,
     "dedup_kept": q_dedup_kept,
     "surt_hll": q_surt_hll,
     "outlinks": q_outlinks,
@@ -1574,6 +1612,47 @@ ranked AS (
 SELECT url, host, CAST(depth AS BIGINT) AS depth,
        CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= budget ORDER BY host, rank
+"""
+    ),
+    # politeness audit: the ledger's closed form (pinned == parsed robots
+    # by test_robots) rolled up against the schedule's per-host counts
+    "schedule_politeness": oracle_cte(
+        """
+, uni AS (
+  SELECT url, MIN(host) AS host, MIN(doc_id) AS doc_id
+  FROM pages GROUP BY url
+),
+seeds AS (
+  SELECT url, host, 0 AS depth, (doc_id * 37) % 100 AS score
+  FROM uni WHERE doc_id % 7 = 0
+),
+led AS (
+  SELECT host,
+    CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
+         THEN 403 ELSE 200 END AS robots,
+    1 + CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 4 AS budget
+  FROM (SELECT DISTINCT host FROM uni)
+),
+ranked AS (
+  SELECT s.host, l.budget,
+         row_number() OVER (PARTITION BY s.host
+                            ORDER BY s.depth, s.score DESC, s.url) AS rank
+  FROM seeds s JOIN led l ON s.host = l.host
+  WHERE l.robots <> 403
+),
+sched AS (
+  SELECT host, COUNT(*) AS scheduled, MAX(rank) AS max_rank
+  FROM ranked WHERE rank <= budget GROUP BY host
+)
+SELECT l.host,
+  CAST(l.robots AS BIGINT) AS robots_status,
+  CAST(l.budget AS BIGINT) AS budget,
+  CAST(COALESCE(s.scheduled, 0) AS BIGINT) AS scheduled,
+  CAST(COALESCE(s.max_rank, 0) AS BIGINT) AS max_rank,
+  (COALESCE(s.scheduled, 0) <= l.budget
+   AND (l.robots <> 403 OR COALESCE(s.scheduled, 0) = 0)) AS compliant
+FROM led l LEFT JOIN sched s ON l.host = s.host
+ORDER BY l.host
 """
     ),
 }

@@ -2143,6 +2143,24 @@ QUERIES["language_drift"] = q_language_drift
 ORACLES["mime_drift"] = _drift_oracle(_MIME_NORM.format(c="mime"))
 ORACLES["language_drift"] = _drift_oracle("string_split(languages, ',')[1]")
 
+
+def q_top_hosts_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """A18 sketch mode: space-saving heavy hitters over the host dimension
+    (operators/sketches.py) — bounded-memory counterpart of the exact
+    top_hosts shuffle. Rows-only: the estimates depend on input
+    partitioning, so the evidence is tests/test_sketches.py's exact
+    integer bounds + presence guarantee, not a SQL oracle."""
+    from ..operators.sketches import heavy_hitters
+
+    from ..operators.counts import page_rows
+
+    return heavy_hitters(
+        page_rows(pages_df(spark, sf)), "host", k=1024, top=100
+    )
+
+
+QUERIES["top_hosts_sketch"] = q_top_hosts_sketch
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's CORRECTNESS gate records the FIRST 50
 # entries in insertion order, so the 50 most coverage-distinctive
