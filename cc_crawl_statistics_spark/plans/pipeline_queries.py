@@ -668,7 +668,41 @@ def q_host_degree_histogram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# CCNet-style perplexity filter (operators/lm.py): the reference slice is
+# the deterministic "trusted" subset lang='en' AND doc_id % 5 = 0; the
+# quality threshold 3500 milli-nats sits at the fixture's median
+# cross-entropy so the split exercises both branches.
+_LM_REF_FILTER = "lang = 'en' AND doc_id % 5 = 0"
+_LM_THRESHOLD_MNAT = 3500
+
+
+def q_lm_bigram_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import lm as LM
+
+    d = load_table(spark, sf, "documents")
+    return LM.lm_train_bigram(d.filter(_LM_REF_FILTER)).orderBy("w1", "w2")
+
+
+def q_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import lm as LM
+
+    d = load_table(spark, sf, "documents")
+    return LM.lm_cross_entropy(d, d.filter(_LM_REF_FILTER)).orderBy("doc_id")
+
+
+def q_lm_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators import lm as LM
+
+    d = load_table(spark, sf, "documents")
+    return LM.lm_quality_partition(
+        d, d.filter(_LM_REF_FILTER), threshold_mnat=_LM_THRESHOLD_MNAT
+    )
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lm_bigram_weights": q_lm_bigram_weights,
+    "lm_perplexity": q_lm_perplexity,
+    "lm_quality_filter": q_lm_quality_filter,
     "robots_decisions": q_robots_decisions,
     "pagerank_priority": q_pagerank_priority,
     "recrawl_tiers": q_recrawl_tiers,
@@ -981,7 +1015,91 @@ best AS (
 """
 
 
+# Shared CTE chain for the LM oracles: tokenize (filtered adjacency, like
+# lm.py's _words), reference bigram/context/vocab counts, fixed-point model.
+_LM_MODEL_CTES = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(str_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+ref AS (SELECT * FROM toks WHERE {_LM_REF_FILTER}),
+rbg AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM ref, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE len(w) >= 2
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram FROM rbg GROUP BY 1, 2
+),
+c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_context FROM rbg GROUP BY 1),
+voc AS (
+  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+  FROM ref, LATERAL (SELECT unnest(w) AS tok) u
+),
+model AS (
+  SELECT c2.w1, c2.w2, c_bigram, c_context, v,
+    CAST(floor(1000000 * ln((c_bigram + 1)
+        / CAST(c_context + v AS DOUBLE))) AS BIGINT) AS logp_x1m
+  FROM c2 JOIN c1 USING (w1) CROSS JOIN voc
+)
+"""
+
+# scoring chain on top of the model: per-doc bigram counts, smoothed
+# log-prob per pair (one formula, unseen pairs/contexts included), sums
+_LM_SCORE_CTES = (
+    _LM_MODEL_CTES
+    + """
+, dbg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE len(w) >= 2
+),
+per AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM dbg GROUP BY 1, 2, 3
+),
+sc AS (
+  SELECT p.doc_id, p.cnt,
+    COALESCE(m.logp_x1m,
+      CAST(floor(1000000 * ln(1.0
+          / (COALESCE(c1.c_context, 0) + voc.v))) AS BIGINT)) AS lp
+  FROM per p
+  LEFT JOIN model m USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN voc
+),
+sums AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         CAST(SUM(cnt * lp) AS BIGINT) AS s
+  FROM sc GROUP BY 1
+),
+xent AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+    CASE WHEN COALESCE(n_bigrams, 0) > 0
+         THEN CAST((-s) // (n_bigrams * 1000) AS BIGINT) END AS xent_mnat
+  FROM documents d LEFT JOIN sums USING (doc_id)
+)
+"""
+)
+
 PIPELINE_ORACLES: dict[str, str] = {
+    "lm_bigram_weights": _LM_MODEL_CTES
+    + "SELECT * FROM model ORDER BY w1, w2",
+    "lm_perplexity": _LM_SCORE_CTES + "SELECT * FROM xent ORDER BY doc_id",
+    "lm_quality_filter": _LM_SCORE_CTES
+    + f"""
+SELECT d.lang AS grp,
+  CAST(SUM(CASE WHEN x.xent_mnat IS NULL
+                  OR x.xent_mnat <= {_LM_THRESHOLD_MNAT}
+            THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+  CAST(SUM(CASE WHEN x.xent_mnat IS NOT NULL
+                  AND x.xent_mnat > {_LM_THRESHOLD_MNAT}
+            THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM documents d JOIN xent x USING (doc_id)
+GROUP BY 1 ORDER BY 1
+""",
     "curate_corpus": _corpus_oracle(
         """
 , m AS (
