@@ -256,3 +256,73 @@ def lsh_topk(
         .select("query_id", "rank", "neighbor_id", "bucket")
         .orderBy("query_id", "rank")
     )
+
+
+def semdedup_verdicts(
+    emb: DataFrame,
+    k: int = 16,
+    eps_x1m: int = 950_000,
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and comparing pairs only
+    WITHIN a cluster. Returns (vec_id, centroid_id, kept) — a document is
+    dropped when some cluster-mate with a LOWER vec_id has cosine
+    similarity >= eps (the deterministic greedy: survivors are exactly
+    the docs with no earlier in-cluster near-neighbor; the paper keeps
+    one exemplar per within-cluster duplicate group, this rule picks the
+    smallest-id one without needing connected components).
+
+    Scale shape: clustering reuses the IVF quantizer (ivf_centroids —
+    broadcast-assign + mean per iteration, no corpus shuffle beyond the
+    k-way mean); the pair stage self-joins slim (centroid_id, vec_id,
+    vec) projections on centroid_id, so the cost is sum(cluster_size^2)
+    rather than corpus^2 — the whole point of the method. A hot cluster
+    is a skewed join key: AQE skew-join splits it at runtime (pinned by
+    tests/test_skew_aqe.py for this join shape). Similarity is compared
+    in integer fixed-point (floor(1e6*cos)) so the verdict is stable
+    across partitionings.
+    """
+    cents = ivf_centroids(emb, k=k, vec_col=vec_col, iters=iters)
+    assigned = _assign(emb, cents, vec_col).select(
+        "centroid_id", "vec_id", F.col(vec_col).alias("_v")
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("_v").alias("av"),
+        _norm(F.col("_v")).alias("an"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("_v").alias("bv"),
+        _norm(F.col("_v")).alias("bn"),
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos_x1m",
+            F.floor(
+                F.lit(1_000_000)
+                * _dot(F.col("av"), F.col("bv"))
+                / (F.col("an") * F.col("bn") + F.lit(1e-12))
+            ),
+        )
+        .filter(F.col("cos_x1m") >= eps_x1m)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.select("vec_id", "centroid_id")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -103,6 +103,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
 
 
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): cluster-confined semantic dedup over
+    # the embedding corpus (which plants exact-duplicate vec_id copies at
+    # +1e6 offsets — those must be dropped). Rows-only: the Lloyd
+    # clustering has no float-exact SQL oracle; recall/greedy semantics
+    # pinned in tests/test_semdedup.py.
+    emb = emb_corpus_df(spark, sf)
+    return SIM.semdedup_verdicts(emb, k=8, eps_x1m=999_000)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # IVF (learned coarse quantizer) scale path: rows-only (float centroid
     # training has no SQL oracle); recall vs brute force pinned in tests
@@ -725,6 +735,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "semdedup": q_semdedup,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "vocabulary": q_vocabulary,
