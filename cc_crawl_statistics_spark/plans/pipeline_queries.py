@@ -103,6 +103,51 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64)
 
 
+def q_curation_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The whole curation pipeline as ONE sequential retention funnel:
+    exact dedup -> quality gate -> language filter -> perplexity filter
+    -> benchmark decontamination, emitting the survivor count after each
+    stage. Composes curate_corpus (verdict precedence), lm_cross_entropy
+    (trained on the corpus's trusted slice) and decontaminate — three
+    independent per-doc signal plans joined once on doc_id; the funnel
+    itself is a single aggregate + stack, so the report costs nothing
+    beyond its inputs at any scale."""
+    from ..operators import lm as LM
+
+    corpus = corpus_df(spark, sf)
+    eval_set = spark.sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0"
+    )
+    v = TX.curate_corpus(corpus).select("doc_id", "verdict")
+    x = LM.lm_cross_entropy(corpus, corpus.filter(_LM_REF_FILTER))
+    c = D.decontaminate(corpus, eval_set, n=8).select(
+        "doc_id", "contaminated"
+    )
+    j = v.join(x, "doc_id").join(c, "doc_id")
+    pass_px = F.col("xent_mnat").isNull() | (
+        F.col("xent_mnat") <= _LM_THRESHOLD_MNAT
+    )
+    kept = F.col("verdict") == "kept"
+    agg = j.agg(
+        F.count("*").alias("s0"),
+        F.sum((F.col("verdict") != "duplicate").cast("long")).alias("s1"),
+        F.sum(
+            (~F.col("verdict").isin("duplicate", "quality")).cast("long")
+        ).alias("s2"),
+        F.sum(kept.cast("long")).alias("s3"),
+        F.sum((kept & pass_px).cast("long")).alias("s4"),
+        F.sum(
+            (kept & pass_px & (F.col("contaminated") == 0)).cast("long")
+        ).alias("s5"),
+    )
+    return agg.selectExpr(
+        "stack(6, 0, 'total', s0, 1, 'exact_dedup', s1,"
+        " 2, 'quality', s2, 3, 'language', s3,"
+        " 4, 'perplexity', s4, 5, 'decontamination', s5)"
+        " AS (stage_id, stage, survivors)"
+    ).orderBy("stage_id")
+
+
 def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     # SemDeDup (Abbas et al. 2023): cluster-confined semantic dedup over
     # the embedding corpus (which plants exact-duplicate vec_id copies at
@@ -736,6 +781,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "semdedup": q_semdedup,
+    "curation_funnel": q_curation_funnel,
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "vocabulary": q_vocabulary,
@@ -1028,11 +1074,14 @@ best AS (
 
 # Shared CTE chain for the LM oracles: tokenize (filtered adjacency, like
 # lm.py's _words), reference bigram/context/vocab counts, fixed-point model.
-_LM_MODEL_CTES = f"""
-WITH toks AS (
+# Parameterized on the source relation so the standalone LM queries run on
+# `documents` and the curation funnel reuses the chain over `corpus`.
+def _lm_model_ctes(rel: str, lead: str = "WITH") -> str:
+    return f"""
+{lead} toks AS (
   SELECT doc_id, lang,
          list_filter(str_split(text, ' '), x -> x <> '') AS w
-  FROM documents
+  FROM {rel}
 ),
 ref AS (SELECT * FROM toks WHERE {_LM_REF_FILTER}),
 rbg AS (
@@ -1058,9 +1107,10 @@ model AS (
 
 # scoring chain on top of the model: per-doc bigram counts, smoothed
 # log-prob per pair (one formula, unseen pairs/contexts included), sums
-_LM_SCORE_CTES = (
-    _LM_MODEL_CTES
-    + """
+def _lm_score_ctes(rel: str, lead: str = "WITH") -> str:
+    return (
+        _lm_model_ctes(rel, lead)
+        + f"""
 , dbg AS (
   SELECT doc_id, w[i] AS w1, w[i+1] AS w2
   FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
@@ -1090,16 +1140,138 @@ xent AS (
     CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
     CASE WHEN COALESCE(n_bigrams, 0) > 0
          THEN CAST((-s) // (n_bigrams * 1000) AS BIGINT) END AS xent_mnat
-  FROM documents d LEFT JOIN sums USING (doc_id)
+  FROM {rel} d LEFT JOIN sums USING (doc_id)
 )
 """
+    )
+
+
+# The funnel oracle stitches the three per-doc signal chains (curate
+# verdict, LM cross-entropy over corpus, eval-shingle contamination) into
+# one WITH block — CTE names are disjoint by construction — then emits the
+# sequential survivor counts.
+def _curation_funnel_oracle() -> str:
+    return (
+        _corpus_oracle("")
+        + _lm_score_ctes("corpus", lead=",")
+        + f"""
+, m AS (
+  SELECT doc_id, md5(text) AS digest,
+         len(regexp_extract_all(text, '\\S+')) AS n_tok,
+         length(text) AS n_chars,
+         lower(text) AS lt
+  FROM corpus
+),
+lscores AS (
+  SELECT doc_id, 'de' AS lang,
+         len(regexp_extract_all(lt,
+             '\\b(der|die|und|das|ist|nicht)\\b')) AS score FROM m
+  UNION ALL
+  SELECT doc_id, 'en',
+         len(regexp_extract_all(lt, '\\b(the|and|of|to|in|is)\\b')) FROM m
+  UNION ALL
+  SELECT doc_id, 'es',
+         len(regexp_extract_all(lt, '\\b(el|la|de|que|los|es)\\b')) FROM m
+  UNION ALL
+  SELECT doc_id, 'fr',
+         len(regexp_extract_all(lt, '\\b(le|la|et|les|des|est)\\b')) FROM m
+),
+best AS (
+  SELECT doc_id,
+         CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang DESC) AS lrn
+  FROM lscores
+),
+ranked AS (
+  SELECT doc_id, n_tok, n_chars,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS drn
+  FROM m
+),
+verdicts AS (
+  SELECT r.doc_id,
+    CASE WHEN r.drn > 1 THEN 'duplicate'
+         WHEN NOT (r.n_tok >= 10
+                   AND FLOOR(10 * r.n_chars / greatest(r.n_tok, 1)) >= 20
+                   AND FLOOR(10 * r.n_chars / greatest(r.n_tok, 1)) <= 120)
+           THEN 'quality'
+         WHEN b.lang_pred <> 'en' THEN 'language'
+         ELSE 'kept' END AS verdict
+  FROM ranked r JOIN best b ON r.doc_id = b.doc_id AND b.lrn = 1
+),
+cw AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM corpus
+),
+csh AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(greatest(len(w) - 7, 0)),
+                          i -> array_to_string(w[i+1:i+8], ' '))
+         ) AS s
+  FROM cw
+),
+cex AS (SELECT doc_id, unnest(s) AS s FROM csh),
+ew AS (
+  SELECT string_split_regex(lower(text), '\\s+') AS w
+  FROM documents WHERE doc_id % 31 = 0
+),
+esh AS (
+  SELECT DISTINCT unnest(
+           list_distinct(
+             list_transform(range(greatest(len(w) - 7, 0)),
+                            i -> array_to_string(w[i+1:i+8], ' '))
+           )
+         ) AS s
+  FROM ew
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared FROM cex JOIN esh USING (s) GROUP BY 1
+),
+perdoc AS (
+  SELECT v.doc_id, v.verdict, x.xent_mnat,
+         COALESCE(h.n_shared, 0) > 0 AS contaminated
+  FROM verdicts v
+  JOIN xent x USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+),
+funnel AS (
+  SELECT
+    CAST(COUNT(*) AS BIGINT) AS s0,
+    CAST(SUM(CASE WHEN verdict <> 'duplicate' THEN 1 ELSE 0 END)
+         AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN verdict NOT IN ('duplicate', 'quality')
+             THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+    CAST(SUM(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)
+         AS BIGINT) AS s3,
+    CAST(SUM(CASE WHEN verdict = 'kept'
+                   AND (xent_mnat IS NULL
+                        OR xent_mnat <= {_LM_THRESHOLD_MNAT})
+             THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+    CAST(SUM(CASE WHEN verdict = 'kept'
+                   AND (xent_mnat IS NULL
+                        OR xent_mnat <= {_LM_THRESHOLD_MNAT})
+                   AND NOT contaminated
+             THEN 1 ELSE 0 END) AS BIGINT) AS s5
+  FROM perdoc
 )
+SELECT 0 AS stage_id, 'total' AS stage, s0 AS survivors FROM funnel
+UNION ALL SELECT 1, 'exact_dedup', s1 FROM funnel
+UNION ALL SELECT 2, 'quality', s2 FROM funnel
+UNION ALL SELECT 3, 'language', s3 FROM funnel
+UNION ALL SELECT 4, 'perplexity', s4 FROM funnel
+UNION ALL SELECT 5, 'decontamination', s5 FROM funnel
+ORDER BY stage_id
+"""
+    )
+
 
 PIPELINE_ORACLES: dict[str, str] = {
-    "lm_bigram_weights": _LM_MODEL_CTES
+    "curation_funnel": _curation_funnel_oracle(),
+    "lm_bigram_weights": _lm_model_ctes("documents")
     + "SELECT * FROM model ORDER BY w1, w2",
-    "lm_perplexity": _LM_SCORE_CTES + "SELECT * FROM xent ORDER BY doc_id",
-    "lm_quality_filter": _LM_SCORE_CTES
+    "lm_perplexity": _lm_score_ctes("documents")
+    + "SELECT * FROM xent ORDER BY doc_id",
+    "lm_quality_filter": _lm_score_ctes("documents")
     + f"""
 SELECT d.lang AS grp,
   CAST(SUM(CASE WHEN x.xent_mnat IS NULL

@@ -89,3 +89,27 @@ def test_scores_are_integer_and_order_independent(spark):
     assert sorted(map(tuple, one.collect())) == sorted(
         map(tuple, two.collect())
     )
+
+
+def test_curation_funnel_monotone_and_grounded(spark, duck):
+    from cc_crawl_statistics_spark.plans.pipeline_queries import (
+        q_curation_funnel,
+    )
+
+    rows = q_curation_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert [r.stage for r in rows] == [
+        "total",
+        "exact_dedup",
+        "quality",
+        "language",
+        "perplexity",
+        "decontamination",
+    ]
+    surv = [r.survivors for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    from cc_crawl_statistics_spark.synth import CORPUS_SQL
+
+    total = duck.execute(
+        f"SELECT COUNT(*) FROM ({CORPUS_SQL})"
+    ).fetchone()[0]
+    assert surv[0] == total
