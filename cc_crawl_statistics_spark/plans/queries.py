@@ -2183,10 +2183,11 @@ _PRIORITY = [
     # registry-id-scale bitmask fixture (ids 0/63/126)
     "new_items", "new_digests", "url_crawl_set", "digest_crawl_set",
     "url_crawl_set_registry",
-    # plot-layer time series (§2.5); trailing_3 yields its slot to the
-    # end-to-end curation verdict — the family stays driver-visible via
-    # trailing_6 (reference width) and oracle-tested via trailing_2/_3
-    "crawl_overlap", "dup_ratio", "domain_coverage", "top_mime_other",
+    # plot-layer time series (§2.5); trailing_3 yielded its slot to the
+    # end-to-end curation verdict in r3; dup_ratio and top_mime_other
+    # (driver-green in r2, unchanged since) now yield theirs to the
+    # round-3 LM perplexity filter — both stay oracle-tested in pytest
+    "crawl_overlap", "domain_coverage",
     "trailing_6", "curate_corpus",
     # full frequency-histogram family (A19; host_pages + digest_dup stay
     # oracle-tested in pytest — their slots go to the robots.txt politeness
@@ -2195,7 +2196,6 @@ _PRIORITY = [
     "robots_decisions", "dup_spans_exact",
     # dimension joins (§2.6), incl. the IDN end-to-end row
     "tld_classified", "tld_classified_idn", "tld_continent",
-    "spearman_benchmark",
     # stats-phase filters (§2.3) + S7 presentation pivot (§2.1)
     "large_surt_domains", "mime_share_pivot", "languages_floor",
     # sources/sinks + byte-compat (§2.1, §2.9)
@@ -2203,10 +2203,14 @@ _PRIORITY = [
     "crawler_metrics_roundtrip",
     "cc_pages_extract",
     # LLM-pipeline operators + frontier (north rule), incl. the
-    # iterative-graph class (pagerank) and both event-window flavors
+    # iterative-graph class (pagerank), both event-window flavors, and
+    # the round-3 CCNet perplexity filter + whole-pipeline funnel
+    # (spearman_benchmark, r2-green, yielded its slot to the funnel and
+    # stays oracle-tested in pytest)
     "dedup_exact", "ngram_jaccard", "embedding_near_dup", "ann_topk",
     "token_stats", "quality_scores", "language_id", "pagerank_priority",
     "events_windowed", "events_sessionize", "dedup_kept",
+    "lm_perplexity", "lm_quality_filter", "curation_funnel",
     "frontier_schedule",
 ]
 
