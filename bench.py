@@ -103,6 +103,10 @@ HEADLINE = {
     # salted two-phase top-k over the scaled documents view (~10^8 token
     # occurrences at factor 200)
     "vocabulary_topk": lambda p: _vocabulary_bench(p),
+    # CCNet perplexity class: bigram explode -> pre-agg pairs -> model
+    # left-join -> per-doc integer cross-entropy, LM trained on the
+    # trusted slice of the same scaled corpus inside the plan
+    "lm_perplexity": lambda p: _lm_perplexity_bench(p),
     # cc-index build step: record-length arithmetic + per-file running-sum
     # window (bounded partitions = warc files)
     "warc_cdx_index": lambda p: _warc_cdx_index(p),
@@ -122,6 +126,21 @@ def _warc_revisit(pages):
     from cc_crawl_statistics_spark.sources.warc import revisit_records
 
     return revisit_records(pages)
+
+
+def _lm_perplexity_bench(pages):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.lm import lm_cross_entropy
+
+    docs = pages.sparkSession.table("documents")
+    # the scaled corpus multiplies doc_ids by the factor, so %5 over raw
+    # ids would select whole replica blocks; hash-mod keeps the trusted
+    # slice a uniform ~1/50 sample at any factor
+    ref = docs.filter(
+        (F.col("lang") == "en") & (F.pmod(F.xxhash64("doc_id"), F.lit(50)) == 0)
+    )
+    return lm_cross_entropy(docs, ref)
 
 
 def _vocabulary_bench(pages):

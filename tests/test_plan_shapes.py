@@ -98,6 +98,11 @@ _BOUNDED_BNLJ_OK = {
     "nb_weights",  # class priors vs 1-row corpus total
     "nb_classify",  # same training CTE inside
     "nb_agreement",  # same training CTE inside
+    "lm_bigram_weights",  # smoothing vs 1-row vocab-size aggregate
+    "lm_perplexity",  # same 1-row vocab join in the scoring chain
+    "lm_quality_filter",  # same scoring chain inside
+    "curation_funnel",  # composes the LM scoring chain
+    "semdedup",  # broadcast k-centroid assignment join
 }
 
 
