@@ -224,7 +224,22 @@ class SnapshotStore:
         base = self.frontier_base_round(upto_rnd)
         if base is None:
             raise FileNotFoundError(f"no frontier base ≤ round {upto_rnd}")
-        cur = self.read(spark, base, "frontier")
+        # Retires are ROUND-AWARE: a schedule/blocked list written at round
+        # r can only retire pending rows discovered at a round < r (a row
+        # discovered at round d first appears in schedule at some round
+        # > d). Without this, a URL re-opened for recrawl and then
+        # re-discovered at round d would be silently swallowed by its own
+        # pre-reopen schedule entry whenever that entry is younger than the
+        # last frontier compaction. The round of every row is recovered
+        # from its snapshot path (round=NNNN), so the retire sides stay
+        # one multi-path read each (not one reader per round: each
+        # spark.read.parquet call pays a serial driver-side listing pass).
+        rnd_of_path = F.regexp_extract(
+            F.input_file_name(), r"round=(\d+)", 1
+        ).cast("int")
+        cur = self.read(spark, base, "frontier").withColumn(
+            "_src_rnd", F.lit(base)
+        )
         deltas = [
             os.path.join(self._round_dir(r), "frontier_delta")
             for r in range(base + 1, upto_rnd + 1)
@@ -233,10 +248,11 @@ class SnapshotStore:
         if deltas:
             # same column set as the frontier base (FRONTIER_COLS) — reuse
             # its cached schema; explicit-schema parquet reads bind by name
-            cur = cur.unionByName(self._read_parquet(spark, "frontier", *deltas))
-        # one multi-path read per retire table (not one reader per round:
-        # each spark.read.parquet call pays a serial driver-side listing /
-        # footer pass, which grows linearly in rounds-since-compaction)
+            cur = cur.unionByName(
+                self._read_parquet(spark, "frontier", *deltas).withColumn(
+                    "_src_rnd", rnd_of_path
+                )
+            )
         retired = []
         for t in ("schedule", "blocked"):
             paths = [
@@ -246,14 +262,23 @@ class SnapshotStore:
             paths = [p for p in paths if os.path.exists(p)]
             if paths:
                 retired.append(
-                    self._read_parquet(spark, t, *paths).select("url")
+                    self._read_parquet(spark, t, *paths).select(
+                        "url", rnd_of_path.alias("_ret_rnd")
+                    )
                 )
         if retired:
             ret = retired[0]
             for x in retired[1:]:
                 ret = ret.unionByName(x)
-            cur = cur.join(F.broadcast(ret), "url", "left_anti")
-        return cur
+            # broadcast hash anti-join on url; the round inequality rides
+            # along as an extra join condition (still a BHJ, no loop join)
+            cur = cur.alias("f").join(
+                F.broadcast(ret).alias("r"),
+                (F.col("f.url") == F.col("r.url"))
+                & (F.col("r._ret_rnd") > F.col("f._src_rnd")),
+                "left_anti",
+            )
+        return cur.drop("_src_rnd")
 
     def compact_frontier(
         self, spark: SparkSession, upto_rnd: int, n_partitions: int = 4

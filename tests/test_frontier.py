@@ -420,3 +420,59 @@ def test_commit_resolves_multi_level_derived_tables(spark, tmp_path):
             },
             {"round": 0},
         )
+
+
+def test_rediscovery_after_reopen_survives_old_retire(spark, tmp_path):
+    """A URL scheduled at round r, re-opened for recrawl, then
+    RE-DISCOVERED at round d > r must not be swallowed by round r's
+    schedule retire list when read_frontier reconstructs base+deltas
+    (retires are round-aware: a retire list only applies to pending rows
+    discovered before it was written)."""
+    import os as _os
+
+    store = SnapshotStore(str(tmp_path / "s"))
+
+    def write(rnd, table, df):
+        df.write.mode("overwrite").parquet(
+            _os.path.join(store.root, f"round={rnd:04d}", table)
+        )
+
+    write(
+        0,
+        "frontier",
+        spark.createDataFrame(
+            [("http://h/a", "h/a"), ("http://h/b", "h/b")],
+            "url string, surt_key string",
+        ),
+    )
+    write(
+        1,
+        "schedule",
+        spark.createDataFrame([("http://h/a",)], "url string"),
+    )
+    assert {r.url for r in store.read_frontier(spark, 1).collect()} == {
+        "http://h/b"
+    }
+    # round 2: a reopened+re-discovered → fresh pending delta
+    write(
+        2,
+        "frontier_delta",
+        spark.createDataFrame([("http://h/a", "h/a")], "url string, surt_key string"),
+    )
+    got = store.read_frontier(spark, 2)
+    assert set(got.columns) == {"url", "surt_key"}  # no helper-column leak
+    assert {r.url for r in got.collect()} == {"http://h/a", "http://h/b"}
+    # a LATER schedule does retire the re-discovered row
+    write(
+        3,
+        "schedule",
+        spark.createDataFrame([("http://h/a",)], "url string"),
+    )
+    assert {r.url for r in store.read_frontier(spark, 3).collect()} == {
+        "http://h/b"
+    }
+    # compaction bakes the same answer into a new base
+    store.compact_frontier(spark, 3)
+    assert {r.url for r in store.read_frontier(spark, 3).collect()} == {
+        "http://h/b"
+    }
