@@ -37,8 +37,12 @@ def synth_url(doc_id: int) -> dict:
 
 
 def ledger_for(site_id: int) -> tuple[int, int]:
-    """(robots_status, max_per_round) — must mirror scheduler.host_ledger."""
-    return (403 if site_id % 12 == 7 else 200, 1 + site_id % 4)
+    """(robots_status, max_per_round) — must mirror scheduler.host_ledger.
+    Blocked hosts (robots fetch 403) keep the default budget of 1: their
+    body is never parsed for Crawl-delay (robots.parsable_bodies)."""
+    if site_id % 12 == 7:
+        return (403, 1)
+    return (200, 1 + site_id % 4)
 
 
 @dataclass

@@ -50,6 +50,18 @@ DEFAULT_AGENT = "ccbot"
 _FIELDS = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
+def parsable_bodies(
+    robots: DataFrame, status_col: str = "fetch_status"
+) -> DataFrame:
+    """Rows whose robots.txt body may impose rules: only 2xx fetches parse.
+    A 4xx error page or a 5xx body must never contribute Disallow rules or
+    Crawl-delay budgets (a CDN error template can contain lines that look
+    like directives); the gate semantics for those statuses are carried by
+    :func:`robots_ledger`'s robots_status alone."""
+    s = F.col(status_col)
+    return robots.filter((s >= 200) & (s < 300))
+
+
 def parse_robots(robots: DataFrame, body_col: str = "robots_txt") -> DataFrame:
     """Explode robots.txt bodies into directive rows.
 
@@ -249,6 +261,11 @@ def robots_ledger(
     URL level via :func:`robots_decision`). max_per_round =
     floor(round_seconds / Crawl-delay), ≥ 1; hosts without a Crawl-delay
     get ``default_budget``.
+
+    Only 2xx bodies are parsed for Crawl-delay (parsable_bodies): a 404
+    host's HTML error page must not impose a budget — the module contract's
+    'other 4xx → allow-all (missing robots.txt)' applies to the body
+    content, not just the gate status.
     """
     status = F.col(status_col)
     gate = (
@@ -257,7 +274,9 @@ def robots_ledger(
         .otherwise(F.lit(200))
         .alias("robots_status")
     )
-    delays = crawl_delays(parse_robots(robots), agent)
+    delays = crawl_delays(
+        parse_robots(parsable_bodies(robots, status_col)), agent
+    )
     return (
         robots.select("host", gate)
         .join(delays, "host", "left")

@@ -41,6 +41,8 @@ Scale design (10^10-URL frontier, 1000 executors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -144,7 +146,11 @@ def host_ledger_formula(universe: DataFrame) -> DataFrame:
         .select(
             "host",
             F.when(site_id % 12 == 7, 403).otherwise(200).alias("robots_status"),
-            (F.lit(1) + site_id % 4).alias("max_per_round"),
+            # blocked hosts keep the default budget: a 403 robots fetch is
+            # never parsed for Crawl-delay (robots.parsable_bodies)
+            F.when(site_id % 12 == 7, F.lit(1))
+            .otherwise(F.lit(1) + site_id % 4)
+            .alias("max_per_round"),
         )
     )
 
@@ -399,7 +405,18 @@ def _cached_prefilter_udf(spark, kind: str, path: str):
             from .bloom import load_bloom, might_contain_udf
 
             udf = might_contain_udf(spark, load_bloom(path))
-        _BLOOM_UDF_CACHE.clear()
+        # evict only stale entries for the SAME store (a new compaction
+        # writes a new path under the same root) — clearing everything
+        # would force two interleaved stores (A/B runs, bloom-vs-cuckoo
+        # comparisons) to re-broadcast their gigabyte bit arrays on every
+        # alternating round
+        root = os.path.dirname(os.path.dirname(path))
+        for k in [
+            k
+            for k in _BLOOM_UDF_CACHE
+            if k[0] == key[0] and k[1].startswith(root + os.sep)
+        ]:
+            del _BLOOM_UDF_CACHE[k]
         _BLOOM_UDF_CACHE[key] = udf
     return _BLOOM_UDF_CACHE[key]
 
@@ -506,18 +523,25 @@ def run_round(
             pages = pages_df(spark, sf_dir)
         universe = url_universe(pages).localCheckpoint(eager=True)
     m0 = store.manifest(0)["metrics"]
-    n_docs = m0.get("n_docs") or universe.count()
+    # None-checks, NOT falsy-or: a legitimate 0 (e.g. a drained frontier
+    # after convergence) must not fall through to a corpus-scale recount
+    # every subsequent round
+    n_docs = m0.get("n_docs")
+    if n_docs is None:
+        n_docs = universe.count()
     mprev = store.manifest(latest)["metrics"]
-    prev_seen = mprev.get("n_seen") or seen.count()
+    prev_seen = mprev.get("n_seen")
+    if prev_seen is None:
+        prev_seen = seen.count()
     # pending count carries forward incrementally (retired rows and the
     # appended delta are all exactly counted), like n_seen — the frontier
     # is never rescanned for a metric; legacy manifests fall back to a
     # one-time count
-    prev_pending = (
-        mprev.get("n_frontier_pending")
-        or mprev.get("n_seeded")
-        or frontier.count()
-    )
+    prev_pending = mprev.get("n_frontier_pending")
+    if prev_pending is None:
+        prev_pending = mprev.get("n_seeded")
+    if prev_pending is None:
+        prev_pending = frontier.count()
 
     pending = frontier.filter(F.col("state") == "pending")
     gated = pending.join(F.broadcast(ledger), "host")

@@ -67,7 +67,11 @@ def url_filter_verdict(
     path_segments = (
         F.length(u) - F.length(F.replace(u, F.lit("/"), F.lit(""))) - 2
     )
-    base = F.lower(F.substring_index(u, "?", 1))
+    # path with query string AND fragment stripped ('x.jpg#gallery' must
+    # not bypass the extension rule)
+    base = F.lower(
+        F.substring_index(F.substring_index(u, "#", 1), "?", 1)
+    )
     lower_u = F.lower(u)
     is_blocked_ext = None
     for ext in BLOCKED_EXTENSIONS:
@@ -119,7 +123,8 @@ def oracle_verdict_sql(url_expr: str = "url") -> str:
     oracle side). Kept adjacent to the Column builder so the two rule
     lists can never drift apart silently."""
     ext_checks = " OR ".join(
-        f"lower(split_part({url_expr}, '?', 1)) LIKE '%{e}'"
+        f"lower(split_part(split_part({url_expr}, '#', 1), '?', 1)) "
+        f"LIKE '%{e}'"
         for e in BLOCKED_EXTENSIONS
     )
     sess_checks = " OR ".join(

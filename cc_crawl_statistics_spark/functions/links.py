@@ -109,6 +109,9 @@ def resolve_href_col(scheme: Column, host: Column, base_path: Column,
       protocol-relative   //host/path            -> scheme || ':' || href
       root-relative       /path                  -> scheme://host/path
       fragment/empty      '' or '#…'             -> NULL (self-reference)
+      other scheme        mailto:/javascript:/…  -> NULL (non-hierarchical:
+                          not a fetchable web URL — resolving it as a
+                          relative path would mint phantom same-host edges)
       document-relative   a/b                    -> scheme://host/dir(base)/a/b
                           (no dot-segment normalization — UDF tier handles
                           ../; fixture pages never emit them)
@@ -121,6 +124,7 @@ def resolve_href_col(scheme: Column, host: Column, base_path: Column,
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(origin, href))
         .when((href == "") | href.startswith("#"), F.lit(None))
+        .when(href.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:"), F.lit(None))
         .otherwise(F.concat(origin, base_dir, href))
     )
 
@@ -128,14 +132,20 @@ def resolve_href_col(scheme: Column, host: Column, base_path: Column,
 @pandas_udf(StringType())
 def resolve_href_udf(base_url: pd.Series, href: pd.Series) -> pd.Series:
     """Full RFC 3986 resolution (stdlib urljoin), Arrow-batched — the
-    long-tail tier for dot-segments, queries, odd schemes. Empty and
-    fragment-only hrefs resolve to NULL like the codegen tier."""
+    long-tail tier for dot-segments and queries. Empty and fragment-only
+    hrefs resolve to NULL like the codegen tier, and so does any result
+    that is not an http(s) URL (mailto:/javascript:/tel:/data: links are
+    not fetchable web URLs)."""
     out = []
     for b, h in zip(base_url, href):
         if h is None or h == "" or h.startswith("#"):
             out.append(None)
         else:
-            out.append(urljoin(b, h))
+            r = urljoin(b, h)
+            out.append(
+                r if r.startswith("http://") or r.startswith("https://")
+                else None
+            )
     return pd.Series(out, dtype=object)
 
 

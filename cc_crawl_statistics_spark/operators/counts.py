@@ -270,7 +270,12 @@ def mime_agreement_matrix(
         "url",
     )
     if mismatch_only:
-        pairs = pairs.filter(F.col("mimetype") != F.col("mimetype_detected"))
+        # null-safe: a NULL on either side IS a disagreement (a row with a
+        # declared type but no detected type must not vanish from the
+        # mislabeled-content inventory)
+        pairs = pairs.filter(
+            ~F.col("mimetype").eqNullSafe(F.col("mimetype_detected"))
+        )
     per_url = pairs.groupBy(
         "crawl", "mimetype", "mimetype_detected", "url"
     ).agg(F.count("*").alias("cnt"))
@@ -278,7 +283,8 @@ def mime_agreement_matrix(
         per_url.groupBy("crawl", "mimetype", "mimetype_detected")
         .agg(F.sum("cnt").alias("pages"), F.count("*").alias("urls"))
         .withColumn(
-            "agree", (F.col("mimetype") == F.col("mimetype_detected"))
+            "agree",
+            F.col("mimetype").eqNullSafe(F.col("mimetype_detected")),
         )
         .orderBy("crawl", "mimetype", "mimetype_detected")
     )

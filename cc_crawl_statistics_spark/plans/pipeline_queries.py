@@ -347,7 +347,7 @@ def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
     hosts = pages.select("host").distinct()
     rb = RB.synth_robots(hosts)
     ledger = RB.robots_ledger(rb, round_seconds=60, default_budget=1)
-    rules = RB.robots_rules(RB.parse_robots(rb))
+    rules = RB.robots_rules(RB.parse_robots(RB.parsable_bodies(rb)))
     urls = pages.select(
         "host",
         F.regexp_extract("url", "^[a-z]+://[^/]+(/.*)$", 1).alias("path"),
@@ -1752,7 +1752,7 @@ GROUP BY source ORDER BY source
         """
 , per_url AS (
   SELECT host, url, MAX(fetch_ts) AS lastmod,
-         MIN((doc_id * 37) % 100) AS prio_pct
+         MIN((doc_id * 37) % 101) AS prio_pct
   FROM pages GROUP BY host, url
 )
 SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
@@ -1874,7 +1874,7 @@ paths AS (
 )
 SELECT h.host,
   CASE WHEN k % 12 = 7 THEN 403 ELSE 200 END AS robots_status,
-  1 + k % 4 AS max_per_round,
+  CASE WHEN k % 12 = 7 THEN 1 ELSE 1 + k % 4 END AS max_per_round,
   CASE WHEN k % 12 = 7 THEN 'blocked'
        WHEN k % 3 = 0 THEN
          CASE WHEN p.path LIKE '/page/1%' THEN 'allow' ELSE 'disallow' END
@@ -1900,7 +1900,10 @@ led AS (
   SELECT host,
     CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
          THEN 403 ELSE 200 END AS robots,
-    1 + CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 4 AS budget
+    CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
+         THEN 1
+         ELSE 1 + CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 4
+    END AS budget
   FROM (SELECT DISTINCT host FROM uni)
 ),
 ranked AS (
@@ -1931,7 +1934,10 @@ led AS (
   SELECT host,
     CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
          THEN 403 ELSE 200 END AS robots,
-    1 + CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 4 AS budget
+    CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
+         THEN 1
+         ELSE 1 + CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 4
+    END AS budget
   FROM (SELECT DISTINCT host FROM uni)
 ),
 ranked AS (
@@ -1992,7 +1998,7 @@ PIPELINE_ORACLES["robots_sitemap_seeds"] = oracle_cte(
     """
 , per AS (
   SELECT host, url,
-         MIN((doc_id * 37) % 100) AS prio
+         MIN((doc_id * 37) % 101) AS prio
   FROM pages
   WHERE CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 2 = 0
   GROUP BY host, url

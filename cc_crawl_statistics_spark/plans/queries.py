@@ -1904,7 +1904,7 @@ per_url AS (
 SELECT crawl, mimetype, mimetype_detected,
   CAST(SUM(cnt) AS BIGINT) AS pages,
   CAST(COUNT(*) AS BIGINT) AS urls,
-  (mimetype = mimetype_detected) AS agree
+  (mimetype IS NOT DISTINCT FROM mimetype_detected) AS agree
 FROM per_url GROUP BY crawl, mimetype, mimetype_detected
 ORDER BY crawl, mimetype, mimetype_detected
 """

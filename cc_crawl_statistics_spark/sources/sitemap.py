@@ -32,7 +32,7 @@ def render_sitemaps(pages: DataFrame) -> DataFrame:
     deterministic."""
     per_url = pages.groupBy("host", "url").agg(
         F.max("fetch_ts").alias("lastmod"),
-        F.min(((F.col("doc_id") * 37) % 100)).alias("prio_pct"),
+        F.min(((F.col("doc_id") * 37) % 101)).alias("prio_pct"),
     )
     entry = F.concat(
         F.lit("<url><loc>"),

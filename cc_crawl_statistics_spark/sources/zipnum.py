@@ -234,6 +234,12 @@ def write_zipnum(members: DataFrame, path: str) -> None:
     partition per shard so no file is touched by two tasks) plus a
     single sorted ``cluster.idx``."""
     os.makedirs(path, exist_ok=True)
+    # Pin the block lineage: it is consumed TWICE (the .gz file writes and
+    # cluster_index), and re-executing the sampled repartitionByRange +
+    # block-gzip pipeline would both double the compression cost and risk
+    # a secondary index derived from a divergent recomputation whose
+    # (offset, length) don't address the bytes actually written.
+    members = members.persist()
     per_shard = members.repartition(F.col("shard")).sortWithinPartitions(
         "shard", "block_no"
     )
@@ -272,3 +278,4 @@ def write_zipnum(members: DataFrame, path: str) -> None:
         .write.mode("overwrite")
         .text(os.path.join(path, "cluster.idx"))
     )
+    members.unpersist()

@@ -102,14 +102,13 @@ def stream_publish_zipnum(
     def publish(batch_df: DataFrame, batch_id: int):
         members = zipnum_members(
             render_cdx_index_lines(batch_df), n_shards, block_size
-        ).persist()
-        try:
-            out = os.path.join(index_dir, f"batch-{batch_id}")
-            if os.path.exists(out):
-                shutil.rmtree(out)
-            write_zipnum(members, out)
-        finally:
-            members.unpersist()
+        )
+        out = os.path.join(index_dir, f"batch-{batch_id}")
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        # write_zipnum pins the block lineage itself (persist around its
+        # two consumers: the .gz writes and cluster_index)
+        write_zipnum(members, out)
 
     return (
         spark.readStream.schema(schema)

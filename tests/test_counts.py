@@ -269,3 +269,29 @@ def test_host_churn_hand_computed_with_id_gap(spark):
             got["C5"].hosts_retained, got["C5"].hosts_lost) == (2, 1, 1, 1)
     assert (got["C6"].n_hosts, got["C6"].hosts_gained,
             got["C6"].hosts_retained, got["C6"].hosts_lost) == (2, 1, 1, 1)
+
+
+def test_mime_matrix_null_safe_disagreement(spark):
+    """A NULL detected type is a disagreement, not a dropped row: the
+    mismatch filter and the agree flag must both be null-safe."""
+    rows = [
+        ("http://a/x", "C0", "text/html", "text/html", 200, "seg/warc/a.gz"),
+        ("http://a/y", "C0", "text/html", None, 200, "seg/warc/a.gz"),
+        ("http://a/z", "C0", None, None, 200, "seg/warc/a.gz"),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, crawl string, mime string, mime_detected string, "
+        "status int, warc_filename string",
+    )
+    full = {
+        (r.mimetype, r.mimetype_detected): r.agree
+        for r in C.mime_agreement_matrix(pages).collect()
+    }
+    assert full[("text/html", "text/html")] is True
+    assert full[("text/html", None)] is False  # not NULL
+    assert full[(None, None)] is True  # both-missing rows agree
+    mism = C.mime_agreement_matrix(pages, mismatch_only=True).collect()
+    assert [(r.mimetype, r.mimetype_detected) for r in mism] == [
+        ("text/html", None)
+    ]

@@ -91,6 +91,12 @@ RESOLVE_CASES = [
     ("https://www.a.com/dir/sub/p.html", "a/b.html"),
     ("http://a.com/p.html", ""),
     ("http://a.com/p.html", "#frag"),
+    # non-hierarchical schemes → NULL in both tiers (not fetchable URLs;
+    # resolving them as relative paths would mint phantom same-host edges)
+    ("http://a.com/p.html", "mailto:bob@x.com"),
+    ("http://a.com/p.html", "javascript:void(0)"),
+    ("http://a.com/p.html", "tel:+1-555-0100"),
+    ("http://a.com/p.html", "data:text/plain,hi"),
 ]
 
 
@@ -108,11 +114,12 @@ def test_resolve_udf_is_urljoin(spark):
         "base", "href", resolve_href_udf("base", "href").alias("r")
     ).collect()
     for r in got:
-        want = (
-            None
-            if r.href == "" or r.href.startswith("#")
-            else urljoin(r.base, r.href)
-        )
+        if r.href == "" or r.href.startswith("#"):
+            want = None
+        else:
+            want = urljoin(r.base, r.href)
+            if not want.startswith(("http://", "https://")):
+                want = None  # non-hierarchical scheme → not a web URL
         assert r.r == want, (r.base, r.href, r.r, want)
 
 

@@ -184,6 +184,36 @@ def test_fetch_status_gate(spark):
     assert got["flaky"] == (403, 3)  # 5xx → conservative disallow
 
 
+def test_non_2xx_bodies_never_impose_rules_or_delays(spark):
+    """A 404 error page whose HTML happens to contain directive-looking
+    lines (common in CDN error templates) must not contribute Disallow
+    rules or Crawl-delay budgets — only 2xx bodies parse."""
+    trap = "User-agent: *\nDisallow: /\nCrawl-delay: 1\n"
+    robots = spark.createDataFrame(
+        [("gone", 404, trap), ("down", 503, trap), ("ok", 200, trap)],
+        ["host", "fetch_status", "robots_txt"],
+    )
+    led = {
+        r["host"]: (r["robots_status"], r["max_per_round"])
+        for r in R.robots_ledger(
+            robots, round_seconds=60, default_budget=5
+        ).collect()
+    }
+    assert led["gone"] == (200, 5)  # allow-all, default budget (not 60)
+    assert led["down"] == (403, 5)  # gate blocks; body ignored
+    assert led["ok"] == (200, 60)  # real robots: floor(60/1)
+    rules = R.robots_rules(R.parse_robots(R.parsable_bodies(robots)))
+    urls = spark.createDataFrame(
+        [("gone", "/x"), ("ok", "/x")], ["host", "path"]
+    )
+    dec = {
+        r["host"]: r["decision"]
+        for r in R.robots_decision(urls, rules).collect()
+    }
+    assert dec["gone"] == "allow"  # error page imposed nothing
+    assert dec["ok"] == "disallow"
+
+
 def test_budget_clamped_to_one(spark):
     robots = spark.createDataFrame(
         [("slow", 200, "User-agent: *\nCrawl-delay: 999\n")],

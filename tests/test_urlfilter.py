@@ -90,7 +90,7 @@ def test_randomized_urls_match_python_model(spark):  # noqa: F811
             return "too_long"
         if u.count("/") - 2 > 20:
             return "too_many_segments"
-        base = u.split("?", 1)[0].lower()
+        base = u.split("#", 1)[0].split("?", 1)[0].lower()
         if any(base.endswith(e) for e in BLOCKED_EXTENSIONS):
             return "binary_extension"
         if any(p in u.lower() for p in SESSION_PARAMS):
@@ -102,6 +102,7 @@ def test_randomized_urls_match_python_model(spark):  # noqa: F811
     hosts = ["e.com", "a.b.c.example.org", "xn--p1ai", ""]
     tails = [
         "", ".jpg", ".JPG", ".tar.gz", ".html", ".jpg?x=1", "?a=.png",
+        ".jpg#gallery", ".png#", "#.jpg", ".html#frag",
         "?phpsessid=1", ";jsessionid=X", "?x=1&SESSIONID=2", "://twice",
         "/x" * 21, "/x" * 20, "a" * 2049, "a" * 2000, "?" * 3,
     ]
