@@ -804,6 +804,14 @@ def q_wat_links(spark: SparkSession, sf: str) -> DataFrame:
     recs = render_warc_records(pages, body_col="body").select(
         F.expr(f"substring(value, {len(RECORD_SEP) + 1})").alias("value")
     )
+    # Lineage barrier between the synthetic record renderer and the parse:
+    # without it Catalyst substitutes the whole record-concat expression
+    # into every downstream header regex AND the outlink resolver, the
+    # parse stage's generated filter exceeds the JVM's 64 KB method limit,
+    # and whole-stage codegen falls back to interpreted eval for the entire
+    # stage. Real WARC input is a file scan (a plain `value` attribute), so
+    # the barrier reproduces the production plan shape, fixture-only cost.
+    recs = recs.localCheckpoint(eager=False)
     wat = wat_from_warc(parse_warc_records(recs))
     return (
         wat.select(
