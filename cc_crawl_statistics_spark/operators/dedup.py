@@ -724,3 +724,103 @@ def cdc_duplicate_spans(
         .filter(F.col("span_len") >= min_len)
         .drop("grp")
     )
+
+
+def split_units(
+    docs: DataFrame, text_col: str = "text", unit_words: int = 16
+) -> DataFrame:
+    """(doc_id, pos, unit): tumbling ``unit_words``-word windows of each
+    document — the deterministic segmenter stand-in for the sentence/
+    paragraph units C4 (Raffel et al. 2020, "three-sentence span") and
+    RefinedWeb dedup at. Real corpora would split on sentence boundaries;
+    the unit-dedup semantics downstream are segmenter-agnostic.
+
+    All codegen: split + transform over a position sequence + slice. The
+    words array is staged behind its own projection (same CollapseProject
+    reasoning as with_word_shingles — inlining the split into the lambda
+    would re-split the text once per unit)."""
+    words = F.col("_ud_words")
+    n_units = F.ceil(F.size(words) / F.lit(unit_words)).cast("long")
+    positions = F.when(n_units > 0, F.sequence(F.lit(0), n_units - 1)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    return (
+        docs.withColumn("_ud_words", F.split(F.col(text_col), " "))
+        .withColumn("_ud_n_units", n_units)
+        .select(
+            "doc_id",
+            F.col("_ud_n_units").alias("n_units"),
+            F.posexplode(
+                F.transform(
+                    positions,
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            words,
+                            (i * unit_words + 1).cast("int"),
+                            unit_words,
+                        ),
+                    ),
+                )
+            ).alias("pos", "unit"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def unit_dedup(
+    docs: DataFrame, text_col: str = "text", unit_words: int = 16
+) -> DataFrame:
+    """Unit-level exact dedup with document reassembly — the C4/RefinedWeb
+    curation step our doc-level exact_dedup and span-level
+    duplicated_kgram_spans don't cover: every unit (tumbling word window,
+    see split_units) is kept only at its globally FIRST occurrence
+    (ordered by doc_id, then position); each document is rewritten with
+    its duplicated units removed. An exact copy of an earlier document
+    loses every unit (kept_units = 0, empty new_text); a doc that shares
+    only a prefix keeps its novel tail.
+
+    Returns one row per input doc:
+      (doc_id, n_units, kept_units, new_text).
+
+    Scale shape (100 TB corpus): one shuffle keyed on the unit text,
+    ranked by a window rather than a groupBy+self-join so the keeper
+    decision needs no second pass; then one doc_id-keyed reassembly
+    aggregation. The row_number()==1 filter compiles to WindowGroupLimit
+    with a PARTIAL pass below the exchange (verified in the physical
+    plan), i.e. each map partition pre-selects its own first occurrence
+    per unit — the shuffle carries at most one candidate row per (map
+    partition, distinct unit), not the corpus, and a Zipf-hot boilerplate
+    unit costs one row per upstream partition instead of its full
+    frequency. Grouping by a 128-bit digest instead of the unit text
+    would cut the remaining bytes at the price of hash-collision
+    exactness."""
+    units = split_units(docs, text_col, unit_words)
+    w = Window.partitionBy("unit").orderBy("doc_id", "pos")
+    kept = (
+        units.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_units"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    base = units.groupBy("doc_id").agg(F.max("n_units").alias("n_units"))
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_units",
+            F.coalesce(F.col("kept_units"), zero).alias("kept_units"),
+            F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )

@@ -63,6 +63,14 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     return D.exact_dedup(corpus_df(spark, sf))
 
 
+def q_unit_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4/RefinedWeb-style unit-level dedup with document reassembly
+    (operators/dedup.py:unit_dedup) over the duplicate-injected corpus:
+    exact copies lose every unit, trailing-filler copies keep only the
+    globally novel tail."""
+    return D.unit_dedup(corpus_df(spark, sf), unit_words=16)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # explicit opt-in to the doc-frequency cap: the scale path (exact
     # values, capped candidate generation — see ngram_jaccard_pairs)
@@ -770,6 +778,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_counts": q_pii_counts,
     "repetition_scores": q_repetition_scores,
     "dedup_exact": q_dedup_exact,
+    "unit_dedup": q_unit_dedup,
     "dup_spans_exact": q_dup_spans_exact,
     "dup_spans_cdc": q_dup_spans_cdc,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1493,6 +1502,36 @@ SELECT md5(text) AS digest,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id
 FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY digest
+"""
+    ),
+    "unit_dedup": _corpus_oracle(
+        """
+, docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+units AS (
+  SELECT doc_id,
+         CAST(ceil(len(words) / 16.0) AS BIGINT) AS n_units,
+         CAST(i AS BIGINT) AS pos,
+         array_to_string(words[i*16+1 : i*16+16], ' ') AS unit
+  FROM docs,
+       UNNEST(range(CAST(ceil(len(words) / 16.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, n_units, pos, unit,
+         row_number() OVER (PARTITION BY unit
+                            ORDER BY doc_id, pos) AS rn
+  FROM units
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_units,
+         string_agg(unit, ' ' ORDER BY pos) AS new_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+),
+base AS (SELECT doc_id, MAX(n_units) AS n_units FROM units GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_units AS BIGINT) AS n_units,
+       CAST(COALESCE(r.kept_units, 0) AS BIGINT) AS kept_units,
+       COALESCE(r.new_text, '') AS new_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY b.doc_id
 """
     ),
     "ngram_jaccard": _corpus_oracle(

@@ -487,3 +487,54 @@ def test_repetition_scores_semantics(spark):
     # doc 3: no bigrams
     assert out.loc[3].top_bigram_permille == 0
     assert out.loc[3].dup_word_permille == 0
+
+
+def test_unit_dedup_hand_planted(spark):
+    """Global first-occurrence keep + reassembly: an exact copy empties,
+    a shared-prefix doc keeps its novel tail, a within-doc repeat keeps
+    only its first position, and a fully novel doc is reproduced
+    byte-identically."""
+    a = "w0 w1 w2 w3 b0 b1 b2 b3"        # doc 0: units (w0..w3), (b0..b3)
+    b = a                                 # doc 1: exact copy -> empty
+    c = "w0 w1 w2 w3 c0 c1 c2 c3"        # doc 2: shared prefix unit
+    d = "d0 d1 d2 d3 d0 d1 d2 d3"        # doc 3: within-doc repeat
+    e = "e0 e1 e2 e3 e4 e5"               # doc 4: novel, 2 units (4+2 words)
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c), (3, d), (4, e)], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r
+        for r in D.unit_dedup(docs, unit_words=4).collect()
+    }
+    assert (got[0].n_units, got[0].kept_units, got[0].new_text) == (
+        2, 2, a)
+    assert (got[1].n_units, got[1].kept_units, got[1].new_text) == (
+        2, 0, "")
+    assert (got[2].n_units, got[2].kept_units, got[2].new_text) == (
+        2, 1, "c0 c1 c2 c3")
+    assert (got[3].n_units, got[3].kept_units, got[3].new_text) == (
+        2, 1, "d0 d1 d2 d3")
+    assert (got[4].n_units, got[4].kept_units, got[4].new_text) == (
+        2, 2, e)
+
+
+def test_unit_dedup_planted_corpus_copies_emptied(spark):
+    """Every +1000000 exact copy in the synth corpus must lose all units;
+    every base doc must be reproduced unless it shares units with an
+    earlier base doc."""
+    out = D.unit_dedup(corpus_df(spark, SF_SMOKE), unit_words=16).toPandas()
+    copies = out[(out.doc_id >= 1000000) & (out.doc_id < 2000000)]
+    assert (copies.kept_units == 0).all()
+    assert (copies.new_text == "").all()
+    # trailing-filler docs share every full 16-word prefix unit with their
+    # base doc; only the tail (the base doc's partial last unit fused with
+    # filler words, possibly split over two units) can be novel -> at most
+    # 2 kept units, and whatever survives is tail material (carries filler
+    # vocabulary). Exact per-doc values are pinned by the unit_dedup oracle.
+    fillers = out[out.doc_id >= 2000000]
+    assert (fillers.kept_units <= 2).all()
+    survivors = fillers[fillers.kept_units > 0]
+    assert len(survivors) > 0
+    assert survivors.new_text.str.contains(
+        "trailing|filler|words|appended"
+    ).all()
