@@ -2206,16 +2206,18 @@ _PRIORITY = [
     "tld_classified", "tld_classified_idn", "tld_continent",
     # stats-phase filters (§2.3) + S7 presentation pivot (§2.1)
     "large_surt_domains", "mime_share_pivot", "languages_floor",
-    # sources/sinks + byte-compat (§2.1, §2.9)
+    # sources/sinks + byte-compat (§2.1, §2.9); crawler_metrics_roundtrip
+    # (driver-green in r1 AND r2, untouched since) yields its slot to the
+    # new unit-level dedup and stays oracle-tested in pytest
     "cdx_roundtrip", "warc_roundtrip", "stats_wire_roundtrip",
-    "crawler_metrics_roundtrip",
     "cc_pages_extract",
     # LLM-pipeline operators + frontier (north rule), incl. the
     # iterative-graph class (pagerank), both event-window flavors, and
     # the round-3 CCNet perplexity filter + whole-pipeline funnel
     # (spearman_benchmark, r2-green, yielded its slot to the funnel and
     # stays oracle-tested in pytest)
-    "dedup_exact", "ngram_jaccard", "embedding_near_dup", "ann_topk",
+    "dedup_exact", "unit_dedup", "ngram_jaccard", "embedding_near_dup",
+    "ann_topk",
     "token_stats", "quality_scores", "language_id", "pagerank_priority",
     "events_windowed", "events_sessionize", "dedup_kept",
     "lm_perplexity", "lm_quality_filter", "curation_funnel",
