@@ -140,3 +140,21 @@ def oracle_verdict_sql(url_expr: str = "url") -> str:
       WHEN {sess_checks} THEN 'session_id'
       ELSE 'accept'
     END"""
+
+
+def apply_host_blocklist(
+    df: DataFrame, blocklist: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Drop rows whose host is on a derived blocklist (the output of
+    operators/textstats.py:host_quality_rollup filtered to blocked=1,
+    or any (host) frame) — the quality-feedback admission gate that runs
+    after the static URL filter chain.
+
+    Scale shape: broadcast LEFT ANTI join. A blocklist is bounded by the
+    distinct-host dimension and in practice by its blocked subset
+    (10^4-10^6 rows — kilobytes to a few MB of host strings), far under
+    the broadcast threshold even at a 10^10-URL frontier, so the gate
+    costs one hash-probe per discovered row and no shuffle of the
+    frontier side."""
+    hosts = blocklist.select(F.col(host_col).alias(host_col)).distinct()
+    return df.join(F.broadcast(hosts), host_col, "left_anti")

@@ -807,3 +807,99 @@ def tfidf_keywords(
         )
         .orderBy("doc_id", "rank")
     )
+
+
+def host_quality_rollup(
+    pages_text: DataFrame,
+    min_pages: int = 8,
+    max_dup_permille: int = 600,
+    min_keep_permille: int = 500,
+    host_col: str = "host",
+    digest_col: str = "digest",
+    text_col: str = "text",
+) -> DataFrame:
+    """Host-level quality rollup → crawl blocklist derivation: the bridge
+    from the curation layer back to the frontier.
+
+    Production crawls maintain host reputation from what they already
+    fetched (the reference's per-host/domain count tables,
+    crawlstats.py host/domain aggregations, are exactly this signal
+    surface): a host whose pages are mostly near-empty boilerplate or
+    mostly byte-duplicates of each other (mirror farms, calendar traps,
+    soft-404 templates) should stop receiving fetch budget. This rollup
+    scores every host from the fetched-pages table and derives the
+    blocklist the frontier's admission chain consumes
+    (frontier/urlfilter.py:apply_host_blocklist).
+
+    Per-host signals, all integer-exact:
+
+    - ``n_pages``       successful fetches (callers pre-filter status)
+    - ``n_digests``     distinct content digests
+    - ``n_keep``        pages passing the C4/Gopher-style text gate
+                        (same thresholds as quality_scores: ≥10 tokens,
+                        mean word length in [2.0, 12.0])
+    - ``dup_permille``  1000 - ⌊1000·n_digests/n_pages⌋ — content
+                        duplication rate (mirror/trap signature)
+    - ``keep_permille`` ⌊1000·n_keep/n_pages⌋
+    - ``blocked``       1 when the host has enough support
+                        (n_pages ≥ min_pages) and is dup-heavy
+                        (dup_permille > max_dup_permille) or
+                        low-quality (keep_permille < min_keep_permille)
+
+    Scale shape: the text gate is a codegen projection in the scan (no
+    UDF, no join at production scale — the input_hint pages table carries
+    text inline; the fixture joins documents on doc_id upstream). The
+    distinct-digest count is TWO-LEVEL — groupBy(host, digest) partials
+    collapse same-content fetches map-side, then the host-level agg sums
+    them — instead of countDistinct, whose Catalyst Expand would double
+    every shuffle row. Keys shrink monotonically (pages → host×digest →
+    host); no window, no driver collect. If the source lacks a digest
+    column, pass ``F.md5(text)`` projected upstream.
+    """
+    t = F.col(text_col)
+    n_tok = F.regexp_count(t, F.lit(WS_TOKEN_RE))
+    mwl = F.floor(10 * F.length(t) / F.greatest(n_tok, F.lit(1)))
+    keep = (
+        (n_tok >= F.lit(10)) & (mwl >= 20) & (mwl <= 120)
+    ).cast("long")
+    per_digest = (
+        pages_text.select(
+            F.col(host_col).alias("host"),
+            F.col(digest_col).alias("_digest"),
+            keep.alias("_keep"),
+        )
+        .groupBy("host", "_digest")
+        .agg(F.count("*").alias("_c"), F.sum("_keep").alias("_k"))
+    )
+    per_host = per_digest.groupBy("host").agg(
+        F.sum("_c").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_digests"),
+        F.sum("_k").cast("long").alias("n_keep"),
+    )
+    dup_pm = (
+        1000 - F.floor(1000 * F.col("n_digests") / F.col("n_pages"))
+    ).cast("long")
+    keep_pm = F.floor(
+        1000 * F.col("n_keep") / F.col("n_pages")
+    ).cast("long")
+    return (
+        per_host.select(
+            "host",
+            "n_pages",
+            "n_digests",
+            "n_keep",
+            dup_pm.alias("dup_permille"),
+            keep_pm.alias("keep_permille"),
+        )
+        .withColumn(
+            "blocked",
+            (
+                (F.col("n_pages") >= min_pages)
+                & (
+                    (F.col("dup_permille") > max_dup_permille)
+                    | (F.col("keep_permille") < min_keep_permille)
+                )
+            ).cast("int"),
+        )
+        .orderBy("host")
+    )

@@ -596,6 +596,22 @@ def q_robots_sitemap_seeds(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("url")
 
 
+def q_host_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level quality rollup → blocklist derivation
+    (operators/textstats.py:host_quality_rollup): successful fetches
+    joined to their document text, scored per host on content-duplication
+    rate and the C4-style text gate. The blocked=1 rows are the frontier
+    admission blocklist (frontier/urlfilter.py:apply_host_blocklist);
+    tests/test_urlfilter.py checks the anti-join glue."""
+    pages = (
+        pages_df(spark, sf)
+        .filter(F.col("status") == 200)
+        .select("host", "digest", "doc_id")
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return TX.host_quality_rollup(pages.join(docs, "doc_id"))
+
+
 def q_url_filters(spark: SparkSession, sf: str) -> DataFrame:
     """Frontier-admission URL filter chain (frontier/urlfilter.py) over a
     deterministically mutated URL population: each distinct page URL is
@@ -819,6 +835,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_degree_histogram": q_host_degree_histogram,
     "robots_sitemap_seeds": q_robots_sitemap_seeds,
     "url_filters": q_url_filters,
+    "host_quality": q_host_quality,
 }
 
 # ---------------------------------------------------------------------------
@@ -2032,6 +2049,39 @@ FROM dec GROUP BY verdict ORDER BY verdict
 
 
 PIPELINE_ORACLES["url_filters"] = _url_filters_oracle()
+
+PIPELINE_ORACLES["host_quality"] = oracle_cte(
+    """
+, m AS (
+  SELECT p.host, p.digest,
+    CASE WHEN len(regexp_extract_all(d.text, '\\S+')) >= 10
+          AND FLOOR(10 * length(d.text)
+                    / greatest(len(regexp_extract_all(d.text, '\\S+')), 1))
+              BETWEEN 20 AND 120
+    THEN 1 ELSE 0 END AS keep
+  FROM pages p JOIN documents d USING (doc_id)
+  WHERE p.status = 200
+),
+g AS (
+  SELECT host, digest, COUNT(*) AS c, SUM(keep) AS k
+  FROM m GROUP BY host, digest
+),
+h AS (
+  SELECT host, SUM(c) AS n_pages, COUNT(*) AS n_digests, SUM(k) AS n_keep
+  FROM g GROUP BY host
+)
+SELECT host,
+  CAST(n_pages AS BIGINT) AS n_pages,
+  CAST(n_digests AS BIGINT) AS n_digests,
+  CAST(n_keep AS BIGINT) AS n_keep,
+  CAST(1000 - FLOOR(1000 * n_digests / n_pages) AS BIGINT) AS dup_permille,
+  CAST(FLOOR(1000 * n_keep / n_pages) AS BIGINT) AS keep_permille,
+  CAST(n_pages >= 8
+       AND (1000 - FLOOR(1000 * n_digests / n_pages) > 600
+            OR FLOOR(1000 * n_keep / n_pages) < 500) AS INT) AS blocked
+FROM h ORDER BY host
+"""
+)
 
 PIPELINE_ORACLES["robots_sitemap_seeds"] = oracle_cte(
     """

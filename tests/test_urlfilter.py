@@ -137,3 +137,40 @@ def test_accepted_composes_on_discovery_shape(spark):  # noqa: F811
     out = accepted(disc)
     assert out.columns == ["url", "host", "depth", "score", "state"]
     assert [r.url for r in out.collect()] == ["https://e.com/a.html"]
+
+
+def test_host_blocklist_gate(spark):  # noqa: F811
+    """host_quality_rollup → apply_host_blocklist closes the quality
+    feedback loop: dup-heavy hosts get blocked and their discoveries are
+    anti-joined out; the broadcast hint must survive into the plan."""
+    from cc_crawl_statistics_spark.frontier.urlfilter import (
+        apply_host_blocklist,
+    )
+    from cc_crawl_statistics_spark.operators.textstats import (
+        host_quality_rollup,
+    )
+
+    good = "x" * 4 + " "  # 5-char words, passes the gate when repeated
+    pages = spark.createDataFrame(
+        # mirror.com serves one digest 10 times; fresh.org all-distinct
+        [("mirror.com", "sha1:0", good * 20)] * 10
+        + [(f"fresh.org", f"sha1:{i}", good * 20) for i in range(1, 11)],
+        "host string, digest string, text string",
+    )
+    roll = host_quality_rollup(pages, min_pages=8, max_dup_permille=600)
+    got = {r.host: r for r in roll.collect()}
+    assert got["mirror.com"].dup_permille == 900
+    assert got["mirror.com"].blocked == 1
+    assert got["fresh.org"].dup_permille == 0
+    assert got["fresh.org"].blocked == 0
+
+    disc = spark.createDataFrame(
+        [("https://mirror.com/p", "mirror.com"), ("https://fresh.org/p", "fresh.org")],
+        "url string, host string",
+    )
+    kept = apply_host_blocklist(
+        disc, roll.filter(F.col("blocked") == 1)
+    )
+    assert [r.host for r in kept.collect()] == ["fresh.org"]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
