@@ -116,3 +116,12 @@ def test_no_cartesian_product_in_any_registered_query(spark, name):
     assert "CartesianProduct" not in plan, name
     if name not in _BOUNDED_BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_host_quality_two_level_agg_no_expand(spark):
+    """host_quality's distinct-digest count must stay the two-level
+    (host, digest) -> host aggregation: a countDistinct refactor would
+    reintroduce a Catalyst Expand that doubles every shuffle row."""
+    plan = _executed(Q.QUERIES["host_quality"](spark, SF))
+    assert "Expand" not in plan
+    assert plan.count("Exchange hashpartitioning") >= 2  # doc_id join + aggs
