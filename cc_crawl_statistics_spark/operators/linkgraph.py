@@ -153,3 +153,152 @@ def anchor_text_stats(pages_html: DataFrame, top_k: int = 2) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .orderBy("dst_host", "rank")
     )
+
+
+def bounded_harmonic_centrality(
+    edges: DataFrame,
+    radius: int = 4,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Exact bounded-radius harmonic centrality over a directed graph:
+    for every node, ``harmonic_x1m = Σ_reached ⌊10⁶ / d⌋`` summed over all
+    nodes reachable within ``radius`` hops (d = shortest directed
+    distance, integer fixed-point weights so the result is engine-exact),
+    plus ``n_reached``. Common Crawl ranks its published host/domain web
+    graphs by exactly this centrality (computed there with HyperBall —
+    Boldi & Vigna, "In-Core Computation of Geometric Centralities with
+    HyperBall", 2013); the ranking convention scores INCOMING reachability,
+    which callers get by swapping src/dst (q_host_harmonic does).
+
+    Scale: the (node, reached) pair relation is Θ(n²) at full radius —
+    this exact form is the small-scale VERIFIER (same role as the exact
+    crawl_overlap next to its HLL flavor); the scale path is
+    hyperball_harmonic below, whose state is O(n · 2^lgk) regardless of
+    ball sizes. BFS loop: each level expands the frontier through one
+    edge join, anti-joins out already-reached pairs (BFS invariant =
+    min-distance), and localCheckpoints to truncate lineage — the same
+    iteration discipline as dedup.connected_components."""
+    e = (
+        edges.select(
+            F.col(src_col).alias("node"), F.col(dst_col).alias("reached")
+        )
+        .filter(F.col("node") != F.col("reached"))
+        .distinct()
+    )
+    e.persist()
+    known = e.withColumn("d", F.lit(1)).localCheckpoint(eager=True)
+    frontier = known.drop("d")
+    for d in range(2, radius + 1):
+        nxt = (
+            frontier.join(
+                e.select(
+                    F.col("node").alias("reached"),
+                    F.col("reached").alias("hop"),
+                ),
+                "reached",
+            )
+            .select("node", F.col("hop").alias("reached"))
+            .filter(F.col("node") != F.col("reached"))
+            .distinct()
+            .join(known.select("node", "reached"), ["node", "reached"], "left_anti")
+            .withColumn("d", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        known = known.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.drop("d")
+    e.unpersist()
+    return (
+        known.groupBy(F.col("node").alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.floor(F.lit(1_000_000) / F.col("d")))
+            .cast("long")
+            .alias("harmonic_x1m"),
+        )
+        .orderBy("host")
+    )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    radius: int = 4,
+    lgk: int = 12,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): harmonic centrality from iterated
+    HLL ball unions — the 100-TB path for web-graph centrality ranking.
+
+    State per node is ONE mergeable HLL sketch (``hll_sketch_agg``,
+    2^lgk registers — lgk=12 ≈ 1.6% RSE, 4 KB/node) holding the ball
+    B_d(v) = {v} ∪ ⋃_{(v,w)∈E} B_{d-1}(w). Each iteration is a single
+    edge-keyed join + ``hll_union_agg`` groupBy — shuffle O(|E| · 4 KB),
+    independent of ball cardinality, which is the whole point: the exact
+    verifier's pair relation is Θ(n²), the sketch state is Θ(n). The
+    harmonic accumulator adds ⌊(est_d − est_{d−1})⌋ · ⌊10⁶/d⌋ per level
+    (same fixed-point weights as the exact form, so the two agree to HLL
+    error — pinned by tests/test_linkgraph.py). All JVM datasketches
+    codegen: no UDF, no collect; one localCheckpoint per level truncates
+    the iterative lineage exactly like connected_components."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    state = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg("node", F.lit(lgk)).alias("ball"))
+        .withColumn("est_prev", F.lit(1).cast("long"))
+        .withColumn("h_x1m", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for d in range(1, radius + 1):
+        nb = (
+            e.join(state.select(F.col("node").alias("dst"), "ball"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.hll_union_agg("ball").alias("nb_ball"))
+        )
+        w = 1_000_000 // d
+        state = (
+            state.join(nb, "node", "left")
+            .select(
+                "node",
+                F.when(
+                    F.col("nb_ball").isNull(), F.col("ball")
+                )
+                .otherwise(F.hll_union("ball", "nb_ball"))
+                .alias("ball"),
+                "est_prev",
+                "h_x1m",
+            )
+            .withColumn(
+                "est",
+                F.floor(F.hll_sketch_estimate("ball")).cast("long"),
+            )
+            .select(
+                "node",
+                "ball",
+                F.col("est").alias("est_prev"),
+                (
+                    F.col("h_x1m")
+                    + F.greatest(
+                        F.col("est") - F.col("est_prev"), F.lit(0)
+                    )
+                    * F.lit(w)
+                ).alias("h_x1m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select(
+        F.col("node").alias("host"),
+        (F.col("est_prev") - 1).alias("n_reached_est"),
+        F.col("h_x1m").alias("harmonic_x1m_est"),
+    ).orderBy("host")

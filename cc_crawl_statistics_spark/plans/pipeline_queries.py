@@ -693,6 +693,33 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_host_harmonic(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact bounded-radius harmonic centrality over the host web graph
+    (linkgraph.bounded_harmonic_centrality) in the Common Crawl ranking
+    convention — centrality of v sums ⌊10⁶/d⌋ over INCOMING shortest
+    paths, hence the src/dst swap. Oracle: DuckDB RECURSIVE walk CTE with
+    MIN-distance reduction, exact integer parity."""
+    edges = LG.host_link_graph(
+        LG.page_outlinks(cc_pages_linked_df(spark, sf))
+    )
+    return LG.bounded_harmonic_centrality(
+        edges, radius=4, src_col="dst_host", dst_col="src_host"
+    )
+
+
+def q_host_hyperball(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperBall harmonic centrality (HLL ball iteration) — the scale
+    path next to q_host_harmonic's exact verifier. Sketch output:
+    rows-only for the driver; tests/test_linkgraph.py pins agreement
+    with the exact form on the fixture graph."""
+    edges = LG.host_link_graph(
+        LG.page_outlinks(cc_pages_linked_df(spark, sf))
+    )
+    return LG.hyperball_harmonic(
+        edges, radius=4, src_col="dst_host", dst_col="src_host"
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf: str) -> DataFrame:
     """Anchor-text aggregation driver-checked end-to-end: each page's html
     is synthesized in codegen with two labeled anchors (nav-/rec- of the
@@ -829,6 +856,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlinks": q_outlinks,
     "host_link_graph": q_host_link_graph,
     "host_components": q_host_components,
+    "host_harmonic": q_host_harmonic,
+    "host_hyperball": q_host_hyperball,
     "redirect_resolve": q_redirect_resolve,
     "anchor_texts": q_anchor_texts,
     "host_degrees": q_host_degrees,
@@ -972,6 +1001,26 @@ rec AS (
   SELECT u.b AS host, r.label FROM rec r JOIN und u ON u.a = r.host
 )
 SELECT host, MIN(label) AS component FROM rec GROUP BY host ORDER BY host
+"""
+    ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    "host_harmonic": oracle_cte(
+        _EDGES_CTE
+        + """
+, rev AS (
+  SELECT DISTINCT dst_host AS a, src_host AS b FROM egrp
+  WHERE src_host <> dst_host
+),
+rec AS (
+  SELECT a AS node, b AS reached, 1 AS d FROM rev
+  UNION
+  SELECT r.node, v.b, r.d + 1 FROM rec r JOIN rev v ON v.a = r.reached
+  WHERE r.d < 4 AND v.b <> r.node
+),
+md AS (SELECT node, reached, MIN(d) AS d FROM rec GROUP BY node, reached)
+SELECT node AS host,
+  CAST(COUNT(*) AS BIGINT) AS n_reached,
+  CAST(SUM(CAST(FLOOR(1000000 / d) AS BIGINT)) AS BIGINT) AS harmonic_x1m
+FROM md GROUP BY node ORDER BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),
     "host_degree_histogram": oracle_cte(

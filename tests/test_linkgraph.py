@@ -295,3 +295,54 @@ def test_self_loop_flag(spark):
     no_loops = LG.host_link_graph(out, keep_self_loops=False).collect()
     assert len(with_loops) == 2 and len(no_loops) == 1
     assert no_loops[0].dst_host == "b.com"
+
+
+def _chain_edges(spark):
+    # a -> b -> c -> d -> e plus a hub z -> {a,b,c}: known distances
+    rows = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+        ("z", "a"), ("z", "b"), ("z", "c"),
+    ]
+    return spark.createDataFrame(rows, "src_host string, dst_host string")
+
+
+def test_bounded_harmonic_exact_chain(spark):
+    """Hand-computable graph: outgoing harmonic of 'a' at radius 3 is
+    1/1 + 1/2 + 1/3 (b,c,d); 'z' reaches a,b,c at 1 and c? b->c dup at 2,
+    d at 2/3 via shortest — verify min-distance semantics exactly."""
+    got = {
+        r.host: r
+        for r in LG.bounded_harmonic_centrality(
+            _chain_edges(spark), radius=3
+        ).collect()
+    }
+    assert got["a"].n_reached == 3
+    assert got["a"].harmonic_x1m == 1_000_000 + 500_000 + 333_333
+    # z: b,a,c at d=1; d(c via b)=... c at 1; d at 2; e at 3
+    assert got["z"].n_reached == 5
+    assert (
+        got["z"].harmonic_x1m
+        == 3 * 1_000_000 + 500_000 + 333_333
+    )
+    assert "e" not in got  # sinks reach nothing
+
+
+def test_hyperball_matches_exact_on_fixture(spark):
+    """HyperBall estimate vs exact bounded harmonic on the fixture host
+    graph: at fixture ball sizes (≤ ~120 hosts) the lgk=12 sketch is in
+    sparse range, so estimates should track closely — assert ≤5% relative
+    error per host and identical reach ordering for the top hosts."""
+    from cc_crawl_statistics_spark.plans.pipeline_queries import (
+        q_host_harmonic,
+        q_host_hyperball,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    exact = {r.host: r for r in q_host_harmonic(spark, SF).collect()}
+    est = {r.host: r for r in q_host_hyperball(spark, SF).collect()}
+    assert set(exact) <= set(est)
+    for h, r in exact.items():
+        rel = abs(est[h].harmonic_x1m_est - r.harmonic_x1m) / max(
+            r.harmonic_x1m, 1
+        )
+        assert rel <= 0.05, (h, est[h].harmonic_x1m_est, r.harmonic_x1m)
