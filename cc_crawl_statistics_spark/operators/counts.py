@@ -485,3 +485,55 @@ def large_surt_domains(pages: DataFrame, min_urls: int = 20) -> DataFrame:
     exactly the reference's record-sizes-before-dropping sequence
     (crawlstats.py:919-935)."""
     return surt_domain_counts(pages).filter(F.col("urls") >= min_urls)
+
+
+def domain_language_diversity(
+    pages: DataFrame, min_pages: int = 10
+) -> DataFrame:
+    """Per-domain language mix: page count, distinct declared primary
+    languages, and Gini–Simpson diversity 1 − Σpᵢ² as an integer
+    permille (simpson_permille = 1000 − ⌊1000·Σcᵢ²/N²⌋). A monolingual
+    domain scores 0; a domain spreading evenly over k languages
+    approaches 1000·(1−1/k) — the "every language at once" signature of
+    template/spam farms, and the mixture signal a multilingual corpus
+    builder reads before setting per-domain sampling weights.
+
+    Integer-exact by construction (no entropy/log floats), so the DuckDB
+    oracle matches bit-for-bit. Scale: two-level aggregation —
+    (domain, lang) partials collapse map-side, then the domain-level sum;
+    both shuffles bounded by dimension cardinality, no window. Σcᵢ² fits
+    a long through ~3·10⁹ pages per (domain, lang); a 100-TB deployment
+    casts the square term to decimal(38,0) — same semantics.
+    """
+    lang = F.split(F.col("languages"), ",").getItem(0)
+    per = (
+        pages.select(
+            "domain", F.coalesce(lang, F.lit("<none>")).alias("lang")
+        )
+        .groupBy("domain", "lang")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    dom = per.groupBy("domain").agg(
+        F.sum("c").cast("long").alias("n_pages"),
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_sq"),
+    )
+    return (
+        dom.filter(F.col("n_pages") >= min_pages)
+        .select(
+            "domain",
+            "n_pages",
+            "n_langs",
+            (
+                1000
+                - F.floor(
+                    F.lit(1000)
+                    * F.col("_sq")
+                    / (F.col("n_pages") * F.col("n_pages"))
+                )
+            )
+            .cast("long")
+            .alias("simpson_permille"),
+        )
+        .orderBy("domain")
+    )

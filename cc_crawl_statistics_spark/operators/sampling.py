@@ -178,3 +178,84 @@ def domain_mixture_weights(
         )
         .orderBy(group_col)
     )
+
+
+def shard_assignment(
+    docs: DataFrame,
+    n_shards: int = 16,
+    n_salts: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-balanced training-shard assignment — the step between
+    curation and the training loader: every document gets a shard id such
+    that per-shard token totals come out near-equal, deterministically.
+
+    Assignment is LPT-flavored round-robin: within each salt stripe,
+    documents are ranked by token count descending (ties by doc_id) and
+    dealt ``rank mod n_shards``. Dealing a descending sequence bounds the
+    within-stripe shard imbalance by one maximum document; summing over
+    stripes bounds total imbalance by ``n_salts × max_doc_tokens`` —
+    tight in practice and pinned by tests/test_sampling-style asserts in
+    tests/test_vocabulary.py.
+
+    Scale shape: the ranking window partitions by the salt stripe
+    (``doc_id % n_salts`` — cross-engine-reproducible, unlike a hash
+    salt), so no task ever sorts the whole corpus — the same two-phase
+    discipline as stratified_sample above. All integer arithmetic; the
+    DuckDB oracle replays the identical window.
+    """
+    n_tok = F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_RE)).cast("long")
+    w = Window.partitionBy("_salt").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            F.pmod(F.col("doc_id"), F.lit(n_salts)).alias("_salt"),
+        )
+        .withColumn(
+            "shard_id",
+            F.pmod(F.row_number().over(w) - 1, F.lit(n_shards)).cast(
+                "long"
+            ),
+        )
+        .select("doc_id", "n_tokens", "shard_id")
+    )
+
+
+def shard_summary(
+    docs: DataFrame,
+    n_shards: int = 16,
+    n_salts: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard totals over shard_assignment — the balance report a
+    pipeline operator reads before kicking off training: docs, tokens,
+    and each shard's deviation from the mean in permille (integer-exact:
+    dev = ⌊1000·n_tokens·n_shards/total⌋ − 1000)."""
+    assign = shard_assignment(docs, n_shards, n_salts, text_col)
+    per = assign.groupBy("shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("long").alias("_total"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            (
+                F.floor(
+                    F.lit(1000 * n_shards)
+                    * F.col("n_tokens")
+                    / F.col("_total")
+                )
+                - 1000
+            )
+            .cast("long")
+            .alias("dev_permille"),
+        )
+        .orderBy("shard_id")
+    )

@@ -548,6 +548,23 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return SA.pack_sequences(corpus_df(spark, sf), budget=2048)
 
 
+def q_shard_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-balanced training-shard assignment, reported as the
+    per-shard balance summary (sampling.py:shard_assignment /
+    shard_summary): LPT-flavored round-robin within salt stripes, all
+    integer arithmetic, windows bounded by the stripe."""
+    return SA.shard_summary(corpus_df(spark, sf), n_shards=8, n_salts=4)
+
+
+def q_language_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain language-mix report with integer-exact Gini–Simpson
+    diversity (operators/counts.py:domain_language_diversity) — the
+    mixed-language template-farm signal."""
+    from ..operators.counts import domain_language_diversity
+
+    return domain_language_diversity(pages_df(spark, sf), min_pages=10)
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination (dedup.py:decontaminate): corpus docs
     sharing any 8-word shingle with a deterministic eval slice
@@ -817,6 +834,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "domain_weights": q_domain_weights,
     "pack_sequences": q_pack_sequences,
+    "shard_summary": q_shard_summary,
+    "language_diversity": q_language_diversity,
     "decontaminate": q_decontaminate,
     "pii_counts": q_pii_counts,
     "repetition_scores": q_repetition_scores,
@@ -1003,6 +1022,27 @@ rec AS (
 SELECT host, MIN(label) AS component FROM rec GROUP BY host ORDER BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    "language_diversity": oracle_cte(
+        """
+, per AS (
+  SELECT domain,
+         COALESCE(split_part(languages, ',', 1), '<none>') AS lang,
+         COUNT(*) AS c
+  FROM pages GROUP BY domain, lang
+),
+d AS (
+  SELECT domain,
+         CAST(SUM(c) AS BIGINT) AS n_pages,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         CAST(SUM(c * c) AS BIGINT) AS sq
+  FROM per GROUP BY domain
+)
+SELECT domain, n_pages, n_langs,
+       CAST(1000 - FLOOR(1000 * sq / (n_pages * n_pages)) AS BIGINT)
+         AS simpson_permille
+FROM d WHERE n_pages >= 10 ORDER BY domain
+"""
+    ),
     "host_harmonic": oracle_cte(
         _EDGES_CTE
         + """
@@ -1560,6 +1600,34 @@ o AS (
 SELECT source, doc_id, n_tokens, start_offset,
        CAST(FLOOR(start_offset / 2048) AS BIGINT) AS shard_id
 FROM o ORDER BY source, doc_id
+"""
+    ),
+    "shard_summary": _corpus_oracle(
+        """
+, m AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+         doc_id % 4 AS salt
+  FROM corpus
+),
+a AS (
+  SELECT doc_id, n_tokens,
+         (ROW_NUMBER() OVER (
+            PARTITION BY salt ORDER BY n_tokens DESC, doc_id ASC
+          ) - 1) % 8 AS shard_id
+  FROM m
+),
+p AS (
+  SELECT shard_id,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM a GROUP BY shard_id
+),
+t AS (SELECT SUM(n_tokens) AS total FROM p)
+SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, n_tokens,
+       CAST(FLOOR(8000 * n_tokens / total) - 1000 AS BIGINT)
+         AS dev_permille
+FROM p, t ORDER BY shard_id
 """
     ),
     "dedup_exact": _corpus_oracle(

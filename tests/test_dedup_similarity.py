@@ -538,3 +538,33 @@ def test_unit_dedup_planted_corpus_copies_emptied(spark):
     assert survivors.new_text.str.contains(
         "trailing|filler|words|appended"
     ).all()
+
+
+def test_shard_assignment_balance_bound(spark):
+    """LPT round-robin within salt stripes: total per-shard token
+    imbalance is bounded by n_salts x max_doc_tokens, assignment is
+    deterministic, and every doc gets exactly one shard."""
+    from cc_crawl_statistics_spark.operators.sampling import (
+        shard_assignment,
+        shard_summary,
+    )
+
+    # skewed sizes: doc i has (i % 97) + 1 five-char words
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        F.expr("repeat('word ', CAST(id % 97 AS INT) + 1)").alias("text"),
+    )
+    a = shard_assignment(docs, n_shards=8, n_salts=4).toPandas()
+    assert len(a) == 500 and a.doc_id.is_unique
+    assert set(a.shard_id) == set(range(8))
+    per = a.groupby("shard_id").n_tokens.sum()
+    max_doc = a.n_tokens.max()
+    assert per.max() - per.min() <= 4 * max_doc
+    # deterministic under re-execution
+    b = shard_assignment(docs, n_shards=8, n_salts=4).toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+    s = shard_summary(docs, n_shards=8, n_salts=4).toPandas()
+    assert s.n_tokens.sum() == a.n_tokens.sum()
+    assert (s.dev_permille.abs() <= 1000).all()
