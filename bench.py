@@ -99,6 +99,11 @@ HEADLINE = {
     # parse -> resolve -> host-graph chain over it — the blob-scan-heavy
     # operator class (functions/links.py, operators/linkgraph.py)
     "outlink_host_graph": lambda p: _outlink_host_graph(p),
+    # graph-analytics sketch class: HyperBall harmonic centrality over the
+    # ~36k-host graph — 4 HLL-ball union iterations (edge join +
+    # hll_union_agg per level); edges derived arithmetically so this times
+    # the iteration, not the blob parse already measured above
+    "hyperball_centrality": lambda p: _hyperball_bench(p),
     # LLM-pipeline class: token explode -> map-side-combined vocab count ->
     # salted two-phase top-k over the scaled documents view (~10^8 token
     # occurrences at factor 200)
@@ -114,6 +119,29 @@ HEADLINE = {
     # (crawl, digest) key — the sort-window class
     "warc_revisit": lambda p: _warc_revisit(p),
 }
+
+
+def _hyperball_bench(pages):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators import linkgraph as LG
+    from cc_crawl_statistics_spark.synth import child_host_sql
+
+    n = 1_000_000
+    edges = (
+        pages.select(
+            F.col("host").alias("src_host"),
+            F.expr(child_host_sql(f"(doc_id * 2 + 1) % {n}")).alias(
+                "dst_host"
+            ),
+        )
+        .groupBy("src_host", "dst_host")
+        .count()
+        .drop("count")
+    )
+    return LG.hyperball_harmonic(
+        edges, radius=4, lgk=12, src_col="dst_host", dst_col="src_host"
+    )
 
 
 def _warc_cdx_index(pages):

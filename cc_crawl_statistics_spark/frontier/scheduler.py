@@ -263,6 +263,28 @@ def html_discovery(spark, sf_dir: str, pages: DataFrame | None = None):
     return expand
 
 
+def blocklist_gated_discovery(expand_fn, blocklist: DataFrame):
+    """Wrap any ``expand_fn`` (expand_links, html_discovery(...)) with the
+    derived host blocklist — the quality feedback loop closed at the
+    scheduler seam: hosts that operators/textstats.py:host_quality_rollup
+    flagged (mirror farms, boilerplate templates) stop receiving frontier
+    admissions, while their already-seeded URLs retire normally.
+
+    Cost: one broadcast LEFT ANTI probe (urlfilter.apply_host_blocklist)
+    on the budget-bounded discovery delta — nothing corpus-sized moves.
+    Same ``(sched, universe, n_docs) -> DataFrame`` contract, so it
+    composes with run_round unchanged."""
+    from .urlfilter import apply_host_blocklist
+
+    def expand(scheduled: DataFrame, universe: DataFrame,
+               n_docs: int) -> DataFrame:
+        return apply_host_blocklist(
+            expand_fn(scheduled, universe, n_docs), blocklist
+        )
+
+    return expand
+
+
 def host_bucketed_topk(
     candidates: DataFrame, budget_col: str = "max_per_round", n_salts: int = 8
 ) -> DataFrame:

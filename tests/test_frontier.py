@@ -476,3 +476,42 @@ def test_rediscovery_after_reopen_survives_old_retire(spark, tmp_path):
     assert {r.url for r in store.read_frontier(spark, 3).collect()} == {
         "http://h/b"
     }
+
+
+def test_blocklist_gated_discovery(spark, store):
+    """The quality feedback loop closed at the scheduler seam: with one
+    host blocklisted, rounds run unchanged except that NO discovered URL
+    on that host ever enters the frontier — seeds on the host still
+    retire normally (blocking is an admission rule, not retroactive)."""
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+
+    # pick a host that the arithmetic expansion definitely discovers
+    victim = "www.site1.org"
+    blocklist = spark.createDataFrame([(victim,)], "host string")
+    gated = scheduler.blocklist_gated_discovery(
+        scheduler.expand_links, blocklist
+    )
+    for _ in range(3):
+        scheduler.run_round(spark, store, SF_SMOKE, expand_fn=gated)
+    latest = store.latest_round()
+    frontier = store.read_frontier(spark, latest).toPandas()
+    seeds = (
+        pages_df(spark, SF_SMOKE)
+        .select("url", "host")
+        .distinct()
+        .filter(F.col("host") == victim)
+        .toPandas()
+    )
+    on_victim = frontier[frontier.host == victim]
+    # every victim-host row in the frontier must be a seed URL (round-0
+    # seeding bypasses discovery by design); nothing NEW was admitted
+    assert set(on_victim.url) <= set(seeds.url)
+    # control: the ungated run does admit... (same store shape, new store)
+    # — covered implicitly: with gating removed the same rounds schedule
+    # the victim's children; assert the gate actually dropped something
+    ungated = scheduler.expand_links
+    st2 = SnapshotStore(store.root + "_ctl")
+    for _ in range(3):
+        scheduler.run_round(spark, st2, SF_SMOKE, expand_fn=ungated)
+    f2 = st2.read_frontier(spark, st2.latest_round()).toPandas()
+    assert len(f2[f2.host == victim]) > len(on_victim)
