@@ -1,0 +1,101 @@
+"""As-of (point-in-time) join — the temporal lookup operator Spark's
+built-in join strategies lack, in its crawl-native form: "what was the
+latest capture of this URL as of time T?" (the Wayback Machine query;
+also recrawl diffing, snapshot reconstruction, and feature point-in-time
+correctness in training pipelines).
+
+Spark-first composition instead of a per-row UDF or an exploding
+range join:
+
+  union-tag + ordered window
+    captures(url, fetch_ts, payload…)  tagged _probe=0
+    probes  (url, ts)                  tagged _probe=1
+    → one shuffle on the key, one within-partition sort on
+      (event time, tag), then `last(payload, ignorenulls=True)` over the
+      running frame carries each capture's payload forward to every probe
+      that follows it in time.
+
+Why this shape survives 100 TB: the naive formulation
+(probes ⋈ captures ON url WHERE fetch_ts <= ts → max) materializes every
+(probe, earlier-capture) pair — quadratic per hot URL — and Catalyst can
+only plan it as a join + re-aggregation. The union-tag plan moves each
+input row exactly once, costs one Exchange + one sort (both on the url
+key, AQE-skew-splittable), and the window frame is streaming (running
+`last`), so no per-group buffering beyond the sort. This is the same
+plan shape Flink/kdb as-of implementations lower to; DuckDB ships it as
+a native ASOF JOIN — which is exactly what the oracle uses, so the
+composition is verified against an independent first-class
+implementation, not against itself.
+
+Tie semantics: a capture at exactly ts qualifies (<=), implemented by
+sorting the capture (tag 0) before the probe (tag 1) at equal times.
+Capture-side ties on (key, time) are resolved by the payload sort
+suffix — deterministic, and absent in the fixture ((url, fetch_ts) is
+unique there).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_latest_capture(
+    captures: DataFrame,
+    probes: DataFrame,
+    keys: Sequence[str] = ("url",),
+    capture_ts: str = "fetch_ts",
+    probe_ts: str = "ts",
+    payload: Sequence[str] = ("crawl", "digest"),
+    probe_id: str = "probe_id",
+) -> DataFrame:
+    """For every probe row, the most recent capture of the same key with
+    capture time <= probe time (LEFT semantics: probes with no prior
+    capture keep NULL payload and NULL capture_ts)."""
+    keys = list(keys)
+    payload = list(payload)
+    cap_types = {f.name: f.dataType for f in captures.schema.fields}
+    cap = captures.select(
+        *keys,
+        F.col(capture_ts).cast("long").alias("_t"),
+        *payload,
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast("long").alias("_pid"),
+    )
+    pr = probes.select(
+        *keys,
+        F.col(probe_ts).cast("long").alias("_t"),
+        *[F.lit(None).cast(cap_types[c]).alias(c) for c in payload],
+        F.lit(1).alias("_tag"),
+        F.col(probe_id).cast("long").alias("_pid"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_t", "_tag", *payload)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = cap.unionByName(pr).select(
+        *keys,
+        "_t",
+        "_tag",
+        "_pid",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(
+            F.when(F.col("_tag") == 0, F.col("_t")), ignorenulls=True
+        )
+        .over(w)
+        .alias("capture_ts"),
+    )
+    return (
+        carried.filter(F.col("_tag") == 1)
+        .select(
+            F.col("_pid").alias(probe_id),
+            *keys,
+            F.col("_t").alias(probe_ts),
+            "capture_ts",
+            *payload,
+        )
+        .orderBy(probe_id)
+    )

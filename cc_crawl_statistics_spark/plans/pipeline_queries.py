@@ -710,6 +710,27 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_asof_capture(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time capture lookup (operators/asof.py): for every
+    distinct URL probed at two fixed instants, the latest capture with
+    fetch_ts <= probe ts — LEFT semantics (292/500 fixture URLs have no
+    capture at the first probe). The DuckDB oracle uses the NATIVE
+    ASOF LEFT JOIN, so the Spark union-tag composition is checked
+    against an independent first-class implementation."""
+    from ..operators.asof import asof_latest_capture
+
+    pages = pages_df(spark, sf)
+    caps = pages.select("url", "fetch_ts", "crawl", "digest")
+    urls = pages.select("url", "doc_id").distinct()
+    t = spark.createDataFrame(
+        [(0, 1711670400), (1, 1714089600)], "k long, ts long"
+    )
+    probes = urls.join(F.broadcast(t)).select(
+        (F.col("doc_id") * 2 + F.col("k")).alias("probe_id"), "url", "ts"
+    )
+    return asof_latest_capture(caps, probes)
+
+
 def q_host_harmonic(spark: SparkSession, sf: str) -> DataFrame:
     """Exact bounded-radius harmonic centrality over the host web graph
     (linkgraph.bounded_harmonic_centrality) in the Common Crawl ranking
@@ -875,6 +896,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlinks": q_outlinks,
     "host_link_graph": q_host_link_graph,
     "host_components": q_host_components,
+    "asof_capture": q_asof_capture,
     "host_harmonic": q_host_harmonic,
     "host_hyperball": q_host_hyperball,
     "redirect_resolve": q_redirect_resolve,
@@ -1022,6 +1044,22 @@ rec AS (
 SELECT host, MIN(label) AS component FROM rec GROUP BY host ORDER BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    "asof_capture": oracle_cte(
+        """
+, caps AS (SELECT url, fetch_ts, crawl, digest FROM pages),
+u AS (SELECT DISTINCT url, doc_id FROM pages),
+probes AS (
+  SELECT doc_id * 2 + k AS probe_id, url, ts
+  FROM u, (VALUES (0, 1711670400), (1, 1714089600)) AS t(k, ts)
+)
+SELECT CAST(p.probe_id AS BIGINT) AS probe_id, p.url,
+       CAST(p.ts AS BIGINT) AS ts,
+       CAST(c.fetch_ts AS BIGINT) AS capture_ts, c.crawl, c.digest
+FROM probes p ASOF LEFT JOIN caps c
+  ON p.url = c.url AND p.ts >= c.fetch_ts
+ORDER BY probe_id
+"""
+    ),
     "language_diversity": oracle_cte(
         """
 , per AS (

@@ -2230,6 +2230,7 @@ _PRIORITY = [
 # remaining queries first (one per operator class), not near-duplicates
 # of in-window entries. All oracle-paired except host_hyperball.
 _PRIORITY_NEXT = [
+    "asof_capture",         # as-of join vs DuckDB native ASOF oracle
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

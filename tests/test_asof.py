@@ -1,0 +1,63 @@
+"""As-of join (operators/asof.py): tie inclusivity, LEFT nulls,
+carry-forward correctness, and the union-tag plan shape (window, not a
+probe-x-capture join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.operators.asof import asof_latest_capture
+
+
+def _caps(spark):
+    rows = [
+        ("u1", 100, "c0", "d0"),
+        ("u1", 200, "c1", "d1"),
+        ("u1", 300, "c2", "d2"),
+        ("u2", 500, "c0", "d9"),
+    ]
+    return spark.createDataFrame(
+        rows, "url string, fetch_ts long, crawl string, digest string"
+    )
+
+
+def test_asof_semantics(spark):
+    probes = spark.createDataFrame(
+        [
+            (1, "u1", 99),    # before first capture -> NULL
+            (2, "u1", 200),   # exactly at a capture -> inclusive
+            (3, "u1", 250),   # between captures -> latest earlier
+            (4, "u1", 9999),  # after all -> last
+            (5, "u2", 499),   # other key, before -> NULL
+            (6, "u3", 100),   # key with no captures at all -> NULL
+        ],
+        "probe_id long, url string, ts long",
+    )
+    got = {
+        r.probe_id: r
+        for r in asof_latest_capture(_caps(spark), probes).collect()
+    }
+    assert len(got) == 6
+    assert got[1].capture_ts is None and got[1].crawl is None
+    assert got[2].capture_ts == 200 and got[2].crawl == "c1"
+    assert got[3].capture_ts == 200 and got[3].digest == "d1"
+    assert got[4].capture_ts == 300 and got[4].crawl == "c2"
+    assert got[5].capture_ts is None
+    assert got[6].capture_ts is None and got[6].digest is None
+
+
+def test_asof_plan_is_windowed_not_joined(spark):
+    """The as-of core must lower to Union + one url-keyed Window — never
+    a probe-x-capture join (the quadratic-per-hot-key shape)."""
+    probes = spark.createDataFrame(
+        [(1, "u1", 250)], "probe_id long, url string, ts long"
+    )
+    plan = (
+        asof_latest_capture(_caps(spark), probes)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan and "Union" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, join

@@ -103,6 +103,8 @@ _BOUNDED_BNLJ_OK = {
     "lm_quality_filter",  # same scoring chain inside
     "curation_funnel",  # composes the LM scoring chain
     "semdedup",  # broadcast k-centroid assignment join
+    "shard_summary",  # per-shard deviation vs 1-row token-total aggregate
+    "asof_capture",  # probe build: urls x broadcast 2-row instant frame
 }
 
 
