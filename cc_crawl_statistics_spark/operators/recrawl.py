@@ -70,3 +70,69 @@ def recrawl_tiers(pages: DataFrame) -> DataFrame:
         .otherwise("cold")
         .alias("tier"),
     )
+
+
+def observed_host_gaps(
+    pages: DataFrame, min_fetches: int = 3, floor_s: int = 1
+) -> DataFrame:
+    """Adaptive politeness from the fetch log: per host, the observed
+    inter-fetch gap distribution and the crawl-delay a polite scheduler
+    should adopt — the empirical complement to the declared
+    robots.txt Crawl-delay the ledger already parses (frontier/robots.py).
+
+    A production crawler tunes per-host rate from what the host actually
+    tolerated (Heritrix's politeness "delay factor" works off observed
+    response times); the statistics side is the same min/percentile-over-
+    gaps aggregation the reference family computes for counts. Output per
+    host with ≥ min_fetches successful fetches:
+
+      n_fetches, min_gap_s, median_gap_s (exact lower median),
+      suggested_delay_s = greatest(floor_s, min_gap_s) — the fastest
+      pace this host has already demonstrably sustained.
+
+    Scale shape: gaps need consecutive fetch ordering, so ONE window
+    partitioned by host ordered by fetch_ts — per-host row counts are
+    politeness-budget-bounded by construction of any real crawl (a host
+    fetched at 1 req/s for a month is ~2.6M rows, comfortably one task;
+    the unbounded dimension is hosts, which is the partition key, not the
+    frame). The median is EXACT (lower median: the gap ranked (n+1)//2 in
+    the per-host sorted multiset, via a second host-bounded window) —
+    percentile_approx would be cheaper but breaks cross-engine oracle
+    equality."""
+    w = Window.partitionBy("host").orderBy("fetch_ts", "url")
+    gaps = (
+        pages.filter(F.col("status") == 200)
+        .select("host", "fetch_ts", "url")
+        .withColumn("_gap", F.col("fetch_ts") - F.lag("fetch_ts").over(w))
+        .filter(F.col("_gap").isNotNull())
+        .select("host", F.col("_gap").cast("long").alias("gap_s"))
+    )
+    wr = Window.partitionBy("host").orderBy("gap_s")
+    ranked = gaps.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_n", F.count("*").over(Window.partitionBy("host"))
+    )
+    per = ranked.groupBy("host").agg(
+        (F.max("_n") + 1).cast("long").alias("n_fetches"),
+        F.min("gap_s").cast("long").alias("min_gap_s"),
+        F.max(
+            F.when(
+                F.col("_r") == F.floor((F.col("_n") + 1) / 2),
+                F.col("gap_s"),
+            )
+        )
+        .cast("long")
+        .alias("median_gap_s"),
+    )
+    return (
+        per.filter(F.col("n_fetches") >= min_fetches)
+        .select(
+            "host",
+            "n_fetches",
+            "min_gap_s",
+            "median_gap_s",
+            F.greatest(F.lit(floor_s), F.col("min_gap_s"))
+            .cast("long")
+            .alias("suggested_delay_s"),
+        )
+        .orderBy("host")
+    )

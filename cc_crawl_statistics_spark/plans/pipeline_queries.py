@@ -710,6 +710,14 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_host_fetch_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Adaptive politeness: per-host observed inter-fetch gap stats and
+    the suggested crawl delay (operators/recrawl.py:observed_host_gaps)
+    — the empirical complement to the robots.txt-declared Crawl-delay
+    the ledger parses."""
+    return RC.observed_host_gaps(pages_df(spark, sf), min_fetches=3)
+
+
 def q_asof_capture(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time capture lookup (operators/asof.py): for every
     distinct URL probed at two fixed instants, the latest capture with
@@ -897,6 +905,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_link_graph": q_host_link_graph,
     "host_components": q_host_components,
     "asof_capture": q_asof_capture,
+    "host_fetch_gaps": q_host_fetch_gaps,
     "host_harmonic": q_host_harmonic,
     "host_hyperball": q_host_hyperball,
     "redirect_resolve": q_redirect_resolve,
@@ -1044,6 +1053,34 @@ rec AS (
 SELECT host, MIN(label) AS component FROM rec GROUP BY host ORDER BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    "host_fetch_gaps": oracle_cte(
+        """
+, g AS (
+  SELECT host,
+         fetch_ts - lag(fetch_ts) OVER (
+           PARTITION BY host ORDER BY fetch_ts, url
+         ) AS gap_s
+  FROM pages WHERE status = 200
+),
+r AS (
+  SELECT host, gap_s,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY gap_s) AS rnk,
+         COUNT(*) OVER (PARTITION BY host) AS n
+  FROM g WHERE gap_s IS NOT NULL
+),
+p AS (
+  SELECT host,
+         CAST(MAX(n) + 1 AS BIGINT) AS n_fetches,
+         CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+         CAST(MAX(CASE WHEN rnk = FLOOR((n + 1) / 2) THEN gap_s END)
+              AS BIGINT) AS median_gap_s
+  FROM r GROUP BY host
+)
+SELECT host, n_fetches, min_gap_s, median_gap_s,
+       CAST(GREATEST(1, min_gap_s) AS BIGINT) AS suggested_delay_s
+FROM p WHERE n_fetches >= 3 ORDER BY host
+"""
+    ),
     "asof_capture": oracle_cte(
         """
 , caps AS (SELECT url, fetch_ts, crawl, digest FROM pages),
