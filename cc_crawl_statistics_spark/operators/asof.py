@@ -99,3 +99,50 @@ def asof_latest_capture(
         )
         .orderBy(probe_id)
     )
+
+
+def interval_point_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+    point_col: str = "t",
+    bucket_s: int = 3600,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Containment (range) join — the other temporal join Spark's planner
+    has no native strategy for: all (point, interval) pairs with
+    ``start <= t <= end``, optionally key-scoped.
+
+    A naive theta join plans as BroadcastNestedLoop/Cartesian — O(n·m)
+    comparisons. This lowers it to the standard bucketization rewrite:
+    every interval explodes into the ``bucket_s``-wide epochs it covers,
+    points map to their single bucket, the two equi-join on
+    (keys…, bucket) — hash join, AQE-skew-splittable — and the exact
+    predicate re-filters. Each true pair matches in EXACTLY one bucket
+    (the point's), so no dedup pass is needed. Fanout is
+    interval_length/bucket_s rows per interval: pick bucket_s near the
+    median interval length (sessions: ~minutes-hours → 3600 keeps the
+    explode ≤ a few rows each). Same rewrite Databricks' range-join hints
+    and kdb window joins apply; DuckDB plans the predicate natively
+    (IEJoin), which is what the oracle runs against.
+    """
+    keys = list(keys)
+    iv = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_s),
+                F.floor(F.col(end_col) / bucket_s),
+            )
+        ),
+    )
+    pt = points.withColumn("_b", F.floor(F.col(point_col) / bucket_s))
+    return (
+        pt.join(iv, keys + ["_b"], "inner")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

@@ -710,6 +710,61 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_concurrent_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Range-join class: sessions (from the same 30-min-gap sessionize
+    CTE as events_sessionize) containment-joined to 24 probe instants
+    via the bucketized rewrite (operators/asof.py:interval_point_join),
+    reported as concurrent-session counts per instant. Oracle: DuckDB
+    plans the BETWEEN predicate natively (IEJoin) — like asof_capture,
+    the composition is checked against an independent first-class
+    range-join implementation."""
+    from ..operators.asof import interval_point_join
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_timestamp("ts").alias("e"),
+        F.lag(F.unix_timestamp("ts")).over(w).alias("prev_e"),
+    ).withColumn(
+        "ns",
+        F.when(
+            F.col("prev_e").isNull() | (F.col("e") - F.col("prev_e") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sid = (
+        F.sum("ns")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid")
+    )
+    sessions = (
+        g.select("user_id", "e", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("e").alias("start_s"),
+            F.max("e").alias("end_s"),
+        )
+    )
+    probes = spark.range(24).select(
+        (F.lit(1704067200) + F.col("id") * 108000).cast("long").alias("t")
+    )
+    pairs = interval_point_join(sessions, probes)
+    active = pairs.groupBy("t").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    return (
+        probes.join(active, "t", "left")
+        .select(
+            "t",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+        )
+        .orderBy("t")
+    )
+
+
 def q_host_fetch_gaps(spark: SparkSession, sf: str) -> DataFrame:
     """Adaptive politeness: per-host observed inter-fetch gap stats and
     the suggested crawl delay (operators/recrawl.py:observed_host_gaps)
@@ -906,6 +961,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_components": q_host_components,
     "asof_capture": q_asof_capture,
     "host_fetch_gaps": q_host_fetch_gaps,
+    "concurrent_sessions": q_concurrent_sessions,
     "host_harmonic": q_host_harmonic,
     "host_hyperball": q_host_hyperball,
     "redirect_resolve": q_redirect_resolve,
@@ -1979,6 +2035,40 @@ flags AS (
 SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM flags GROUP BY user_id ORDER BY user_id
+""",
+    "concurrent_sessions": """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+         lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_e
+  FROM events
+),
+f AS (
+  SELECT user_id, ts, event_id, e,
+         CASE WHEN prev_e IS NULL OR e - prev_e > 1800 THEN 1 ELSE 0 END
+           AS ns
+  FROM gaps
+),
+s2 AS (
+  SELECT user_id, e,
+         SUM(ns) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM f
+),
+sess AS (
+  SELECT user_id, sid, MIN(e) AS start_s, MAX(e) AS end_s
+  FROM s2 GROUP BY user_id, sid
+),
+probes AS (
+  SELECT CAST(1704067200 + k * 108000 AS BIGINT) AS t FROM range(24) r(k)
+)
+SELECT p.t, CAST(COUNT(s.start_s) AS BIGINT) AS n_active
+FROM probes p LEFT JOIN sess s ON p.t BETWEEN s.start_s AND s.end_s
+GROUP BY p.t ORDER BY p.t
 """,
     "dedup_kept": _corpus_oracle(
         """

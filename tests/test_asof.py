@@ -61,3 +61,27 @@ def test_asof_plan_is_windowed_not_joined(spark):
     assert "Window" in plan and "Union" in plan
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert join not in plan, join
+
+
+def test_interval_point_join_semantics_and_plan(spark):
+    from cc_crawl_statistics_spark.operators.asof import interval_point_join
+
+    iv = spark.createDataFrame(
+        [
+            ("a", 100, 200),   # short, single bucket at W=3600
+            ("b", 3500, 7300), # spans three buckets
+        ],
+        "iv_id string, start_s long, end_s long",
+    )
+    pts = spark.createDataFrame(
+        [(1, 150), (2, 200), (3, 201), (4, 3600), (5, 7300), (6, 99)],
+        "pid long, t long",
+    )
+    out = interval_point_join(iv, pts)
+    got = sorted((r.pid, r.iv_id) for r in out.collect())
+    # inclusive both ends; 3/6 outside; point 4+5 inside b's span
+    assert got == [(1, "a"), (2, "a"), (4, "b"), (5, "b")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # bucketized rewrite must plan a HASH equi-join, never nested-loop
+    assert "Join" in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
