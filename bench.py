@@ -99,6 +99,10 @@ HEADLINE = {
     # parse -> resolve -> host-graph chain over it — the blob-scan-heavy
     # operator class (functions/links.py, operators/linkgraph.py)
     "outlink_host_graph": lambda p: _outlink_host_graph(p),
+    # temporal-join class: as-of (point-in-time) capture lookup — union-tag
+    # + one url-keyed ordered window over captures ∪ probes (~2M rows at
+    # factor 200), the shape that replaces the quadratic probe×capture join
+    "asof_capture": lambda p: _asof_bench(p),
     # graph-analytics sketch class: HyperBall harmonic centrality over the
     # ~36k-host graph — 4 HLL-ball union iterations (edge join +
     # hll_union_agg per level); edges derived arithmetically so this times
@@ -119,6 +123,22 @@ HEADLINE = {
     # (crawl, digest) key — the sort-window class
     "warc_revisit": lambda p: _warc_revisit(p),
 }
+
+
+def _asof_bench(pages):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.asof import asof_latest_capture
+
+    caps = pages.select("url", "fetch_ts", "crawl", "digest")
+    urls = pages.select("url", "doc_id").dropDuplicates(["url"])
+    t = pages.sparkSession.createDataFrame(
+        [(0, 1711670400), (1, 1714089600)], "k long, ts long"
+    )
+    probes = urls.join(F.broadcast(t)).select(
+        (F.col("doc_id") * 2 + F.col("k")).alias("probe_id"), "url", "ts"
+    )
+    return asof_latest_capture(caps, probes)
 
 
 def _hyperball_bench(pages):

@@ -2231,6 +2231,8 @@ _PRIORITY = [
 # of in-window entries. All oracle-paired except host_hyperball.
 _PRIORITY_NEXT = [
     "asof_capture",         # as-of join vs DuckDB native ASOF oracle
+    "concurrent_sessions",  # bucketized range join vs DuckDB IEJoin
+    "host_fetch_gaps",      # adaptive politeness from observed gaps
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance
