@@ -53,27 +53,41 @@ def asof_latest_capture(
 ) -> DataFrame:
     """For every probe row, the most recent capture of the same key with
     capture time <= probe time (LEFT semantics: probes with no prior
-    capture keep NULL payload and NULL capture_ts)."""
+    capture keep NULL payload and NULL capture_ts).
+
+    Row consistency: the carried value is ONE struct of
+    (capture time, payload…), so every output row is a whole capture —
+    payload columns can never back-fill independently from different
+    captures when one capture holds a NULL field (SQL ASOF returns whole
+    rows; per-column `last(ignorenulls)` would not). NULL-key rows follow
+    SQL equality: a NULL-key capture matches nothing (dropped from the
+    union), so NULL-key probes come back with NULL payload, exactly as
+    the ON-clause equality in the DuckDB oracle behaves."""
     keys = list(keys)
     payload = list(payload)
-    cap_types = {f.name: f.dataType for f in captures.schema.fields}
-    cap = captures.select(
+    cap_keyed = captures
+    for k in keys:
+        cap_keyed = cap_keyed.filter(F.col(k).isNotNull())
+    cap = cap_keyed.select(
         *keys,
         F.col(capture_ts).cast("long").alias("_t"),
-        *payload,
+        F.struct(
+            F.col(capture_ts).cast("long").alias("capture_ts"), *payload
+        ).alias("_cap"),
         F.lit(0).alias("_tag"),
         F.lit(None).cast("long").alias("_pid"),
     )
+    cap_struct_type = cap.schema["_cap"].dataType
     pr = probes.select(
         *keys,
         F.col(probe_ts).cast("long").alias("_t"),
-        *[F.lit(None).cast(cap_types[c]).alias(c) for c in payload],
+        F.lit(None).cast(cap_struct_type).alias("_cap"),
         F.lit(1).alias("_tag"),
         F.col(probe_id).cast("long").alias("_pid"),
     )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("_t", "_tag", *payload)
+        .orderBy("_t", "_tag", "_cap")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = cap.unionByName(pr).select(
@@ -81,12 +95,7 @@ def asof_latest_capture(
         "_t",
         "_tag",
         "_pid",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
-        F.last(
-            F.when(F.col("_tag") == 0, F.col("_t")), ignorenulls=True
-        )
-        .over(w)
-        .alias("capture_ts"),
+        F.last("_cap", ignorenulls=True).over(w).alias("_cap"),
     )
     return (
         carried.filter(F.col("_tag") == 1)
@@ -94,8 +103,8 @@ def asof_latest_capture(
             F.col("_pid").alias(probe_id),
             *keys,
             F.col("_t").alias(probe_ts),
-            "capture_ts",
-            *payload,
+            F.col("_cap.capture_ts").alias("capture_ts"),
+            *[F.col(f"_cap.{c}").alias(c) for c in payload],
         )
         .orderBy(probe_id)
     )

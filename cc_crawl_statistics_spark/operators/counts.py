@@ -498,12 +498,14 @@ def domain_language_diversity(
     template/spam farms, and the mixture signal a multilingual corpus
     builder reads before setting per-domain sampling weights.
 
-    Integer-exact by construction (no entropy/log floats), so the DuckDB
-    oracle matches bit-for-bit. Scale: two-level aggregation —
-    (domain, lang) partials collapse map-side, then the domain-level sum;
-    both shuffles bounded by dimension cardinality, no window. Σcᵢ² fits
-    a long through ~3·10⁹ pages per (domain, lang); a 100-TB deployment
-    casts the square term to decimal(38,0) — same semantics.
+    Integer-exact by construction (no entropy/log floats, no double
+    division anywhere): the square term accumulates as decimal(38,0) and
+    the permille ratio is an integral `div` — exact at any count a crawl
+    can produce (long Σcᵢ² would wrap silently past c ≈ 3·10⁹ and
+    1000·Σcᵢ² already at ~9.6·10⁷, and long/long ratios detour through
+    double past 2^53). Scale: two-level aggregation — (domain, lang)
+    partials collapse map-side, then the domain-level sum; both shuffles
+    bounded by dimension cardinality, no window.
     """
     lang = F.split(F.col("languages"), ",").getItem(0)
     per = (
@@ -513,25 +515,23 @@ def domain_language_diversity(
         .groupBy("domain", "lang")
         .agg(F.count("*").cast("long").alias("c"))
     )
+    dec = "decimal(19,0)"
     dom = per.groupBy("domain").agg(
         F.sum("c").cast("long").alias("n_pages"),
         F.count("*").cast("long").alias("n_langs"),
-        F.sum(F.col("c") * F.col("c")).cast("long").alias("_sq"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("_sq"),
     )
     return (
         dom.filter(F.col("n_pages") >= min_pages)
+        .withColumn(
+            "_den",
+            F.col("n_pages").cast(dec) * F.col("n_pages").cast(dec),
+        )
         .select(
             "domain",
             "n_pages",
             "n_langs",
-            (
-                1000
-                - F.floor(
-                    F.lit(1000)
-                    * F.col("_sq")
-                    / (F.col("n_pages") * F.col("n_pages"))
-                )
-            )
+            (F.lit(1000) - F.expr("(_sq * 1000) div _den"))
             .cast("long")
             .alias("simpson_permille"),
         )

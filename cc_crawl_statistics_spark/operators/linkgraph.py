@@ -248,6 +248,10 @@ def hyperball_harmonic(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # every per-level eager localCheckpoint below is its own job; without
+    # this the edge scan + distinct shuffle would replay radius+1 times
+    # (same bracket as bounded_harmonic_centrality's)
+    e.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select("dst"))
@@ -297,6 +301,7 @@ def hyperball_harmonic(
             )
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
     return state.select(
         F.col("node").alias("host"),
         (F.col("est_prev") - 1).alias("n_reached_est"),

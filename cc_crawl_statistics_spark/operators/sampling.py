@@ -195,8 +195,8 @@ def shard_assignment(
     dealt ``rank mod n_shards``. Dealing a descending sequence bounds the
     within-stripe shard imbalance by one maximum document; summing over
     stripes bounds total imbalance by ``n_salts × max_doc_tokens`` —
-    tight in practice and pinned by tests/test_sampling-style asserts in
-    tests/test_vocabulary.py.
+    tight in practice and pinned by
+    tests/test_dedup_similarity.py::test_shard_assignment_balance_bound.
 
     Scale shape: the ranking window partitions by the salt stripe
     (``doc_id % n_salts`` — cross-engine-reproducible, unlike a hash

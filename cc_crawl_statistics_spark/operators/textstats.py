@@ -147,6 +147,18 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+def c4_keep_gate(n_tok, mwl_x10):
+    """THE C4/Gopher-style keep gate — single source of truth for the
+    thresholds (≥10 whitespace tokens, mean word length in [2.0, 12.0],
+    ×10 fixed point) shared by quality_scores, curate_corpus and
+    host_quality_rollup so the per-doc report, the curation verdict and
+    the host blocklist can never drift apart. Takes the already-computed
+    token-count and mean-word-length columns (callers fold them into
+    their own single projection; recomputing regexp_count here would
+    duplicate the scan's most expensive expression)."""
+    return (n_tok >= F.lit(10)) & (mwl_x10 >= 20) & (mwl_x10 <= 120)
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality signals (permille-scaled integers so results are
     float-exact across engines): punctuation ratio, stopword ratio, mean
@@ -174,10 +186,8 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "keep",
-            (
-                (F.col("n_tokens") >= 10)
-                & (F.col("mean_wordlen_x10") >= 20)
-                & (F.col("mean_wordlen_x10") <= 120)
+            c4_keep_gate(
+                F.col("n_tokens"), F.col("mean_wordlen_x10")
             ).cast("int"),
         )
         .orderBy("doc_id")
@@ -320,11 +330,7 @@ def curate_corpus(
     lang_pred = F.when(
         F.col("_best").getField("score") > 0, F.col("_best").getField("lang")
     ).otherwise(F.lit("und"))
-    quality_ok = (
-        (F.col("n_tokens") >= 10)
-        & (F.col("_mwl_x10") >= 20)
-        & (F.col("_mwl_x10") <= 120)
-    )
+    quality_ok = c4_keep_gate(F.col("n_tokens"), F.col("_mwl_x10"))
     return (
         base.withColumn("_rn", rn)
         .select(
@@ -859,9 +865,7 @@ def host_quality_rollup(
     t = F.col(text_col)
     n_tok = F.regexp_count(t, F.lit(WS_TOKEN_RE))
     mwl = F.floor(10 * F.length(t) / F.greatest(n_tok, F.lit(1)))
-    keep = (
-        (n_tok >= F.lit(10)) & (mwl >= 20) & (mwl <= 120)
-    ).cast("long")
+    keep = c4_keep_gate(n_tok, mwl).cast("long")
     per_digest = (
         pages_text.select(
             F.col(host_col).alias("host"),

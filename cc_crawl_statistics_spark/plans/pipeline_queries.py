@@ -275,11 +275,18 @@ def q_events_windowed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
-    ev = load_table(spark, sf, "events")
+SESSION_GAP_S = 1800  # the 30-min rule, shared by both session queries
+
+
+def _session_flags(ev: DataFrame) -> DataFrame:
+    """THE sessionize core (one definition for events_sessionize and
+    concurrent_sessions): per event, its epoch and the new-session flag
+    under the SESSION_GAP_S rule, ordered by (ts, event_id) per user.
+    The ordering window also serves as the running-sid window."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = ev.select(
+    return ev.select(
         "user_id",
+        "ts",
         "event_id",
         F.unix_timestamp("ts").alias("epoch"),
         F.lag(F.unix_timestamp("ts")).over(w).alias("prev_epoch"),
@@ -287,10 +294,14 @@ def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
         "new_session",
         F.when(
             F.col("prev_epoch").isNull()
-            | (F.col("epoch") - F.col("prev_epoch") > 1800),
+            | (F.col("epoch") - F.col("prev_epoch") > SESSION_GAP_S),
             1,
         ).otherwise(0),
     )
+
+
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    gaps = _session_flags(load_table(spark, sf, "events"))
     return (
         gaps.groupBy("user_id")
         .agg(
@@ -720,28 +731,15 @@ def q_concurrent_sessions(spark: SparkSession, sf: str) -> DataFrame:
     range-join implementation."""
     from ..operators.asof import interval_point_join
 
-    ev = load_table(spark, sf, "events")
+    g = _session_flags(load_table(spark, sf, "events"))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    g = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.unix_timestamp("ts").alias("e"),
-        F.lag(F.unix_timestamp("ts")).over(w).alias("prev_e"),
-    ).withColumn(
-        "ns",
-        F.when(
-            F.col("prev_e").isNull() | (F.col("e") - F.col("prev_e") > 1800),
-            1,
-        ).otherwise(0),
-    )
     sid = (
-        F.sum("ns")
+        F.sum("new_session")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("sid")
     )
     sessions = (
-        g.select("user_id", "e", sid)
+        g.select("user_id", F.col("epoch").alias("e"), sid)
         .groupBy("user_id", "sid")
         .agg(
             F.min("e").alias("start_s"),
@@ -1511,6 +1509,25 @@ ORDER BY stage_id
     )
 
 
+# THE sessionize CTE, oracle side — the SQL twin of _session_flags above,
+# shared by the events_sessionize and concurrent_sessions oracles. Epochs
+# are FLOOR-truncated to whole seconds exactly like Spark's
+# unix_timestamp, so sub-second gap boundaries can never diverge.
+_SESSION_FLAGS_SQL = f"""gaps AS (
+  SELECT user_id, ts, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+         lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_e
+  FROM events
+),
+f AS (
+  SELECT user_id, ts, event_id, e,
+         CASE WHEN prev_e IS NULL OR e - prev_e > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS ns
+  FROM gaps
+)"""
+
 PIPELINE_ORACLES: dict[str, str] = {
     "curation_funnel": _curation_funnel_oracle(),
     "lm_bigram_weights": _lm_model_ctes("documents")
@@ -2020,37 +2037,13 @@ SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
 FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
 """,
     "events_sessionize": """
-WITH gaps AS (
-  SELECT user_id, event_id, epoch(ts) AS e,
-         lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-           AS prev_e
-  FROM events
-),
-flags AS (
-  SELECT user_id,
-         CASE WHEN prev_e IS NULL OR e - prev_e > 1800 THEN 1 ELSE 0 END
-           AS new_session
-  FROM gaps
-)
-SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+WITH """ + _SESSION_FLAGS_SQL + """
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
        CAST(COUNT(*) AS BIGINT) AS n_events
-FROM flags GROUP BY user_id ORDER BY user_id
+FROM f GROUP BY user_id ORDER BY user_id
 """,
     "concurrent_sessions": """
-WITH gaps AS (
-  SELECT user_id, ts, event_id,
-         CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
-         lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-         ) AS prev_e
-  FROM events
-),
-f AS (
-  SELECT user_id, ts, event_id, e,
-         CASE WHEN prev_e IS NULL OR e - prev_e > 1800 THEN 1 ELSE 0 END
-           AS ns
-  FROM gaps
-),
+WITH """ + _SESSION_FLAGS_SQL + """,
 s2 AS (
   SELECT user_id, e,
          SUM(ns) OVER (

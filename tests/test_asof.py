@@ -85,3 +85,33 @@ def test_interval_point_join_semantics_and_plan(spark):
     # bucketized rewrite must plan a HASH equi-join, never nested-loop
     assert "Join" in plan and "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_null_payload_row_consistency(spark):
+    """A NULL field in the latest capture must come back NULL — whole-row
+    semantics like SQL ASOF — never back-filled from an older capture."""
+    caps = spark.createDataFrame(
+        [("u1", 100, "c0", "d0"), ("u1", 200, "c1", None)],
+        "url string, fetch_ts long, crawl string, digest string",
+    )
+    probes = spark.createDataFrame(
+        [(1, "u1", 250)], "probe_id long, url string, ts long"
+    )
+    r = asof_latest_capture(caps, probes).collect()[0]
+    assert r.capture_ts == 200 and r.crawl == "c1"
+    assert r.digest is None  # NOT 'd0'
+
+
+def test_asof_null_key_never_matches(spark):
+    """SQL equality: NULL-key probes and NULL-key captures never pair."""
+    caps = spark.createDataFrame(
+        [(None, 100, "c0", "d0"), ("u1", 100, "c1", "d1")],
+        "url string, fetch_ts long, crawl string, digest string",
+    )
+    probes = spark.createDataFrame(
+        [(1, None, 250), (2, "u1", 250)],
+        "probe_id long, url string, ts long",
+    )
+    got = {r.probe_id: r for r in asof_latest_capture(caps, probes).collect()}
+    assert got[1].capture_ts is None and got[1].crawl is None
+    assert got[2].crawl == "c1"
