@@ -115,3 +115,94 @@ def test_asof_null_key_never_matches(spark):
     got = {r.probe_id: r for r in asof_latest_capture(caps, probes).collect()}
     assert got[1].capture_ts is None and got[1].crawl is None
     assert got[2].crawl == "c1"
+
+
+def test_asof_random_vs_pandas_merge_asof(spark):
+    """Seeded random battery vs an independent first-class model:
+    pandas.merge_asof(direction='backward', allow_exact_matches=True)
+    must agree row-for-row, including NULL payload fields and probes on
+    keys with no captures. (url, t) capture collisions are excluded —
+    tie choice is implementation-defined in both engines."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(0xA50F)
+    seen, caps = set(), []
+    for i in range(400):
+        k, t = f"u{rng.randrange(40)}", rng.randrange(1000)
+        if (k, t) in seen:
+            continue
+        seen.add((k, t))
+        caps.append((k, t, f"c{i}", None if rng.random() < 0.1 else f"d{i}"))
+    probes = [
+        (i, f"u{rng.randrange(44)}", rng.randrange(1050)) for i in range(300)
+    ]
+    got = (
+        asof_latest_capture(
+            spark.createDataFrame(
+                caps, "url string, fetch_ts long, crawl string, digest string"
+            ),
+            spark.createDataFrame(
+                probes, "probe_id long, url string, ts long"
+            ),
+        )
+        .toPandas()
+        .set_index("probe_id")
+        .sort_index()
+    )
+    cdf = pd.DataFrame(
+        caps, columns=["url", "fetch_ts", "crawl", "digest"]
+    ).sort_values("fetch_ts")
+    pdf = pd.DataFrame(probes, columns=["probe_id", "url", "ts"]).sort_values(
+        "ts"
+    )
+    want = (
+        pd.merge_asof(
+            pdf,
+            cdf,
+            left_on="ts",
+            right_on="fetch_ts",
+            by="url",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        .set_index("probe_id")
+        .sort_index()
+    )
+    assert len(got) == len(want) == 300
+    for pid in want.index:
+        g, w = got.loc[pid], want.loc[pid]
+        wct = None if pd.isna(w.fetch_ts) else int(w.fetch_ts)
+        gct = None if pd.isna(g.capture_ts) else int(g.capture_ts)
+        assert gct == wct, (pid, gct, wct)
+        for c in ("crawl", "digest"):
+            gv = None if pd.isna(g[c]) else g[c]
+            wv = None if pd.isna(w[c]) else w[c]
+            assert gv == wv, (pid, c, gv, wv)
+
+
+def test_interval_join_random_vs_bruteforce(spark):
+    from cc_crawl_statistics_spark.operators.asof import interval_point_join
+    import random
+
+    rng = random.Random(0xBEEF)
+    iv = [
+        (i, a, a + rng.randrange(0, 9000))
+        for i, a in ((i, rng.randrange(50000)) for i in range(200))
+    ]
+    pts = [(j, rng.randrange(60000)) for j in range(300)]
+    got = sorted(
+        (r.pid, r.iv_id)
+        for r in interval_point_join(
+            spark.createDataFrame(
+                iv, "iv_id long, start_s long, end_s long"
+            ),
+            spark.createDataFrame(pts, "pid long, t long"),
+            bucket_s=1024,
+        ).collect()
+    )
+    want = sorted(
+        (p, i) for i, a, b in iv for p, t in pts if a <= t <= b
+    )
+    assert got == want and len(want) > 100
