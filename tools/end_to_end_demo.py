@@ -1,0 +1,125 @@
+"""Self-hosting end-to-end demo: one script that walks the whole engine
+the way a cc-crawl-statistics user migrating to this repo would —
+
+  pages table (input_hint schema)
+    → WARC files on disk + byte-addressed CDX index   (the cc-index BUILD)
+    → CDX line ingest                                  (the reference's INPUT)
+    → count-job aggregates + JSON\\tJSON stats wire     (crawlstats --job=count/stats)
+    → curation verdicts (dedup → quality → language)   (training-data layer)
+    → token-balanced training shards                   (loader handoff)
+
+Run:  python tools/end_to_end_demo.py [sf_dir]   (default /root/testdata/sf0.001)
+
+Each stage asserts a cross-stage invariant, so the demo doubles as an
+integration smoke: the CDX ingest must reproduce the source aggregates,
+the stats wire must round-trip byte-stably, and shard token totals must
+equal the curated corpus total.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.operators import counts as C
+from cc_crawl_statistics_spark.operators.sampling import shard_summary
+from cc_crawl_statistics_spark.operators.textstats import curate_corpus
+from cc_crawl_statistics_spark.plans.pipeline_queries import corpus_df
+from cc_crawl_statistics_spark.session import get_spark
+from cc_crawl_statistics_spark.sources.cdx import parse_cdx_lines
+from cc_crawl_statistics_spark.sources.compat import (
+    emit_stats_lines,
+    read_stats_lines,
+)
+from cc_crawl_statistics_spark.sources.tables import pages_df
+from cc_crawl_statistics_spark.sources.warc import write_warc_with_index
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark(app_name="end_to_end_demo", cores=8)
+    tmp = tempfile.mkdtemp(prefix="e2e_")
+    try:
+        pages = pages_df(spark, SF).cache()
+        n_pages = pages.count()
+        print(f"[1] pages table: {n_pages} fetch rows")
+
+        # ── pages → WARC files + byte-addressed CDX index ────────────────
+        idx = write_warc_with_index(pages, os.path.join(tmp, "warc"))
+        n_idx = idx.count()
+        assert n_idx == n_pages, (n_idx, n_pages)
+        print(f"[2] WARC layout written; CDX index rows: {n_idx}")
+
+        # ── CDX lines → the reference's ingest path ──────────────────────
+        blob = F.concat(
+            F.lit('{"url": "'), F.col("url"),
+            F.lit('", "status": "'), F.col("status").cast("string"),
+            F.lit('", "digest": "'), F.col("digest"), F.lit('"}'),
+        )
+        lines = pages.select(
+            F.concat_ws(
+                " ",
+                F.col("surt_key"),
+                F.col("fetch_ts").cast("string"),
+                blob,
+            ).alias("value")
+        )
+        parsed = parse_cdx_lines(lines)
+        assert parsed.count() == n_pages
+        print(f"[3] CDX ingest parsed {n_pages} lines (0 malformed)")
+
+        # ── count job + stats wire round-trip ────────────────────────────
+        sizes = C.crawl_size(pages)
+        stats = sizes.select(
+            F.lit("size").alias("type"),
+            F.lit("page").alias("key"),
+            "crawl",
+            "pages",
+            "urls",
+        )
+        wire = emit_stats_lines(stats)
+        back = read_stats_lines(wire.withColumnRenamed("line", "value"))
+        assert back.count() == stats.count()
+        per_crawl = {r.crawl: r.pages for r in sizes.collect()}
+        print(f"[4] stats wire round-trip: per-crawl pages {per_crawl}")
+
+        # ── curation layer ───────────────────────────────────────────────
+        corpus = corpus_df(spark, SF).cache()
+        verdicts = curate_corpus(corpus)
+        funnel = {
+            r.verdict: r.n
+            for r in verdicts.groupBy("verdict")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        kept = verdicts.filter(F.col("verdict") == "kept")
+        print(f"[5] curation verdicts: {funnel}")
+
+        # ── training shards over the curated corpus ──────────────────────
+        curated = corpus.join(kept.select("doc_id"), "doc_id")
+        shards = shard_summary(curated, n_shards=8, n_salts=4)
+        rows = shards.collect()
+        total_tokens = sum(r.n_tokens for r in rows)
+        check = curated.select(
+            F.sum(F.regexp_count("text", F.lit(r"\S+"))).alias("t")
+        ).first()["t"]
+        assert total_tokens == check, (total_tokens, check)
+        print(
+            f"[6] {len(rows)} shards, {total_tokens} tokens total, "
+            f"max |dev| {max(abs(r.dev_permille) for r in rows)} permille"
+        )
+        print("END-TO-END OK")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
