@@ -763,6 +763,40 @@ def q_concurrent_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sitemap_sharded(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap-index chain end-to-end (sources/sitemap.py): shard every
+    host's URL set into ≤10-entry <urlset> files + a <sitemapindex>,
+    parse the INDEX, join each advertised shard_loc to its fetched
+    document (loc render/parse drift would empty the join), parse the
+    shards, and report per host (n_shards, n_urls, last_mod). The oracle
+    recomputes all three arithmetically — ceil(count/10), distinct URL
+    count, max fetch_ts — without ever seeing the XML."""
+    from ..sources.sitemap import (
+        parse_sitemap_index,
+        parse_sitemaps,
+        render_sitemap_shards,
+    )
+
+    shards, index = render_sitemap_shards(pages_df(spark, sf), max_urls=10)
+    idx = parse_sitemap_index(index)
+    fetched = idx.join(
+        shards.select("shard_loc", "sitemap_xml"), "shard_loc"
+    )
+    entries = parse_sitemaps(fetched)
+    per_host = entries.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.max("lastmod").cast("long").alias("last_mod"),
+    )
+    n_shards = idx.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_shards")
+    )
+    return (
+        per_host.join(n_shards, "host")
+        .select("host", "n_shards", "n_urls", "last_mod")
+        .orderBy("host")
+    )
+
+
 def q_host_fetch_gaps(spark: SparkSession, sf: str) -> DataFrame:
     """Adaptive politeness: per-host observed inter-fetch gap stats and
     the suggested crawl delay (operators/recrawl.py:observed_host_gaps)
@@ -960,6 +994,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_capture": q_asof_capture,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
+    "sitemap_sharded": q_sitemap_sharded,
     "host_harmonic": q_host_harmonic,
     "host_hyperball": q_host_hyperball,
     "redirect_resolve": q_redirect_resolve,
@@ -1107,6 +1142,20 @@ rec AS (
 SELECT host, MIN(label) AS component FROM rec GROUP BY host ORDER BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    "sitemap_sharded": oracle_cte(
+        """
+, u AS (SELECT host, url, MAX(fetch_ts) AS lastmod FROM pages GROUP BY host, url),
+h AS (
+  SELECT host, COUNT(*) AS n_urls, MAX(lastmod) AS last_mod
+  FROM u GROUP BY host
+)
+SELECT host,
+       CAST(CEIL(n_urls / 10.0) AS BIGINT) AS n_shards,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(last_mod AS BIGINT) AS last_mod
+FROM h ORDER BY host
+"""
+    ),
     "host_fetch_gaps": oracle_cte(
         """
 , g AS (

@@ -115,3 +115,112 @@ def seeds_from_sitemaps(sitemaps: DataFrame) -> DataFrame:
         F.col("priority_permille").alias("score"),
         F.lit("pending").alias("state"),
     )
+
+
+SITEMAP_INDEX_SCHEMA = "sitemap ARRAY<STRUCT<loc STRING, lastmod BIGINT>>"
+
+
+def render_sitemap_shards(
+    pages: DataFrame, max_urls: int = _MAX_URLS
+) -> tuple[DataFrame, DataFrame]:
+    """Protocol-compliant sharding for hosts over the 50k-URL cap
+    (sitemaps.org: split into ≤max_urls <urlset> files + one
+    <sitemapindex> that lists them): returns (shards, index).
+
+    shards: (host, shard_id, shard_loc, sitemap_xml, lastmod) — one
+    <urlset> document per shard, entries in url order, shard_loc the
+    conventional https://host/sitemap-<k>.xml address, lastmod the
+    shard's newest entry (what an index-driven recrawler compares).
+    index: (host, index_xml) — one <sitemapindex> document per host.
+
+    Scale: the per-host ranking window is the protocol's REQUIRED total
+    order (shard membership must be stable across renders); per-host URL
+    cardinality is politeness-budget-bounded in any real crawl, the same
+    bounded-stratum argument as pack_sequences' per-group window.
+    """
+    from pyspark.sql import Window
+
+    per_url = pages.groupBy("host", "url").agg(
+        F.max("fetch_ts").alias("lastmod"),
+        F.min(((F.col("doc_id") * 37) % 101)).alias("prio_pct"),
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    entry = F.concat(
+        F.lit("<url><loc>"),
+        F.col("url"),
+        F.lit("</loc><lastmod>"),
+        F.col("lastmod").cast("string"),
+        F.lit("</lastmod><priority>"),
+        F.when(F.col("prio_pct") == 100, F.lit("1.00")).otherwise(
+            F.concat(
+                F.lit("0."), F.lpad(F.col("prio_pct").cast("string"), 2, "0")
+            )
+        ),
+        F.lit("</priority></url>"),
+    )
+    sharded = per_url.withColumn(
+        "shard_id",
+        F.floor((F.row_number().over(w) - 1) / max_urls).cast("long"),
+    )
+    shards = (
+        sharded.select("host", "shard_id", entry.alias("entry"), "lastmod")
+        .groupBy("host", "shard_id")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list("entry")), ""),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml"),
+            F.max("lastmod").alias("lastmod"),
+        )
+        .withColumn(
+            "shard_loc",
+            F.concat(
+                F.lit("https://"),
+                F.col("host"),
+                F.lit("/sitemap-"),
+                F.col("shard_id").cast("string"),
+                F.lit(".xml"),
+            ),
+        )
+    )
+    sm_entry = F.concat(
+        F.lit("<sitemap><loc>"),
+        F.col("shard_loc"),
+        F.lit("</loc><lastmod>"),
+        F.col("lastmod").cast("string"),
+        F.lit("</lastmod></sitemap>"),
+    )
+    index = (
+        shards.select("host", sm_entry.alias("e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<sitemapindex>"),
+                F.array_join(F.array_sort(F.collect_list("e")), ""),
+                F.lit("</sitemapindex>"),
+            ).alias("index_xml")
+        )
+    )
+    return shards, index
+
+
+def parse_sitemap_index(
+    index: DataFrame, xml_col: str = "index_xml"
+) -> DataFrame:
+    """<sitemapindex> documents → one row per advertised shard:
+    (host, shard_loc, lastmod). Same native from_xml path as
+    parse_sitemaps; NULL (malformed) documents drop."""
+    return (
+        index.select(
+            "host",
+            F.from_xml(F.col(xml_col), SITEMAP_INDEX_SCHEMA).alias("s"),
+        )
+        .filter(F.col("s").isNotNull() & F.col("s.sitemap").isNotNull())
+        .select("host", F.explode("s.sitemap").alias("u"))
+        .select(
+            "host",
+            F.col("u.loc").alias("shard_loc"),
+            F.col("u.lastmod").alias("lastmod"),
+        )
+    )

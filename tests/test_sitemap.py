@@ -112,3 +112,39 @@ def test_advertised_sitemaps_filters_hosts(spark):
         F.regexp_extract("host", "site([0-9]+)", 1).cast("int") % 2 == 1
     ).count()
     assert bad == 0
+
+
+def test_sitemap_shards_and_index(spark):
+    """Protocol sharding: a host over the cap splits into ceil(n/cap)
+    urlset files; the index advertises every shard with the shard's
+    newest lastmod; membership is stable (url order) across renders."""
+    from cc_crawl_statistics_spark.sources.sitemap import (
+        parse_sitemap_index,
+        parse_sitemaps,
+        render_sitemap_shards,
+    )
+
+    rows = [
+        ("big.com", f"https://big.com/p{i:03d}", 1000 + i, i) for i in range(25)
+    ] + [("small.org", "https://small.org/only", 99, 7)]
+    pages = spark.createDataFrame(
+        rows, "host string, url string, fetch_ts long, doc_id long"
+    )
+    shards, index = render_sitemap_shards(pages, max_urls=10)
+    s = {(r.host, r.shard_id): r for r in shards.collect()}
+    assert sum(1 for k in s if k[0] == "big.com") == 3  # ceil(25/10)
+    assert ("small.org", 0) in s and len(s) == 4
+    idx = parse_sitemap_index(index).collect()
+    assert len(idx) == 4
+    locs = {r.shard_loc for r in idx}
+    assert "https://big.com/sitemap-2.xml" in locs
+    # shard 2 of big.com holds urls p020..p024 -> lastmod 1024
+    assert s[("big.com", 2)].lastmod == 1024
+    # round-trip: parsing all shards recovers every url exactly once
+    ent = parse_sitemaps(shards).collect()
+    assert len(ent) == 26 and len({e.url for e in ent}) == 26
+    # determinism across renders
+    shards2, _ = render_sitemap_shards(pages, max_urls=10)
+    assert sorted(
+        (r.host, r.shard_id, r.sitemap_xml) for r in shards2.collect()
+    ) == sorted((r.host, r.shard_id, r.sitemap_xml) for r in shards.collect())
