@@ -763,6 +763,21 @@ def q_concurrent_sessions(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_warc_gzip_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-record-gzip WARC member index (sources/warc.py:
+    warc_gzip_members — CC's real shipping layout, compressed-byte
+    (offset, length) addressing). Rows-only: member lengths are gzip
+    outputs no SQL engine recomputes; byte-identity against written .gz
+    files is pinned in tests/test_warc.py."""
+    from ..sources.warc import warc_gzip_members
+
+    return (
+        warc_gzip_members(pages_df(spark, sf))
+        .drop("member")
+        .orderBy("warc_filename", "warc_record_offset")
+    )
+
+
 def q_sitemap_sharded(spark: SparkSession, sf: str) -> DataFrame:
     """Sitemap-index chain end-to-end (sources/sitemap.py): shard every
     host's URL set into ≤10-entry <urlset> files + a <sitemapindex>,
@@ -995,6 +1010,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
+    "warc_gzip_index": q_warc_gzip_index,
     "host_harmonic": q_host_harmonic,
     "host_hyperball": q_host_hyperball,
     "redirect_resolve": q_redirect_resolve,

@@ -23,6 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -359,3 +360,105 @@ def revisit_records(pages: DataFrame) -> DataFrame:
         .otherwise(first_ts)
         .alias("refers_to_ts"),
     )
+
+
+def warc_gzip_members(
+    pages: DataFrame, body_col: str | None = None
+) -> DataFrame:
+    """Per-RECORD gzip members — the layout Common Crawl actually ships:
+    each WARC record is an independent gzip member, so the cc-index
+    (offset, length) addresses COMPRESSED bytes and a ranged GET + one
+    gunzip yields exactly one record (warc.paul.us layout; the
+    gzip-per-file flavor above is the one-task-per-file processing
+    model). Returns one row per record:
+
+      (warc_filename, url, surt_key, fetch_ts, status, digest, crawl,
+       member binary, warc_record_length, warc_record_offset)
+
+    with offsets into the concatenated member stream of each file —
+    byte-addressed against what write_warc_gzip writes (pinned in
+    tests/test_warc.py).
+
+    Scale shape: the record renders via the shared codegen
+    ``warc_record_expr``; the per-record gzip is the one genuinely
+    non-SQL step, done in an Arrow-batched pandas UDF with
+    ``mtime=0`` so member bytes are deterministic; offsets are the same
+    bounded per-file running-sum window as ``cdx_index_from_pages``
+    (WARC files are size-capped by construction)."""
+    import gzip as _gzip
+
+    @F.pandas_udf("binary")
+    def _member(recs: pd.Series) -> pd.Series:
+        return recs.map(
+            lambda r: _gzip.compress(
+                (r + "\n").encode("utf-8"), compresslevel=6, mtime=0
+            )
+        )
+
+    m = pages.select(
+        "warc_filename",
+        "url",
+        "surt_key",
+        "fetch_ts",
+        "status",
+        "digest",
+        "crawl",
+        _member(warc_record_expr(body_col)).alias("member"),
+    ).withColumn(
+        "warc_record_length", F.octet_length("member").cast("long")
+    )
+    w = Window.partitionBy("warc_filename").orderBy("fetch_ts", "url")
+    return m.withColumn(
+        "warc_record_offset",
+        F.coalesce(
+            F.sum("warc_record_length").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+def write_warc_gzip(pages: DataFrame, path: str) -> DataFrame:
+    """Write the per-record-gzip layout: one physical ``.gz`` file per
+    ``warc_filename`` (members appended in (fetch_ts, url) order —
+    executor-local streaming write, same single-writer-per-file pattern
+    as zipnum.write_zipnum), return the member index whose
+    (offset, length) address the written compressed bytes."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    # pin the member lineage: consumed by both the file write and the
+    # returned index; recomputing per-record gzip twice would double the
+    # compression cost and risk divergent bytes
+    members = warc_gzip_members(pages).persist()
+    ordered = members.repartition(F.col("warc_filename")).sortWithinPartitions(
+        "warc_filename", "fetch_ts", "url"
+    )
+
+    def write_partition(rows) -> None:
+        fh, current = None, None
+        try:
+            for row in rows:
+                if row.warc_filename != current:
+                    if fh is not None:
+                        fh.close()
+                    current = row.warc_filename
+                    fname = os.path.join(
+                        path, current.replace("/", "_")
+                    )
+                    fh = open(fname, "wb")
+                fh.write(bytes(row.member))
+        finally:
+            if fh is not None:
+                fh.close()
+
+    ordered.select("warc_filename", "fetch_ts", "url", "member").foreachPartition(
+        write_partition
+    )
+    # materialize the slim index BEFORE dropping the pinned members —
+    # a lazy idx would silently recompute the whole gzip pass after
+    # unpersist
+    idx = members.drop("member").localCheckpoint(eager=True)
+    members.unpersist()
+    return idx

@@ -262,3 +262,50 @@ def test_revisit_records_semantics(spark):
         assert r.refers_to_ts == 100
     assert got[("B", "http://b/1")].warc_type == "response"
     assert got[("A", "http://a/solo")].warc_type == "response"
+
+
+def test_warc_gzip_members_address_compressed_bytes(spark, tmp_path):
+    """The per-record-gzip layout (CC's real one): every index row's
+    (offset, length) slices the .gz file to ONE complete gzip member
+    whose decompressed bytes re-parse to the indexed record; members
+    tile each file exactly."""
+    import gzip
+
+    pages = pages_df(spark, SF)
+    keep = pages.filter(
+        F.col("warc_filename").rlike("part-[03]\\.warc\\.gz$")
+        & F.col("warc_filename").rlike("/warc/")
+    )
+    out = str(tmp_path / "warc_gz")
+    idx = W.write_warc_gzip(keep, out).toPandas()
+    assert len(idx) == keep.count()
+
+    blobs = {
+        fn: open(os.path.join(out, fn.replace("/", "_")), "rb").read()
+        for fn in idx["warc_filename"].unique()
+    }
+    spans = {fn: [] for fn in blobs}
+    for row in idx.itertuples(index=False):
+        blob = blobs[row.warc_filename]
+        span = blob[
+            row.warc_record_offset : row.warc_record_offset
+            + row.warc_record_length
+        ]
+        assert span[:2] == b"\x1f\x8b"  # gzip magic at every offset
+        rec = gzip.decompress(span).decode("utf-8")
+        assert rec.startswith("WARC/1.0\r\n") and rec.endswith("\n")
+        one = W.parse_warc_records(
+            spark.createDataFrame(
+                [(rec[len(W.RECORD_SEP):],)], "value string"
+            )
+        ).collect()[0]
+        assert one.url == row.url and one.is_valid
+        spans[row.warc_filename].append(
+            (row.warc_record_offset, row.warc_record_length)
+        )
+    for fn, ss in spans.items():
+        ss.sort()
+        assert ss[0][0] == 0
+        for (o1, l1), (o2, _) in zip(ss, ss[1:]):
+            assert o1 + l1 == o2  # members tile with no gaps
+        assert ss[-1][0] + ss[-1][1] == len(blobs[fn])
