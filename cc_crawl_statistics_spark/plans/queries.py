@@ -2244,6 +2244,8 @@ _PRIORITY_NEXT = [
     "length_percentiles",   # exact per-group percentiles
     "decontaminate",        # eval-overlap removal
     "host_hyperball",       # HyperBall sketch (rows-only)
+    "sitemap_sharded",      # sitemapindex chain, arithmetic oracle
+    "warc_gzip_index",      # per-record gzip layout (rows-only)
 ]
 
 _ordered = {name: QUERIES[name] for name in _PRIORITY + _PRIORITY_NEXT}
