@@ -97,3 +97,69 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, media_type string, width int, height int, "
+    "payload binary"
+)
+
+
+def resize_plan(
+    media: DataFrame, max_w: int = 224, max_h: int = 224
+) -> DataFrame:
+    """Image/video-frame resize plumbing via mapInPandas: the real
+    production shape — target geometry computed JVM-side (aspect-
+    preserving fit into max_w×max_h, integer arithmetic, so the metadata
+    columns are exact and SQL-checkable), payload transformation in an
+    Arrow batch. The byte transform is a deterministic fake (truncate the
+    payload proportionally to the area ratio) standing in for the stubbed
+    decoder (decode_payload) exactly like extract_features' histogram;
+    everything around it — schema, pruning (only image/video rows enter
+    the Python stage), batch shape, output metadata — is the real
+    pipeline."""
+    fit = F.least(
+        F.lit(1_000_000),
+        F.least(
+            (F.lit(max_w) * 1_000_000 / F.col("width")).cast("long"),
+            (F.lit(max_h) * 1_000_000 / F.col("height")).cast("long"),
+        ),
+    )
+    sized = media.filter(
+        F.col("media_type").isin("image", "video")
+    ).select(
+        "doc_id",
+        "media_type",
+        "payload",
+        "width",
+        "height",
+        F.greatest(
+            F.lit(1), (F.col("width") * fit / 1_000_000).cast("int")
+        ).alias("new_w"),
+        F.greatest(
+            F.lit(1), (F.col("height") * fit / 1_000_000).cast("int")
+        ).alias("new_h"),
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_bytes = []
+            for b, w, h, nw, nh in zip(
+                pdf["payload"], pdf["width"], pdf["height"],
+                pdf["new_w"], pdf["new_h"], strict=True,
+            ):
+                # deterministic stand-in for decode→resample→encode:
+                # keep a byte count proportional to the area ratio
+                keep = max(1, (len(b) * int(nw) * int(nh)) // (int(w) * int(h)))
+                out_bytes.append(bytes(b)[:keep])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["new_w"].astype("int32"),
+                    "height": pdf["new_h"].astype("int32"),
+                    "payload": out_bytes,
+                }
+            )
+
+    return sized.mapInPandas(batches, RESIZE_SCHEMA)

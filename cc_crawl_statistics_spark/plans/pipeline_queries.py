@@ -261,6 +261,20 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize plumbing (multimodal.resize_plan). The geometry columns are
+    integer-exact JVM arithmetic, so THIS slice has a SQL oracle even
+    though the payload transform is the stubbed-decoder fake: the oracle
+    recomputes the aspect-preserving fit from synth_media's deterministic
+    width/height formulas."""
+    docs = load_table(spark, sf, "documents")
+    return (
+        M.resize_plan(M.synth_media(docs), max_w=224, max_h=224)
+        .select("doc_id", "media_type", "width", "height")
+        .orderBy("doc_id")
+    )
+
+
 def q_events_windowed(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return (
@@ -997,6 +1011,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "frontier_schedule": q_frontier_schedule,
@@ -1158,6 +1173,29 @@ rec AS (
 SELECT host, MIN(label) AS component FROM rec GROUP BY host ORDER BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    "media_resize": """
+WITH m AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+    END AS media_type,
+    CAST(doc_id % 1920 + 1 AS BIGINT) AS w,
+    CAST(doc_id % 1080 + 1 AS BIGINT) AS h
+  FROM documents
+),
+f AS (
+  SELECT doc_id, media_type, w, h,
+    LEAST(1000000,
+          CAST(FLOOR(224 * 1000000 / w) AS BIGINT),
+          CAST(FLOOR(224 * 1000000 / h) AS BIGINT)) AS fit
+  FROM m WHERE media_type IN ('image', 'video')
+)
+SELECT doc_id, media_type,
+  CAST(GREATEST(1, CAST(FLOOR(w * fit / 1000000.0) AS BIGINT)) AS INT)
+    AS width,
+  CAST(GREATEST(1, CAST(FLOOR(h * fit / 1000000.0) AS BIGINT)) AS INT)
+    AS height
+FROM f ORDER BY doc_id
+""",
     "sitemap_sharded": oracle_cte(
         """
 , u AS (SELECT host, url, MAX(fetch_ts) AS lastmod FROM pages GROUP BY host, url),

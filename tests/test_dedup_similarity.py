@@ -568,3 +568,28 @@ def test_shard_assignment_balance_bound(spark):
     s = shard_summary(docs, n_shards=8, n_salts=4).toPandas()
     assert s.n_tokens.sum() == a.n_tokens.sum()
     assert (s.dev_permille.abs() <= 1000).all()
+
+
+def test_resize_plan_geometry_and_plumbing(spark):
+    """resize_plan: aspect-preserving integer fit computed JVM-side,
+    audio rows pruned before the Python stage, payload shrinks with the
+    area ratio, and output schema is the declared one."""
+    media = M.synth_media(
+        spark.createDataFrame(
+            [(i, f"text for {i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+    )
+    out = M.resize_plan(media, max_w=224, max_h=224)
+    rows = out.collect()
+    src = {r.doc_id: r for r in media.collect()}
+    assert rows and all(r.media_type in ("image", "video") for r in rows)
+    for r in rows:
+        s = src[r.doc_id]
+        assert 1 <= r.width <= 224 and 1 <= r.height <= 224
+        # no upscaling beyond original
+        assert r.width <= max(s.width, 1) and r.height <= max(s.height, 1)
+        # aspect preserved within integer truncation
+        if s.width > 224 or s.height > 224:
+            assert max(r.width, r.height) in (223, 224)
+        assert 1 <= len(r.payload) <= len(s.payload)
