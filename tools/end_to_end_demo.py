@@ -40,14 +40,16 @@ from cc_crawl_statistics_spark.sources.compat import (
 from cc_crawl_statistics_spark.sources.tables import pages_df
 from cc_crawl_statistics_spark.sources.warc import write_warc_with_index
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+DEFAULT_SF = "/root/testdata/sf0.001"
 
 
-def main() -> None:
-    spark = get_spark(app_name="end_to_end_demo", cores=8)
+def main(spark=None, sf: str = DEFAULT_SF) -> None:
+    owns = spark is None
+    if owns:
+        spark = get_spark(app_name="end_to_end_demo", cores=8)
     tmp = tempfile.mkdtemp(prefix="e2e_")
     try:
-        pages = pages_df(spark, SF).cache()
+        pages = pages_df(spark, sf).cache()
         n_pages = pages.count()
         print(f"[1] pages table: {n_pages} fetch rows")
 
@@ -91,7 +93,7 @@ def main() -> None:
         print(f"[4] stats wire round-trip: per-crawl pages {per_crawl}")
 
         # ── curation layer ───────────────────────────────────────────────
-        corpus = corpus_df(spark, SF).cache()
+        corpus = corpus_df(spark, sf).cache()
         verdicts = curate_corpus(corpus)
         funnel = {
             r.verdict: r.n
@@ -118,8 +120,9 @@ def main() -> None:
         print("END-TO-END OK")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        spark.stop()
+        if owns:
+            spark.stop()
 
 
 if __name__ == "__main__":
-    main()
+    main(sf=sys.argv[1] if len(sys.argv) > 1 else DEFAULT_SF)
