@@ -286,16 +286,21 @@ def blocklist_gated_discovery(expand_fn, blocklist: DataFrame):
 
 
 def host_bucketed_topk(
-    candidates: DataFrame, budget_col: str = "max_per_round", n_salts: int = 8
+    candidates: DataFrame,
+    budget_col: str = "max_per_round",
+    n_salts: int = 8,
+    key_col: str = "host",
 ) -> DataFrame:
-    """Two-phase per-host priority selection (the skew-safe 'host-bucketed
-    min-heap'). Phase 1 ranks within (host, salt) and keeps only rows that
-    could still win; phase 2 ranks survivors per host. Output: rank ≤ budget,
-    in the total priority order."""
+    """Two-phase per-key priority selection (the skew-safe 'host-bucketed
+    min-heap'; ``key_col`` defaults to host — pass "domain" to scope the
+    politeness unit at the registrable domain, the CDN-subdomain case).
+    Phase 1 ranks within (key, salt) and keeps only rows that could still
+    win; phase 2 ranks survivors per key. Output: rank ≤ budget, in the
+    total priority order."""
     order = (F.col("depth").asc(), F.col("score").desc(), F.col("url").asc())
     max_budget = 4  # static upper bound of ledger budgets (1 + site_id % 4)
-    w1 = Window.partitionBy("host", "salt").orderBy(*order)
-    w2 = Window.partitionBy("host").orderBy(*order)
+    w1 = Window.partitionBy(key_col, "salt").orderBy(*order)
+    w2 = Window.partitionBy(key_col).orderBy(*order)
     return (
         candidates.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
         .withColumn("salt_rank", F.row_number().over(w1))

@@ -506,6 +506,48 @@ def q_sitemap_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_schedule_domain_politeness(spark: SparkSession, sf: str) -> DataFrame:
+    """Registrable-domain politeness scope: CDN/subdomain fan-out must
+    not multiply one site's fetch budget, so the budget unit can be the
+    DOMAIN — the most permissive member host's budget covers all its
+    subdomains. Same salted two-phase top-K, keyed by domain
+    (host_bucketed_topk(key_col='domain')); per-domain audit with the
+    compliance verdict, oracle-exact."""
+    from ..frontier.scheduler import (
+        host_bucketed_topk,
+        host_ledger,
+        seed_frontier,
+        url_universe,
+    )
+
+    universe = url_universe(pages_df(spark, sf))
+    seeds = seed_frontier(universe)
+    ledger = host_ledger(universe)
+    eligible = seeds.join(F.broadcast(ledger), "host").filter(
+        F.col("robots_status") != 403
+    )
+    # domain-bounded window: a registrable domain's host set is small
+    eligible = eligible.withColumn(
+        "domain_budget",
+        F.max("max_per_round").over(Window.partitionBy("domain")),
+    )
+    sched = host_bucketed_topk(
+        eligible, budget_col="domain_budget", key_col="domain"
+    )
+    return (
+        sched.groupBy("domain")
+        .agg(
+            F.max("domain_budget").cast("long").alias("budget"),
+            F.count("*").cast("long").alias("scheduled"),
+            F.max("rank").cast("long").alias("max_rank"),
+        )
+        .withColumn(
+            "compliant", F.col("scheduled") <= F.col("budget")
+        )
+        .orderBy("domain")
+    )
+
+
 def q_dedup_kept(spark: SparkSession, sf: str) -> DataFrame:
     """Documents surviving exact dedup (canonical = lowest doc_id per
     content digest) — the keep-side counterpart of dedup_exact, via
@@ -1016,6 +1058,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": q_events_sessionize,
     "frontier_schedule": q_frontier_schedule,
     "schedule_politeness": q_schedule_politeness,
+    "schedule_domain_politeness": q_schedule_domain_politeness,
     "dedup_kept": q_dedup_kept,
     "surt_hll": q_surt_hll,
     "outlinks": q_outlinks,
@@ -2354,6 +2397,52 @@ FROM ranked WHERE rank <= budget ORDER BY host, rank
     ),
     # politeness audit: the ledger's closed form (pinned == parsed robots
     # by test_robots) rolled up against the schedule's per-host counts
+    "schedule_domain_politeness": oracle_cte(
+        """
+, uni AS (
+  SELECT url, MIN(host) AS host, MIN(domain) AS domain,
+         MIN(doc_id) AS doc_id
+  FROM pages GROUP BY url
+),
+seeds AS (
+  SELECT url, host, domain, 0 AS depth, (doc_id * 37) % 100 AS score
+  FROM uni WHERE doc_id % 7 = 0
+),
+led AS (
+  SELECT host,
+    CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
+         THEN 403 ELSE 200 END AS robots,
+    CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
+         THEN 1
+         ELSE 1 + CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 4
+    END AS budget
+  FROM (SELECT DISTINCT host FROM uni)
+),
+elig AS (
+  SELECT s.url, s.domain, s.depth, s.score, l.budget
+  FROM seeds s JOIN led l ON s.host = l.host WHERE l.robots <> 403
+),
+db AS (SELECT domain, MAX(budget) AS budget FROM elig GROUP BY domain),
+ranked AS (
+  SELECT e.domain,
+         row_number() OVER (PARTITION BY e.domain
+                            ORDER BY e.depth, e.score DESC, e.url) AS rank
+  FROM elig e
+),
+sched AS (
+  SELECT r.domain, COUNT(*) AS scheduled, MAX(r.rank) AS max_rank
+  FROM ranked r JOIN db ON r.domain = db.domain
+  WHERE r.rank <= db.budget GROUP BY r.domain
+)
+SELECT d.domain,
+  CAST(d.budget AS BIGINT) AS budget,
+  CAST(s.scheduled AS BIGINT) AS scheduled,
+  CAST(s.max_rank AS BIGINT) AS max_rank,
+  (s.scheduled <= d.budget) AS compliant
+FROM db d JOIN sched s ON d.domain = s.domain
+ORDER BY d.domain
+"""
+    ),
     "schedule_politeness": oracle_cte(
         """
 , uni AS (
