@@ -136,3 +136,63 @@ def observed_host_gaps(
         )
         .orderBy("host")
     )
+
+
+def failure_backoff(
+    pages: DataFrame, base_s: int = 300, max_delay_s: int = 86400
+) -> DataFrame:
+    """Retry/backoff policy from the fetch log (Nutch's retry-interval,
+    Heritrix's fetch-retries): per URL, the run of consecutive FAILURES
+    (status ≥ 500 — server errors retry; 4xx are permanent verdicts)
+    since the last success, and the exponential next-attempt delay
+    ``min(max_delay_s, base_s · 2^(fails−1))`` (0 when the last attempt
+    succeeded). Completes the refresh-signal triad: change-rate tiers
+    (url_change_rates) say WHEN to refresh content, observed gaps
+    (observed_host_gaps) say HOW FAST a host tolerates, this says WHAT
+    to do with errors.
+
+    Integer-exact (shiftleft + least — no float powers), so the oracle
+    matches bit-for-bit. Scale: one url-partitioned window (bounded by
+    the ≤126-crawl registry — the same bound as url_change_rates' window)
+    then one url-keyed aggregate."""
+    w = Window.partitionBy("url")
+    obs = pages.select(
+        "url",
+        "fetch_ts",
+        (F.col("status") >= 500).alias("_fail"),
+    ).withColumn(
+        "_last_ok",
+        F.max(F.when(~F.col("_fail"), F.col("fetch_ts"))).over(w),
+    )
+    per = obs.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.sum(
+            F.when(
+                F.col("_fail")
+                & (
+                    F.col("_last_ok").isNull()
+                    | (F.col("fetch_ts") > F.col("_last_ok"))
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("consecutive_failures"),
+    )
+    # shift amount clamped to 20: JVM shifts wrap mod 64 (the crawl-set
+    # lesson) and base_s<<20 already exceeds any sane max_delay_s cap
+    delay = F.when(F.col("consecutive_failures") == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(max_delay_s).cast("long"),
+            F.expr(
+                f"shiftleft(CAST({base_s} AS BIGINT), "
+                "CAST(least(consecutive_failures - 1, 20) AS INT))"
+            ),
+        )
+    )
+    return per.select(
+        "url",
+        "n_attempts",
+        "consecutive_failures",
+        delay.cast("long").alias("retry_delay_s"),
+    ).orderBy("url")

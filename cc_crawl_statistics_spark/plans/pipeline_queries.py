@@ -506,6 +506,13 @@ def q_sitemap_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_retry_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Failure retry/backoff tiers (operators/recrawl.py:failure_backoff):
+    consecutive 5xx runs since last success → exponential next-attempt
+    delay, integer-exact."""
+    return RC.failure_backoff(pages_df(spark, sf))
+
+
 def q_schedule_domain_politeness(spark: SparkSession, sf: str) -> DataFrame:
     """Registrable-domain politeness scope: CDN/subdomain fan-out must
     not multiply one site's fetch budget, so the budget unit can be the
@@ -1059,6 +1066,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_schedule": q_frontier_schedule,
     "schedule_politeness": q_schedule_politeness,
     "schedule_domain_politeness": q_schedule_domain_politeness,
+    "retry_backoff": q_retry_backoff,
     "dedup_kept": q_dedup_kept,
     "surt_hll": q_surt_hll,
     "outlinks": q_outlinks,
@@ -2397,6 +2405,31 @@ FROM ranked WHERE rank <= budget ORDER BY host, rank
     ),
     # politeness audit: the ledger's closed form (pinned == parsed robots
     # by test_robots) rolled up against the schedule's per-host counts
+    "retry_backoff": oracle_cte(
+        """
+, o AS (
+  SELECT url, fetch_ts, status >= 500 AS fail,
+         MAX(CASE WHEN status < 500 THEN fetch_ts END)
+           OVER (PARTITION BY url) AS last_ok
+  FROM pages
+),
+p AS (
+  SELECT url,
+         CAST(COUNT(*) AS BIGINT) AS n_attempts,
+         CAST(SUM(CASE WHEN fail AND (last_ok IS NULL OR fetch_ts > last_ok)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS consecutive_failures
+  FROM o GROUP BY url
+)
+SELECT url, n_attempts, consecutive_failures,
+  CAST(CASE WHEN consecutive_failures = 0 THEN 0
+       ELSE LEAST(86400,
+                  300 * (1 << CAST(LEAST(consecutive_failures - 1, 20)
+                                   AS INT)))
+       END AS BIGINT) AS retry_delay_s
+FROM p ORDER BY url
+"""
+    ),
     "schedule_domain_politeness": oracle_cte(
         """
 , uni AS (
