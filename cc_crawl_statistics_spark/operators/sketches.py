@@ -1,4 +1,4 @@
-"""Mergeable frequency sketches: space-saving heavy hitters.
+"""Mergeable frequency sketches: space-saving heavy hitters + count-min.
 
 The engine's exact top-K (counts.top_k, host_bucketed_topk) shuffles one
 partial row per distinct key — correct, but at 100-TB scale the host/URL
@@ -154,7 +154,108 @@ def heavy_hitters(
     )
 
 
-__all__ = ["space_saving_partials", "heavy_hitters"]
+def _cms_cells(key, depth: int, width: int):
+    """The d (seed, bucket) cells a key hashes to — one codegen projection,
+    no UDF: bucket_i = pmod(xxhash64(key, i), width)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("seed"),
+                F.pmod(F.xxhash64(key, F.lit(i)), F.lit(width))
+                .cast("int")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    key_col,
+    depth: int = 4,
+    width: int = 8192,
+    weight_col=None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a plain bounded
+    DataFrame: rows (seed, bucket, weight), ≤ depth × width of them no
+    matter the key cardinality.
+
+    Scale shape: the ×depth explode happens INSIDE the scan stage and is
+    immediately absorbed by the map-side partial aggregate on the bounded
+    (seed, bucket) grid — each partition ships ≤ depth × width partial
+    rows, so the shuffle is sketch-sized, not corpus-sized (same property
+    as the HLL and space-saving paths). Unlike space-saving the table is
+    partition-order-independent: pure integer sums, deterministic across
+    any repartitioning (pinned by tests/test_sketches.py)."""
+    w = (
+        F.col(weight_col).cast("long")
+        if isinstance(weight_col, str)
+        else (
+            weight_col.cast("long")
+            if weight_col is not None
+            else F.lit(1).cast("long")
+        )
+    )
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        df.select(
+            F.explode(_cms_cells(key.cast("string"), depth, width)).alias(
+                "h"
+            ),
+            w.alias("w"),
+        )
+        .groupBy(F.col("h.seed").alias("seed"), F.col("h.bucket").alias("bucket"))
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Mergeable-summaries property: element-wise sum of the bounded cell
+    tables — cms_build(A ∪ B) ≡ cms_merge(cms_build(A), cms_build(B))
+    exactly (integer cells; pinned by test)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("seed", "bucket").agg(
+        F.sum("weight").alias("weight")
+    )
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col,
+    depth: int = 4,
+    width: int = 8192,
+) -> DataFrame:
+    """Point-frequency estimates for the probe keys: est = min over the
+    key's d cells. Guarantees est ≥ true weight always; est ≤ true +
+    (N − true)·collision term w.h.p. (tests pin the lower bound and the
+    planted-heavy-key exactness).
+
+    The sketch side is bounded (≤ depth × width rows) → broadcast hash
+    join; a missing cell means nothing ever hashed there, i.e. count 0."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    cells = probes.select(
+        key.cast("string").alias("key"),
+        F.explode(_cms_cells(key.cast("string"), depth, width)).alias("h"),
+    ).select("key", F.col("h.seed").alias("seed"), F.col("h.bucket").alias("bucket"))
+    return (
+        cells.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("weight"), F.lit(0))).alias("est"))
+        .orderBy(F.desc("est"), "key")
+    )
+
+
+__all__ = [
+    "space_saving_partials",
+    "heavy_hitters",
+    "cms_build",
+    "cms_merge",
+    "cms_lookup",
+]
 
 # referenced semantics: the reference's bounded top-K with tie-break
 # (/root/reference/crawlstats.py:909-935 frequent-item emission) is the

@@ -135,6 +135,46 @@ def exact_percentiles(
     )
 
 
+def approx_percentiles(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    permilles: tuple[int, ...] = (500, 900, 990),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Sketch-mode counterpart of exact_percentiles: Spark's mergeable
+    quantile summary (`percentile_approx`, the Greenwald–Khanna family)
+    with rank error ≤ n/accuracy per group.
+
+    Scale shape: where exact_percentiles' histogram is bounded by the
+    number of DISTINCT metric values, the GK summary is bounded by
+    ``accuracy`` alone — the right tool when the metric is continuous or
+    high-cardinality (float scores, byte sizes at 10^10 rows): state is
+    O(accuracy) per group, merged map-side like any partial aggregate,
+    and nothing in the plan depends on value cardinality. Rows-only for
+    the driver (sketch output); tests/test_sketches.py pins the rank-error
+    bound against the exact path on the same input."""
+    v = F.col(value_col).cast("long")
+    qs = F.array(*[F.lit(p / 1000.0) for p in permilles])
+    pa = F.percentile_approx(v, qs, F.lit(accuracy))
+    return (
+        docs.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            pa.alias("_ps"),
+        )
+        .select(
+            "grp",
+            "n_rows",
+            *[
+                F.element_at("_ps", i + 1).cast("long").alias(f"p{p}")
+                for i, p in enumerate(permilles)
+            ],
+        )
+        .orderBy("grp")
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token counts: whitespace tokens and BPE-ish regex
     tokens, plus char length. regexp_count is whole-stage codegen."""

@@ -191,6 +191,37 @@ def q_length_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     return TX.exact_percentiles(load_table(spark, sf, "documents"))
 
 
+def q_length_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-mode per-language length percentiles
+    (textstats.approx_percentiles — Spark's mergeable GK quantile summary,
+    state O(accuracy) per group regardless of value cardinality).
+    Rows-only: sketch output; the rank-error bound vs the exact-histogram
+    path is pinned in tests/test_sketches.py."""
+    return TX.approx_percentiles(load_table(spark, sf, "documents"))
+
+
+def q_cms_host_freq(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min point-frequency estimates (operators/sketches.py:cms_*)
+    for the exact top-20 hosts: the sketch table is ≤ depth×width cells
+    no matter the host cardinality, and lookups broadcast it. Rows-only:
+    xxhash64 bucketing has no DuckDB equivalent; the est ≥ true guarantee,
+    merge identity and partition-determinism are pinned in
+    tests/test_sketches.py."""
+    from ..operators.counts import page_rows
+    from ..operators.sketches import cms_build, cms_lookup
+
+    rows = page_rows(pages_df(spark, sf))
+    sketch = cms_build(rows, "host", depth=4, width=8192)
+    probes = (
+        rows.groupBy("host")
+        .count()
+        .orderBy(F.desc("count"), "host")
+        .limit(20)
+        .select("host")
+    )
+    return cms_lookup(sketch, probes, "host", depth=4, width=8192)
+
+
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """BPE merge learning over the documents corpus
     (operators/textstats.py:bpe_merges). Iterative (one argmax scalar per
@@ -1052,6 +1083,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocabulary": q_vocabulary,
     "bpe_merges": q_bpe_merges,
     "length_percentiles": q_length_percentiles,
+    "length_percentiles_approx": q_length_percentiles_approx,
+    "cms_host_freq": q_cms_host_freq,
     "language_id": q_language_id,
     "language_confusion": q_language_confusion,
     "nb_weights": q_nb_weights,

@@ -85,3 +85,128 @@ def test_weighted_counts(spark):
     assert out["c"]["est_lo"] == out["c"]["est_hi"] == 2
     # tie between b and c at weight 2 -> key-ascending tiebreak
     assert out["b"]["rank"] < out["c"]["rank"]
+
+
+# --- count-min sketch -------------------------------------------------------
+
+from cc_crawl_statistics_spark.operators.sketches import (  # noqa: E402
+    cms_build,
+    cms_lookup,
+    cms_merge,
+)
+
+
+def _cms_true(df):
+    return {
+        r["key"]: r["cnt"]
+        for r in df.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+
+
+def test_cms_never_underestimates(spark):
+    df = _skewed_df(spark, n_keys=300)
+    sketch = cms_build(df, "key", depth=4, width=256)  # narrow: collisions
+    probes = df.select("key").distinct()
+    est = {r["key"]: r["est"] for r in cms_lookup(sketch, probes, "key", depth=4, width=256).collect()}
+    true = _cms_true(df)
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+
+
+def test_cms_exact_when_wide(spark):
+    # width >> distinct keys and 4 independent rows: planted counts come
+    # back exact (no collision survives the min across 4 seeds)
+    df = _skewed_df(spark, n_keys=50)
+    sketch = cms_build(df, "key", depth=4, width=8192)
+    probes = df.select("key").distinct()
+    est = {r["key"]: r["est"] for r in cms_lookup(sketch, probes, "key", depth=4, width=8192).collect()}
+    assert est == _cms_true(df)
+
+
+def test_cms_absent_key_zero_when_no_collision(spark):
+    df = _skewed_df(spark, n_keys=20)
+    sketch = cms_build(df, "key", depth=4, width=8192)
+    probes = spark.createDataFrame([("neverseen",)], "key string")
+    est = cms_lookup(sketch, probes, "key", depth=4, width=8192).first()
+    assert est["est"] == 0
+
+
+def test_cms_merge_identity_and_partition_determinism(spark):
+    df = _skewed_df(spark, n_keys=120)
+    a, b = df.randomSplit([0.5, 0.5], seed=11)
+    whole = cms_build(df, "key", depth=4, width=512)
+    merged = cms_merge(
+        cms_build(a, "key", depth=4, width=512),
+        cms_build(b, "key", depth=4, width=512),
+    )
+    assert (
+        sorted(map(tuple, whole.collect()))
+        == sorted(map(tuple, merged.collect()))
+    )
+    # cell table is partition-independent (pure integer sums)
+    again = cms_build(df.repartition(13), "key", depth=4, width=512)
+    assert (
+        sorted(map(tuple, whole.collect()))
+        == sorted(map(tuple, again.collect()))
+    )
+
+
+def test_cms_table_bounded(spark):
+    df = _skewed_df(spark, n_keys=300)
+    sketch = cms_build(df, "key", depth=3, width=64)
+    assert sketch.count() <= 3 * 64
+    total = sketch.groupBy("seed").agg(F.sum("weight").alias("n")).collect()
+    n_rows = df.count()
+    for r in total:  # every row lands in exactly one bucket per seed
+        assert r["n"] == n_rows
+
+
+def test_cms_weighted(spark):
+    rows = [("a", 5), ("b", 1), ("a", 7), ("c", 2)]
+    df = spark.createDataFrame(rows, "key string, w long")
+    sketch = cms_build(df, "key", depth=4, width=4096, weight_col="w")
+    probes = df.select("key").distinct()
+    est = {r["key"]: r["est"] for r in cms_lookup(sketch, probes, "key", depth=4, width=4096).collect()}
+    assert est == {"a": 12, "b": 1, "c": 2}
+
+
+# --- GK approx quantiles vs the exact histogram path ------------------------
+
+
+def test_approx_percentiles_rank_error_bound(spark):
+    from cc_crawl_statistics_spark.operators.textstats import (
+        approx_percentiles,
+        exact_percentiles,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (f"lang{i % 3}", int(rng.lognormvariate(6, 1.2)))
+        for i in range(6000)
+    ]
+    df = spark.createDataFrame(rows, "lang string, n_chars long")
+    acc = 1000
+    approx = {
+        r["grp"]: r
+        for r in approx_percentiles(df, accuracy=acc).collect()
+    }
+    values = {}
+    for lang, v in rows:
+        values.setdefault(lang, []).append(v)
+    for lang, vs in values.items():
+        vs.sort()
+        n = len(vs)
+        got = approx[lang]
+        assert got["n_rows"] == n
+        for p in (500, 900, 990):
+            v = got[f"p{p}"]
+            # rank of the returned value must be within n/accuracy of the
+            # target rank (GK guarantee)
+            import bisect
+
+            lo = bisect.bisect_left(vs, v)
+            hi = bisect.bisect_right(vs, v) - 1
+            target = p / 1000 * n
+            tol = n / acc + 1
+            assert lo - tol <= target <= hi + tol + 1, (lang, p, v, lo, hi, target)
