@@ -336,6 +336,68 @@ class SnapshotStore:
             shutil.rmtree(final)
         os.replace(tmp, final)
 
+    # per-round state tables an expiration may remove (never the round-0
+    # corpus dimensions universe/host_ledger, never manifests)
+    _STATE_TABLES = (
+        "frontier",
+        "frontier_delta",
+        "url_seen_base",
+        "url_seen_delta",
+        "url_seen_reopen",
+        "schedule",
+        "blocked",
+    )
+    _OUTPUT_TABLES = ("round_stats", "fetched")
+    _PREFILTER_FILES = ("url_seen_bloom.npy", "url_seen_cuckoo.npy")
+
+    def expire_rounds(
+        self, upto_rnd: int, include_outputs: bool = False
+    ) -> list[str]:
+        """Iceberg ``expire_snapshots`` analog: drop per-round state tables
+        that no read at rounds ≥ the newest bases can ever touch, bounding
+        store growth over thousands of rounds (at 10¹⁰ URLs the dead
+        pre-compaction deltas/bases dominate the footprint).
+
+        Safe-set derivation (mirrors read_frontier/read_seen exactly):
+        with fb = frontier_base_round(upto) and sb = seen_base_round(upto),
+        any read at rounds ≥ cutoff = min(fb, sb) touches only (a) the
+        bases themselves, (b) deltas/retire lists/reopens at rounds ≥ the
+        respective base, and (c) the round-0 corpus dimensions + manifests
+        — so every state table at rounds < cutoff is unreachable. Those
+        are removed; manifests (metrics / partition-lineage history) and
+        ``universe``/``host_ledger`` are always kept, and the analytics
+        outputs (round_stats, fetched) only go with ``include_outputs``.
+
+        The trade-off is Iceberg's: time travel BEFORE the cutoff is gone
+        (read_frontier raises FileNotFoundError for expired rounds —
+        pinned by test); resume from any round ≥ cutoff is bit-identical
+        (pinned by test). Idempotent and crash-safe: deletion order
+        doesn't matter because nothing reachable is ever deleted."""
+        fb = self.frontier_base_round(upto_rnd)
+        sb = self.seen_base_round(upto_rnd)
+        if fb is None or sb is None:
+            return []
+        cutoff = min(fb, sb)
+        removed: list[str] = []
+        tables = self._STATE_TABLES + (
+            self._OUTPUT_TABLES if include_outputs else ()
+        )
+        for r in range(0, cutoff):
+            rdir = self._round_dir(r)
+            if not os.path.isdir(rdir):
+                continue
+            for t in tables:
+                p = os.path.join(rdir, t)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                    removed.append(p)
+            for fname in self._PREFILTER_FILES:
+                p = os.path.join(rdir, fname)
+                if os.path.exists(p):
+                    os.remove(p)
+                    removed.append(p)
+        return removed
+
     def bloom_path(self, upto_rnd: int) -> str | None:
         """Path of the newest materialized Bloom filter ≤ upto_rnd."""
         base = self.seen_base_round(upto_rnd)

@@ -515,3 +515,52 @@ def test_blocklist_gated_discovery(spark, store):
         scheduler.run_round(spark, st2, SF_SMOKE, expand_fn=ungated)
     f2 = st2.read_frontier(spark, st2.latest_round()).toPandas()
     assert len(f2[f2.host == victim]) > len(on_victim)
+
+
+def test_expire_rounds_bit_identical_and_unreachable_removed(spark, tmp_path):
+    """state.expire_rounds (the Iceberg expire_snapshots analog): after
+    compaction, dropping the pre-cutoff state tables changes NOTHING a
+    read at rounds >= the bases can see — the next scheduled round, the
+    reconstructed frontier and the seen set are bit-identical to an
+    unexpired copy of the same store — while the dead tables are gone,
+    manifests/corpus dimensions survive, and time travel before the
+    cutoff now fails loudly."""
+    a = SnapshotStore(str(tmp_path / "keep"))
+    for _ in range(1, 5):
+        scheduler.run_round(
+            spark, a, SF_SMOKE, compact_every=2, bloom_min_seen=0
+        )
+    # identical store copy, then expire one of them
+    shutil.copytree(a.root, str(tmp_path / "expired"))
+    b = SnapshotStore(str(tmp_path / "expired"))
+    removed = b.expire_rounds(4)
+    cutoff = min(a.frontier_base_round(4), a.seen_base_round(4))
+    assert cutoff >= 2  # compaction ran, so the test exercises deletion
+    assert removed, "expected pre-cutoff state tables to be removed"
+    for p in removed:
+        assert not os.path.exists(p)
+        assert int(p.split("round=")[1][:4]) < cutoff
+    # idempotent
+    assert b.expire_rounds(4) == []
+    # manifests + corpus dimensions survive at every round
+    for r in range(0, 5):
+        assert os.path.exists(os.path.join(b._round_dir(r), MANIFEST))
+    assert os.path.exists(os.path.join(b._round_dir(0), "universe"))
+    assert os.path.exists(os.path.join(b._round_dir(0), "host_ledger"))
+    # reads at the head are bit-identical to the unexpired store
+    assert (
+        sorted(map(tuple, a.read_seen(spark, 4).collect()))
+        == sorted(map(tuple, b.read_seen(spark, 4).collect()))
+    )
+    fa = a.read_frontier(spark, 4).drop("doc_id")
+    fb = b.read_frontier(spark, 4).drop("doc_id")
+    assert (
+        sorted(map(tuple, fa.collect())) == sorted(map(tuple, fb.collect()))
+    )
+    # the NEXT round schedules identically on both stores
+    scheduler.run_round(spark, a, SF_SMOKE, compact_every=2, bloom_min_seen=0)
+    scheduler.run_round(spark, b, SF_SMOKE, compact_every=2, bloom_min_seen=0)
+    assert schedule_rows(spark, a, 5) == schedule_rows(spark, b, 5)
+    # time travel before the cutoff is gone, and fails loudly
+    with pytest.raises(FileNotFoundError):
+        b.read_frontier(spark, cutoff - 1)
