@@ -320,6 +320,17 @@ def q_events_windowed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time range self-join (streaming/rounds.py:attribution_join —
+    the stream-stream join class run here on the static input; the SAME
+    plan function drives the watermarked streaming variant, equivalence
+    pinned in tests/test_streaming.py)."""
+    from ..streaming.rounds import attribution_join
+
+    ev = load_table(spark, sf, "events")
+    return attribution_join(ev).orderBy("user_id", "lhs_id", "rhs_id")
+
+
 SESSION_GAP_S = 1800  # the 30-min rule, shared by both session queries
 
 
@@ -1095,6 +1106,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "media_resize": q_media_resize,
     "events_windowed": q_events_windowed,
+    "events_attribution": q_events_attribution,
     "events_sessionize": q_events_sessionize,
     "frontier_schedule": q_frontier_schedule,
     "schedule_politeness": q_schedule_politeness,
@@ -2222,6 +2234,20 @@ SELECT CAST(FLOOR(epoch(ts) / 300) AS BIGINT) AS bucket, event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+""",
+    "events_attribution": """
+SELECT v.user_id,
+       v.event_id AS lhs_id,
+       c.event_id AS rhs_id,
+       CAST(FLOOR(epoch(c.ts)) - FLOOR(epoch(v.ts)) AS BIGINT)
+         AS lag_seconds
+FROM events v
+JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 1800 SECOND
+ORDER BY v.user_id, lhs_id, rhs_id
 """,
     "events_sessionize": """
 WITH """ + _SESSION_FLAGS_SQL + """

@@ -72,6 +72,65 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def attribution_join(
+    lhs_events: DataFrame,
+    rhs_events: DataFrame | None = None,
+    lhs_type: str = "view",
+    rhs_type: str = "click",
+    horizon_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream event-time range join (the remaining §2.8 operator
+    class): attribute each ``rhs_type`` event to every same-user
+    ``lhs_type`` event it follows within ``horizon_seconds`` — the
+    view→click attribution shape.
+
+    ONE plan for both modes: on static inputs this is a plain range
+    equi-join (the batch oracle path, SQL-expressible for DuckDB parity);
+    on streaming inputs the watermarks plus the two-sided time-range
+    condition let Spark derive state-eviction bounds, so join state per
+    side is watermark-horizon × arrival-rate, hash-partitioned by
+    ``user_id`` — bounded regardless of stream length. Inner join: no
+    row waits on the other side beyond the horizon.
+
+    ``rhs_events`` defaults to the lhs source (self-join); pass a second
+    readStream over the same path for engines/tests that want distinct
+    source nodes. Stream == batch equivalence is pinned in
+    tests/test_streaming.py; exact-value parity vs DuckDB by the
+    events_attribution oracle query."""
+    rhs_events = lhs_events if rhs_events is None else rhs_events
+    lhs = lhs_events.filter(F.col("event_type") == lhs_type).select(
+        F.col("user_id").alias("lhs_user"),
+        F.col("event_id").alias("lhs_id"),
+        F.col("ts").alias("lhs_ts"),
+    )
+    rhs = rhs_events.filter(F.col("event_type") == rhs_type).select(
+        F.col("user_id").alias("rhs_user"),
+        F.col("event_id").alias("rhs_id"),
+        F.col("ts").alias("rhs_ts"),
+    )
+    if lhs.isStreaming:
+        lhs = lhs.withWatermark("lhs_ts", watermark)
+    if rhs.isStreaming:
+        rhs = rhs.withWatermark("rhs_ts", watermark)
+    cond = (
+        (F.col("lhs_user") == F.col("rhs_user"))
+        & (F.col("rhs_ts") > F.col("lhs_ts"))
+        & (
+            F.col("rhs_ts")
+            <= F.col("lhs_ts") + F.expr(f"INTERVAL {horizon_seconds} SECOND")
+        )
+    )
+    return lhs.join(rhs, cond, "inner").select(
+        F.col("lhs_user").alias("user_id"),
+        "lhs_id",
+        "rhs_id",
+        (
+            F.unix_timestamp("rhs_ts") - F.unix_timestamp("lhs_ts")
+        ).alias("lag_seconds"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "append"):
     """Drive a streaming query to completion over the available input
     (Trigger.AvailableNow semantics via processAllAvailable)."""

@@ -93,3 +93,56 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         for r in q_events_sessionize(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_attribution_stream_matches_batch(spark):
+    """Stream-stream event-time range join (attribution_join): the
+    watermarked streaming self-join over the file source emits exactly
+    the rows the identical plan produces on the static table."""
+    stream = R.attribution_join(
+        R.stream_events(spark, SF_SMOKE),
+        R.stream_events(spark, SF_SMOKE),
+    )
+    assert stream.isStreaming
+    R.run_to_memory(stream, "attr_out", mode="append")
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM attr_out").collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            R.attribution_join(
+                spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            ).collect(),
+        )
+    )
+    assert len(batch) > 0  # fixture actually exercises the join
+    assert got == batch
+
+
+def test_attribution_semantics_hand_computed(spark):
+    """Boundary pins: strictly-after lower bound, inclusive horizon upper
+    bound, per-user isolation, integer lag."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view at t0; clicks at +1s (in), +1800s (in, boundary),
+        # +1801s (out), and one click BEFORE the view (out)
+        (1, t0, 1, "view", 0.0, ""),
+        (2, t0 + dt.timedelta(seconds=1), 1, "click", 0.0, ""),
+        (3, t0 + dt.timedelta(seconds=1800), 1, "click", 0.0, ""),
+        (4, t0 + dt.timedelta(seconds=1801), 1, "click", 0.0, ""),
+        (5, t0 - dt.timedelta(seconds=5), 1, "click", 0.0, ""),
+        # user 2's click never joins user 1's view
+        (6, t0 + dt.timedelta(seconds=10), 2, "click", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    got = {
+        (r.user_id, r.lhs_id, r.rhs_id): r.lag_seconds
+        for r in R.attribution_join(ev).collect()
+    }
+    assert got == {(1, 1, 2): 1, (1, 1, 3): 1800}
