@@ -259,3 +259,43 @@ def shard_summary(
         )
         .orderBy("shard_id")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement — Efraimidis–Spirakis A-ES
+    (IPL 2006): each row draws u ∈ (0, 1] from a seeded hash of its key
+    and competes with key u^(1/w); the k largest keys ARE a weighted
+    sample without replacement. The log-space form ln(u)/w avoids pow
+    underflow for large weights.
+
+    The quality-weighted corpus subsample a training pipeline draws
+    (heavier = more tokens / higher quality score), with the properties
+    batch jobs need: deterministic for a (seed, key) pair — reproducible
+    across runs, partitionings and cluster sizes (unlike rand(), whose
+    draw depends on partition assignment) — and one-pass distributed:
+    orderBy(limit) compiles to TakeOrderedAndProject (per-partition
+    top-k, merge of k·partitions rows), never a global sort.
+
+    Rows with weight ≤ 0 or NULL cannot be sampled (dropped, matching
+    w → 0 ⇒ key → 0). Registered rows-only (seeded xxhash64 has no DuckDB
+    equivalent); tests pin set-identity vs an independent Python model of
+    the same recurrence, partition invariance, and weight monotonicity."""
+    m = F.lit(float(2**63))
+    u = (
+        (F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)), m) + 1) / m
+    )  # (0, 1], deterministic per (seed, key)
+    w = F.col(weight_col).cast("double")
+    logkey = F.log(u) / w  # ln(u^(1/w)) — maximize
+    return (
+        docs.filter(w > 0)
+        .withColumn("_aes", logkey)
+        .orderBy(F.desc("_aes"), F.col(key_col))
+        .limit(k)
+        .drop("_aes")
+    )

@@ -222,6 +222,20 @@ def q_cms_host_freq(spark: SparkSession, sf: str) -> DataFrame:
     return cms_lookup(sketch, probes, "host", depth=4, width=8192)
 
 
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-weighted corpus subsample (sampling.weighted_sample — the
+    Efraimidis–Spirakis A-ES top-k). Rows-only: the seeded xxhash64 draw
+    has no DuckDB equivalent; set-identity vs an independent Python model
+    of the same recurrence + partition invariance are pinned in
+    tests/test_dedup_similarity.py."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents")
+    return weighted_sample(docs, k=100, weight_col="n_chars").select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
 def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """BPE merge learning over the documents corpus
     (operators/textstats.py:bpe_merges). Iterative (one argmax scalar per
@@ -1096,6 +1110,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_percentiles": q_length_percentiles,
     "length_percentiles_approx": q_length_percentiles_approx,
     "cms_host_freq": q_cms_host_freq,
+    "weighted_sample": q_weighted_sample,
     "language_id": q_language_id,
     "language_confusion": q_language_confusion,
     "nb_weights": q_nb_weights,

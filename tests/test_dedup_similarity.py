@@ -593,3 +593,86 @@ def test_resize_plan_geometry_and_plumbing(spark):
         if s.width > 224 or s.height > 224:
             assert max(r.width, r.height) in (223, 224)
         assert 1 <= len(r.payload) <= len(s.payload)
+
+
+def test_weighted_sample_matches_python_model_and_partitioning(spark):
+    """weighted_sample (A-ES): the selected SET equals an independent
+    Python evaluation of the same recurrence (key = ln(u)/w over the
+    engine's own seeded hash draws), is invariant under repartitioning,
+    and is deterministic per seed."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.sampling import weighted_sample
+
+    n = 400
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # weights 1..8, plus one zero-weight row that must never appear
+        F.when(F.col("id") == 0, 0).otherwise(
+            (F.col("id") % 8) + 1
+        ).alias("wt"),
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            docs, k=50, weight_col="wt", seed=7
+        ).collect()
+    )
+    # independent model: read the engine's u draws, rank in Python
+    draws = {
+        r["doc_id"]: (r["h"] % 2**63 + 1) / 2.0**63
+        for r in docs.select(
+            "doc_id", F.xxhash64("doc_id", F.lit(7)).alias("h")
+        ).collect()
+    }
+    keys = {
+        d: math.log(draws[d]) / ((d % 8) + 1)
+        for d in range(1, n)  # doc 0 has weight 0 -> excluded
+    }
+    want = sorted(sorted(keys, key=lambda d: (-keys[d], d))[:50])
+    assert got == want
+    assert 0 not in got
+    # partition-invariant and seed-deterministic
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            docs.repartition(13), k=50, weight_col="wt", seed=7
+        ).collect()
+    )
+    assert again == got
+    other_seed = sorted(
+        r["doc_id"]
+        for r in weighted_sample(
+            docs, k=50, weight_col="wt", seed=8
+        ).collect()
+    )
+    assert other_seed != got
+
+
+def test_weighted_sample_weight_monotonicity(spark):
+    """Across many seeds, a 50x-heavier row is sampled far more often
+    than a light row (the inclusion-probability direction A-ES
+    guarantees)."""
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.sampling import weighted_sample
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 5, 50).otherwise(1).alias("wt"),
+    )
+    heavy_hits = light_hits = 0
+    for seed in range(30):
+        picked = {
+            r["doc_id"]
+            for r in weighted_sample(
+                docs, k=10, weight_col="wt", seed=seed
+            ).collect()
+        }
+        heavy_hits += sum(1 for d in picked if d < 5)
+        light_hits += sum(1 for d in picked if d >= 5)
+    # 5 heavy rows at weight 50 vs 95 light at weight 1: heavy rows are
+    # ~20% of the draw mass each; over 30 seeds they dominate per-capita
+    assert heavy_hits / 5 > 5 * (light_hits / 95)
