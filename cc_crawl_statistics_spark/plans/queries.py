@@ -2232,6 +2232,7 @@ _PRIORITY = [
 _PRIORITY_NEXT = [
     "asof_capture",         # as-of join vs DuckDB native ASOF oracle
     "concurrent_sessions",  # bucketized range join vs DuckDB IEJoin
+    "events_attribution",   # stream-stream time-range join (batch plan)
     "host_fetch_gaps",      # adaptive politeness from observed gaps
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
@@ -2246,6 +2247,9 @@ _PRIORITY_NEXT = [
     "host_hyperball",       # HyperBall sketch (rows-only)
     "sitemap_sharded",      # sitemapindex chain, arithmetic oracle
     "warc_gzip_index",      # per-record gzip layout (rows-only)
+    "weighted_sample",      # A-ES weighted sampling (rows-only)
+    "cms_host_freq",        # count-min point frequency (rows-only)
+    "length_percentiles_approx",  # GK quantile sketch (rows-only)
 ]
 
 _ordered = {name: QUERIES[name] for name in _PRIORITY + _PRIORITY_NEXT}
