@@ -647,7 +647,18 @@ def nb_train(
         F.col(label_col).alias("label"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
     ).filter(F.col("token") != "")
-    tc = toks.groupBy("token").agg(F.count("*").cast("long").alias("n"))
+    # the ONE corpus-scale shuffle: (label, token) counts. Everything
+    # below re-aggregates / joins this bounded (≤ tokens × C rows) table;
+    # the lazy localCheckpoint cuts its lineage because it feeds several
+    # branches (token totals for vocab selection, class counts, dense
+    # join) — without it each branch re-executes the corpus explode,
+    # silently breaking the one-shuffle contract.
+    lt = (
+        toks.groupBy("label", "token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    tc = lt.groupBy("token").agg(F.sum("cnt").cast("long").alias("n"))
     order = (F.desc("n"), F.asc("token"))
     w1 = Window.partitionBy("_salt").orderBy(*order)
     w2 = Window.orderBy(*order)
@@ -658,11 +669,10 @@ def nb_train(
         .withColumn("_r", F.row_number().over(w2))
         .filter(F.col("_r") <= vocab_size)
         .select("token")
+        .localCheckpoint(eager=False)  # feeds 3 branches, ≤K rows
     )
-    cls = (
-        toks.join(F.broadcast(vocab), "token")
-        .groupBy("label", "token")
-        .agg(F.count("*").cast("long").alias("cnt"))
+    cls = lt.join(F.broadcast(vocab), "token").select(
+        "label", "token", "cnt"
     )
     nc = cls.groupBy("label").agg(F.sum("cnt").alias("n_c"))
     lab = docs.groupBy(F.col(label_col).alias("label")).agg(
