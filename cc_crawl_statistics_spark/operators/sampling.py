@@ -128,12 +128,17 @@ def domain_mixture_weights(
     is one groupBy shuffle, two broadcast scalars and a constant-size
     rank.
     """
+    # per_group / base each feed several branches (totals, deficit,
+    # top-ups, the final join); Catalyst does not reuse the exchange
+    # across them, so without lineage cuts the corpus-scale
+    # regexp_count scan re-executes once per branch. Both tables are
+    # group-dimension-bounded — the cuts cost nothing at any scale.
     per_group = docs.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.regexp_count(F.col(text_col), F.lit(WS_TOKEN_RE)))
         .cast("long")
         .alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     total = (
         per_group.select(
             F.floor(F.sqrt(F.col("n_tokens"))).cast("long").alias("i")
@@ -145,6 +150,7 @@ def domain_mixture_weights(
         .withColumn("_isqrt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long"))
         .withColumn("_base", F.expr("CAST((1000 * _isqrt) DIV _total AS BIGINT)"))
         .withColumn("_rem", F.expr("CAST((1000 * _isqrt) % _total AS BIGINT)"))
+        .localCheckpoint(eager=False)
     )
     deficit = base.agg(
         (F.lit(1000) - F.sum("_base")).cast("long").alias("_deficit")
@@ -235,10 +241,12 @@ def shard_summary(
     and each shard's deviation from the mean in permille (integer-exact:
     dev = ⌊1000·n_tokens·n_shards/total⌋ − 1000)."""
     assign = shard_assignment(docs, n_shards, n_salts, text_col)
+    # per feeds both the total scalar and the final select — cut lineage
+    # so the corpus-scale assignment runs once (per is ≤ n_shards rows)
     per = assign.groupBy("shard_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     total = per.agg(F.sum("n_tokens").cast("long").alias("_total"))
     return (
         per.join(F.broadcast(total))

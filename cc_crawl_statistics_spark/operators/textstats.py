@@ -830,6 +830,12 @@ def tfidf_keywords(
         .filter(F.col("token") != "")
         .groupBy("doc_id", "token")
         .agg(F.count("*").cast("long").alias("tf"))
+        # dt feeds BOTH the df table and the idf join-back; Catalyst does
+        # not reuse the exchange across the two branches (plan-checked:
+        # 0 ReusedExchange), so without a lineage cut the corpus explode
+        # and (doc, token) shuffle run twice. Storing dt once costs what
+        # one shuffle write already costs.
+        .localCheckpoint(eager=False)
     )
     df_tab = dt.groupBy("token").agg(
         F.count("*").cast("long").alias("df")

@@ -237,7 +237,12 @@ def domain_coverage(
     phase 1 ranks within (crawl, salt) — ≤ k survivors per salt — and
     only the ≤ n_salts·k survivors per crawl see the global-per-crawl
     window. The per-crawl totals come from a plain map-side-combined
-    aggregation, never a whole-dimension window."""
+    aggregation, never a whole-dimension window.
+
+    domain_counts feeds two branches (selection + totals) and the ranked
+    window two more (top rows + <other> closure) — lineage cuts keep the
+    corpus-scale rollup and the two-phase window to one execution each."""
+    domain_counts = domain_counts.localCheckpoint(eager=False)
     order = (F.desc("pages"), F.desc("urls"), F.desc("domain"))
     w1 = Window.partitionBy("crawl", "_salt").orderBy(*order)
     w2 = Window.partitionBy("crawl").orderBy(*order)
@@ -259,7 +264,7 @@ def domain_coverage(
         "domain",
         F.col("rank").cast("long").alias("rank"),
         F.sum("pages").over(run).alias("cum_pages"),
-    )
+    ).localCheckpoint(eager=False)
     top = ranked.join(F.broadcast(totals), "crawl").select(
         "crawl",
         "domain",
@@ -294,7 +299,13 @@ def top_n_with_other(
     """A20 (table.py:49-118): keep the top-N keys by total pages across
     crawls (with a minimum-total floor), map the rest to '<other>', and
     re-aggregate per crawl. Two shuffles: the global ranking is over the
-    already-aggregated key dimension, then one re-aggregation."""
+    already-aggregated key dimension, then one re-aggregation.
+
+    The counts table feeds three branches (totals, kept-semi, other-anti);
+    its own rows are (crawl × key)-bounded but its LINEAGE is a
+    corpus-scale aggregation, so cut it once — otherwise the corpus scan
+    re-executes per branch (no exchange reuse across them)."""
+    counts = counts.localCheckpoint(eager=False)
     totals = (
         counts.groupBy(key)
         .agg(F.sum("pages").alias("total_pages"), F.sum("urls").alias("total_urls"))
@@ -622,7 +633,9 @@ def top_n_with_unknown(
     costs nothing."""
     from .counts import with_flags
 
-    known = top_n_with_other(counts, key, n)
+    # known feeds the covered-subtraction AND the final union — cut it
+    # (bounded rows) so the top-N plan runs once
+    known = top_n_with_other(counts, key, n).localCheckpoint(eager=False)
     totals = (
         with_flags(pages)
         .groupBy("crawl")
