@@ -98,11 +98,17 @@ def minhash_lsh_pairs(
     sets only for candidate pairs — O(candidates), not O(n²).
     """
     rows = n_hashes // bands
+    # sig feeds the band explode AND both shingle-set join-backs; banded
+    # feeds both sides of the bucket self-join. Lineage cuts run the
+    # shingling + 64-hash signature pass ONCE (it re-executed up to 4×
+    # otherwise — no exchange reuse across branches); what the checkpoint
+    # stores is exactly the (doc_id, sh, sig) relation every branch needs.
     sig = (
         with_word_shingles(docs, text_col, shingle_n)
         .select("doc_id", "sh")
         .filter(F.size("sh") > 0)
         .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .localCheckpoint(eager=False)
     )
     # the band explode and the bucket self-join carry ONLY (doc_id, band,
     # bucket) — never the shingle arrays. Shuffling the arrays through the
@@ -129,7 +135,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").localCheckpoint(eager=False)
 
     left = banded.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("doc_b"))
@@ -187,10 +193,15 @@ def ngram_jaccard_pairs(
     a 10¹²-row join bucket; with the cap the worst bucket is
     max_doc_freq²) and accept the documented approximation, while the
     default stays exact."""
+    # sh_arrays feeds the inverted index AND both per-candidate join-backs,
+    # and sh_cold both sides of the candidate self-join — lineage cuts run
+    # the shingling pass once (it re-executed up to 5× otherwise; no
+    # exchange reuse across branches)
     sh_arrays = (
         with_word_shingles(docs, text_col, shingle_n)
         .select("doc_id", "sh")
         .filter(F.size("sh") > 0)
+        .localCheckpoint(eager=False)
     )
     sh = sh_arrays.select("doc_id", F.explode("sh").alias("s"))
     if max_doc_freq is None:
@@ -202,7 +213,12 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_doc_freq)
             .select("s")
         )
-        sh_cold = sh.join(cold, "s", "left_semi")
+        # the semi-join result feeds both self-join sides; cut it so the
+        # df-table shuffle runs once (the exact branch needs no cut — its
+        # sh_cold is a plain explode over the checkpointed arrays)
+        sh_cold = sh.join(cold, "s", "left_semi").localCheckpoint(
+            eager=False
+        )
     a = sh_cold.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh_cold.select(F.col("doc_id").alias("doc_b"), "s")
     cand = (
@@ -268,7 +284,9 @@ def simhash_near_pairs(
     """Near-duplicate pairs by SimHash: candidates share one of 4 16-bit
     chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified by exact
     popcount of the XOR. Bucket-join, never O(n²)."""
-    sh = simhash(docs, text_col)
+    # both self-join sides derive from the signature table; cut it (two
+    # longs per doc) so the corpus-pass simhash computation runs once
+    sh = simhash(docs, text_col).localCheckpoint(eager=False)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -335,7 +353,12 @@ def embedding_near_dup(
             lambda acc, x: acc + x,
         )
     )
-    e = emb.select(F.col("vec_id"), v.alias("v"), norm.alias("n"))
+    # e feeds the bucket explode and both vector join-backs; buckets both
+    # self-join sides — cuts run the norm pass and the n_tables×planes
+    # hyperplane projections once each (no exchange reuse across branches)
+    e = emb.select(
+        F.col("vec_id"), v.alias("v"), norm.alias("n")
+    ).localCheckpoint(eager=False)
 
     buckets = e.select(
         "vec_id",
@@ -352,7 +375,7 @@ def embedding_near_dup(
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "tb.tbl", "tb.bucket")
+    ).select("vec_id", "tb.tbl", "tb.bucket").localCheckpoint(eager=False)
 
     left = buckets.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
     right = buckets.select("tbl", "bucket", F.col("vec_id").alias("vec_b"))
