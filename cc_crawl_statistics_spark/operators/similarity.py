@@ -285,9 +285,11 @@ def semdedup_verdicts(
     across partitionings.
     """
     cents = ivf_centroids(emb, k=k, vec_col=vec_col, iters=iters)
+    # assigned feeds both pair-join sides and the final verdict join —
+    # cut it so the broadcast-assign corpus pass runs once, not thrice
     assigned = _assign(emb, cents, vec_col).select(
         "centroid_id", "vec_id", F.col(vec_col).alias("_v")
-    )
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("a_id"),
