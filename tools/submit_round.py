@@ -28,6 +28,12 @@ def main() -> None:
         "--extract", action="store_true",
         help="run the fetch+extract stage each round (byte-identity metrics)",
     )
+    ap.add_argument(
+        "--expire", action="store_true",
+        help="after each round, drop state tables unreachable past the "
+        "newest compaction bases (SnapshotStore.expire_rounds — the "
+        "Iceberg expire_snapshots analog; gives up pre-cutoff time travel)",
+    )
     args = ap.parse_args()
 
     # Imports resolve from --py-files on executors and driver alike.
@@ -52,6 +58,9 @@ def main() -> None:
             n_partitions=args.partitions,
             docs=docs,
         )
+        if args.expire:
+            removed = store.expire_rounds(metrics["round"])
+            metrics["n_expired_tables"] = len(removed)
         print(json.dumps(metrics))
     spark.stop()
 
