@@ -249,12 +249,172 @@ def cms_lookup(
     )
 
 
+def kmv_sketch(
+    df: DataFrame,
+    item_col: str = "url",
+    group_cols: tuple[str, ...] = ("crawl",),
+    k: int = 256,
+    n_salts: int = 8,
+) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et
+    al. SIGMOD'07) per group: the ``k`` smallest xxhash64 values of the
+    group's distinct items, as one sorted array column ``kmv``.
+
+    This is the set-operation member of the sketch family: HLL gives
+    distinct counts (counts.size_estimate) but intersections only by
+    inclusion–exclusion — |A∩B| = |A|+|B|−|A∪B| — whose error scales with
+    the UNION size, terrible for small overlaps between big crawls. A KMV
+    synopsis is a uniform sample of the hashed universe, so Jaccard /
+    containment / difference are estimated DIRECTLY with error ~1/√k
+    regardless of how small the intersection is relative to the sets
+    (the reference computes its overlap matrix via inclusion–exclusion,
+    overlap.py:47-68 — crawl_overlap_sketch mirrors that; this is the
+    better-conditioned alternative).
+
+    Scale shape: distinct is ONE map-side-combined shuffle on the hash
+    itself; bottom-k uses the engine's salted two-phase rank (same shape
+    as host_bucketed_topk) — both windows compile to WindowGroupLimit, so
+    each map task ships at most k rows per (group, salt) and no task ever
+    sorts a whole group. Output: ≤ one k-long array per group.
+
+    Ordering note: bottom-k is by SIGNED hash value — the map
+    u = h + 2⁶³ to the unsigned estimator domain is order-preserving, so
+    signed order needs no conversion until estimation time.
+    """
+    h = F.xxhash64(F.col(item_col).cast("string")).alias("h")
+    sel = df.select(*group_cols, h).distinct()
+    # decorrelate the salt from the rank order (low bits of h are fine,
+    # but re-hashing makes the independence explicit)
+    sel = sel.withColumn("salt", F.pmod(F.xxhash64("h"), F.lit(n_salts)))
+    w1 = Window.partitionBy(*group_cols, "salt").orderBy("h")
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        sel.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .withColumn("r", F.row_number().over(w2))
+        .filter(F.col("r") <= k)
+        .groupBy(*group_cols)
+        .agg(F.array_sort(F.collect_list("h")).alias("kmv"))
+    )
+
+
+def _kmv_distinct_est(kmv, k: int):
+    """Distinct-count estimate off one sorted bottom-k array: exact size
+    when the sketch is under-full (it IS the distinct hash set), else the
+    classic (k−1)·2⁶⁴ / u_(k) with u = h + 2⁶³ (order-preserving unsigned
+    map). The kth value is an exact integer, so the estimate is a pure
+    deterministic function of the sketch — partitioning-invariant."""
+    kth_u = (
+        F.element_at(kmv, k).cast("double") + F.lit(2.0**63)
+    )
+    return F.when(F.size(kmv) < k, F.size(kmv).cast("long")).otherwise(
+        F.floor(F.lit(float(k - 1) * 2.0**64) / kth_u).cast("long")
+    )
+
+
+def kmv_distinct_estimates(
+    sketch: DataFrame, k: int = 256, group_cols: tuple[str, ...] = ("crawl",)
+) -> DataFrame:
+    """(group, est_distinct, is_exact) off a kmv_sketch output."""
+    return sketch.select(
+        *group_cols,
+        _kmv_distinct_est(F.col("kmv"), k).alias("est_distinct"),
+        (F.size("kmv") < k).alias("is_exact"),
+    )
+
+
+def kmv_overlap(
+    sketch: DataFrame, k: int = 256, group_col: str = "crawl"
+) -> DataFrame:
+    """Pairwise set-operation estimates between group sketches.
+
+    bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) exactly
+    (every global bottom-k element is in its own set's bottom-k — the
+    mergeable-summaries property, pinned by test), so the merged synopsis
+    M is a true uniform sample of A ∪ B. For every x ∈ M, membership in
+    the A/B sketches equals membership in A/B (x is below both sketch
+    thresholds by construction), giving exact per-element indicator
+    columns and hence direct estimators:
+
+        jaccard     = |{x ∈ M : x ∈ A ∧ x ∈ B}| / |M|
+        containment = |{x ∈ M : x ∈ A ∧ x ∈ B}| / |{x ∈ M : x ∈ B}|
+        only2-share = |{x ∈ M : x ∈ B ∧ x ∉ A}| / |M|   (new-items)
+
+    scaled by the union estimate for absolute counts. Error ~1/√k per
+    pair, independent of |A∩B|/|A∪B| conditioning (vs HLL
+    inclusion–exclusion whose absolute error is ~|A∪B|/√m). When every
+    input sketch is under-full the arrays are the exact hash sets and
+    every output column is exact (degenerate-exactness test).
+
+    Scale: the sketch table is ≤ groups × (k+1) values — the pair join
+    and all array work run on that tiny dimension, broadcast-sized for
+    the ≤126-crawl registry; the corpus is never touched here."""
+    a = sketch.select(
+        F.col(group_col).alias("c1"), F.col("kmv").alias("kmv1")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("c2"), F.col("kmv").alias("kmv2")
+    )
+    merged = F.slice(F.array_sort(F.array_union("kmv1", "kmv2")), 1, k)
+    both = F.size(
+        F.array_intersect(
+            F.col("m"), F.array_intersect("kmv1", "kmv2")
+        )
+    )
+    in2 = F.size(F.array_intersect(F.col("m"), F.col("kmv2")))
+    in1 = F.size(F.array_intersect(F.col("m"), F.col("kmv1")))
+    m_sz = F.size("m")
+    uni = _kmv_distinct_est(F.col("m"), k)
+    return (
+        a.join(b, F.col("c1") < F.col("c2"))
+        .withColumn("m", merged)
+        .select(
+            "c1",
+            "c2",
+            uni.alias("uni_est"),
+            F.floor(both * uni / m_sz).cast("long").alias("inter_est"),
+            F.floor((in1 - both) * uni / m_sz)
+            .cast("long")
+            .alias("only1_est"),
+            F.floor((in2 - both) * uni / m_sz)
+            .cast("long")
+            .alias("only2_est"),
+            F.floor(F.lit(1000) * both / m_sz)
+            .cast("long")
+            .alias("jaccard_permille"),
+            F.floor(F.lit(1000) * both / F.greatest(in2, F.lit(1)))
+            .cast("long")
+            .alias("containment_permille"),
+        )
+        .orderBy("c1", "c2")
+    )
+
+
+def crawl_overlap_kmv(
+    pages: DataFrame, k: int = 256, item_col: str = "url"
+) -> DataFrame:
+    """W7, KMV flavor: the reference's pairwise overlap matrix
+    (overlap.py:47-68) with direct intersection/difference estimators
+    instead of HLL inclusion–exclusion — including the ``only2_est``
+    column, the sketch-mode analog of new-items detection
+    (crawlstats.py:841-863) that the HLL flavor cannot express."""
+    from .counts import page_rows
+
+    return kmv_overlap(
+        kmv_sketch(page_rows(pages), item_col=item_col, k=k), k=k
+    )
+
+
 __all__ = [
     "space_saving_partials",
     "heavy_hitters",
     "cms_build",
     "cms_merge",
     "cms_lookup",
+    "kmv_sketch",
+    "kmv_distinct_estimates",
+    "kmv_overlap",
+    "crawl_overlap_kmv",
 ]
 
 # referenced semantics: the reference's bounded top-K with tie-break

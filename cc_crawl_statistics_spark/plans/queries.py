@@ -2169,6 +2169,23 @@ def q_top_hosts_sketch(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["top_hosts_sketch"] = q_top_hosts_sketch
 
+
+def q_crawl_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    """W7, KMV flavor (operators/sketches.py:crawl_overlap_kmv): direct
+    bottom-k estimators for intersection / Jaccard / containment AND the
+    asymmetric differences (only1/only2 = the new-items estimate) that
+    HLL inclusion–exclusion cannot condition well — error ~1/√k per pair
+    regardless of |A∩B|/|A∪B|. Rows-only: xxhash64 bottom-k sets are not
+    reproducible in DuckDB SQL; evidence is tests/test_sketches.py's
+    merge-identity, degenerate-exactness, partition-invariance and
+    error-bound pins."""
+    from ..operators.sketches import crawl_overlap_kmv
+
+    return crawl_overlap_kmv(pages_df(spark, sf), k=256)
+
+
+QUERIES["crawl_overlap_kmv"] = q_crawl_overlap_kmv
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's CORRECTNESS gate records the FIRST 50
 # entries in insertion order, so the 50 most coverage-distinctive
@@ -2250,6 +2267,7 @@ _PRIORITY_NEXT = [
     "weighted_sample",      # A-ES weighted sampling (rows-only)
     "cms_host_freq",        # count-min point frequency (rows-only)
     "length_percentiles_approx",  # GK quantile sketch (rows-only)
+    "crawl_overlap_kmv",    # bottom-k set-op sketch (rows-only)
 ]
 
 _ordered = {name: QUERIES[name] for name in _PRIORITY + _PRIORITY_NEXT}

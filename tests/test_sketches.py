@@ -210,3 +210,112 @@ def test_approx_percentiles_rank_error_bound(spark):
             target = p / 1000 * n
             tol = n / acc + 1
             assert lo - tol <= target <= hi + tol + 1, (lang, p, v, lo, hi, target)
+
+
+# --------------------------- KMV bottom-k ---------------------------
+# Set-operation sketch: the tests pin (1) the mergeable-summaries
+# identity bottom-k(A∪B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) as exact
+# array equality, (2) degenerate exactness when the sketches are
+# under-full, (3) partition invariance of the sketch itself, and (4) the
+# ~1/sqrt(k) error envelope of the direct Jaccard/difference estimators.
+
+from cc_crawl_statistics_spark.operators.sketches import (  # noqa: E402
+    kmv_distinct_estimates,
+    kmv_overlap,
+    kmv_sketch,
+)
+
+
+def _two_crawls(spark, n_a=3000, n_b=3000, shared=1000, parts=8):
+    rows = [("A", f"item{i:06d}") for i in range(n_a)]
+    rows += [
+        ("B", f"item{i:06d}")
+        for i in range(n_a - shared, n_a - shared + n_b)
+    ]
+    rows += rows[:400]  # duplicate fetches: KMV must distinct first
+    return spark.createDataFrame(
+        rows, "crawl string, url string"
+    ).repartition(parts)
+
+
+def test_kmv_merge_identity(spark):
+    df = _two_crawls(spark, 500, 500, 150)
+    k = 64
+    per_crawl = {
+        r["crawl"]: list(r["kmv"])
+        for r in kmv_sketch(df, "url", ("crawl",), k=k).collect()
+    }
+    union_sketch = list(
+        kmv_sketch(
+            df.withColumn("crawl", F.lit("all")), "url", ("crawl",), k=k
+        )
+        .first()["kmv"]
+    )
+    merged = sorted(set(per_crawl["A"]) | set(per_crawl["B"]))[:k]
+    assert merged == union_sketch
+
+
+def test_kmv_exact_when_underfull(spark):
+    n_a, n_b, shared = 300, 400, 120
+    df = _two_crawls(spark, n_a, n_b, shared)
+    k = 2048  # > every distinct size: sketches are the exact hash sets
+    sk = kmv_sketch(df, "url", ("crawl",), k=k)
+    ests = {
+        r["crawl"]: r
+        for r in kmv_distinct_estimates(sk, k=k).collect()
+    }
+    assert ests["A"]["est_distinct"] == n_a and ests["A"]["is_exact"]
+    assert ests["B"]["est_distinct"] == n_b and ests["B"]["is_exact"]
+    out = kmv_overlap(sk, k=k).first()
+    uni = n_a + n_b - shared
+    assert out["uni_est"] == uni
+    assert out["inter_est"] == shared
+    assert out["only1_est"] == n_a - shared
+    assert out["only2_est"] == n_b - shared
+    assert out["jaccard_permille"] == 1000 * shared // uni
+
+
+def test_kmv_partition_invariance(spark):
+    base = _two_crawls(spark, 800, 800, 200)
+    k = 128
+    a = {
+        r["crawl"]: list(r["kmv"])
+        for r in kmv_sketch(
+            base.repartition(3), "url", ("crawl",), k=k, n_salts=4
+        ).collect()
+    }
+    b = {
+        r["crawl"]: list(r["kmv"])
+        for r in kmv_sketch(
+            base.repartition(11), "url", ("crawl",), k=k, n_salts=16
+        ).collect()
+    }
+    assert a == b
+
+
+def test_kmv_estimator_error_envelope(spark):
+    n_a, n_b, shared = 3000, 3000, 1000
+    df = _two_crawls(spark, n_a, n_b, shared)
+    k = 256
+    sk = kmv_sketch(df, "url", ("crawl",), k=k)
+    for r in kmv_distinct_estimates(sk, k=k).collect():
+        true = n_a if r["crawl"] == "A" else n_b
+        assert not r["is_exact"]
+        # SE = 1/sqrt(k-2) ~ 6.3%; 4 sigma envelope on fixed seedless data
+        assert abs(r["est_distinct"] - true) <= 0.25 * true, r
+    out = kmv_overlap(sk, k=k).first()
+    uni = n_a + n_b - shared
+    assert abs(out["uni_est"] - uni) <= 0.25 * uni
+    # direct Jaccard: SE = sqrt(J(1-J)/k) ~ 0.025 at J=0.2; 4 sigma
+    assert abs(out["jaccard_permille"] - 1000 * shared // uni) <= 100
+    assert abs(out["inter_est"] - shared) <= 0.45 * shared
+    assert abs(out["only2_est"] - (n_b - shared)) <= 0.35 * (n_b - shared)
+
+
+def test_kmv_bottom_k_pushdown_plan(spark):
+    # the salted two-phase rank must compile to WindowGroupLimit (partial
+    # per-map-task limits below the exchange), not a full-group sort
+    df = _two_crawls(spark, 500, 500, 150)
+    plan = kmv_sketch(df, "url", ("crawl",), k=32)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "WindowGroupLimit" in plan
