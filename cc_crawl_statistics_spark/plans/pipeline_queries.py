@@ -939,6 +939,31 @@ def q_host_fetch_gaps(spark: SparkSession, sf: str) -> DataFrame:
     return RC.observed_host_gaps(pages_df(spark, sf), min_fetches=3)
 
 
+def q_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-bucket politeness gate (frontier/politeness.py): every page
+    request folded through the per-host bucket (capacity 1800 mtok,
+    refill 1 mtok/s, cost 1000 mtok — so a second request within ~200 s
+    of an admitted one is denied; on the fixture that denies exactly the
+    +1 s duplicate echoes), summarized per host. ``admitted_ts_sum`` is
+    an order-sensitive fingerprint: flipping any single admission
+    verdict changes it. Oracle: DuckDB recursive CTE replaying the same
+    integer milli-token fold."""
+    from ..frontier.politeness import token_bucket_gate
+
+    gated = token_bucket_gate(pages_df(spark, sf))
+    return gated.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_requests"),
+        F.sum(F.col("admitted").cast("long")).cast("long").alias("n_admitted"),
+        F.sum((~F.col("admitted")).cast("long")).cast("long").alias("n_denied"),
+        F.sum(F.when(F.col("admitted"), F.col("fetch_ts")))
+        .cast("long")
+        .alias("admitted_ts_sum"),
+        F.min(F.when(~F.col("admitted"), F.col("fetch_ts")))
+        .cast("long")
+        .alias("first_denied_ts"),
+    )
+
+
 def q_asof_capture(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time capture lookup (operators/asof.py): for every
     distinct URL probed at two fixed instants, the latest capture with
@@ -1133,6 +1158,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_link_graph": q_host_link_graph,
     "host_components": q_host_components,
     "asof_capture": q_asof_capture,
+    "token_bucket": q_token_bucket,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
@@ -1321,6 +1347,44 @@ SELECT host,
 FROM h ORDER BY host
 """
     ),
+    # token bucket: recursive replay of the integer milli-token fold
+    # (capacity 1800, refill 1/s, cost 1000; base case 1800-1000=800)
+    "token_bucket": oracle_cte(
+        """
+, ordered AS (
+  SELECT host, url, CAST(fetch_ts AS BIGINT) AS ts,
+         ROW_NUMBER() OVER (PARTITION BY host ORDER BY fetch_ts, url) AS rn
+  FROM pages
+),
+walk AS (
+  SELECT host, rn, ts, TRUE AS admitted, CAST(800 AS BIGINT) AS tokens_after
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.host, o.rn, o.ts,
+         LEAST(CAST(1800 AS BIGINT), w.tokens_after + (o.ts - w.ts) * 1)
+           >= 1000 AS admitted,
+         CASE WHEN LEAST(CAST(1800 AS BIGINT),
+                         w.tokens_after + (o.ts - w.ts) * 1) >= 1000
+              THEN LEAST(CAST(1800 AS BIGINT),
+                         w.tokens_after + (o.ts - w.ts) * 1) - 1000
+              ELSE LEAST(CAST(1800 AS BIGINT),
+                         w.tokens_after + (o.ts - w.ts) * 1)
+         END AS tokens_after
+  FROM walk w JOIN ordered o ON o.host = w.host AND o.rn = w.rn + 1
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted,
+       CAST(SUM(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_denied,
+       CAST(SUM(CASE WHEN admitted THEN ts END) AS BIGINT)
+         AS admitted_ts_sum,
+       CAST(MIN(CASE WHEN NOT admitted THEN ts END) AS BIGINT)
+         AS first_denied_ts
+FROM walk GROUP BY host
+"""
+    ).replace("WITH pages", "WITH RECURSIVE pages", 1),
     "host_fetch_gaps": oracle_cte(
         """
 , g AS (

@@ -2251,6 +2251,7 @@ _PRIORITY_NEXT = [
     "concurrent_sessions",  # bucketized range join vs DuckDB IEJoin
     "events_attribution",   # stream-stream time-range join (batch plan)
     "host_fetch_gaps",      # adaptive politeness from observed gaps
+    "token_bucket",         # token-bucket gate vs recursive-CTE oracle
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

@@ -1,0 +1,127 @@
+"""Token-bucket politeness gate: batch fold semantics vs a pure-Python
+model, stream==batch bit-for-bit equivalence, and the codegen-only plan
+shape of the batch path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.frontier.politeness import (
+    token_bucket_gate,
+    token_bucket_stream,
+)
+from cc_crawl_statistics_spark.sources.tables import pages_df
+from tests.conftest import SF_SMOKE
+
+
+def _model(events, capacity=1800, refill=1, cost=1000):
+    """Reference fold: events = [(host, ts, url)] in any order."""
+    out = {}
+    by_host: dict[str, list[tuple[int, str]]] = {}
+    for host, ts, url in events:
+        by_host.setdefault(host, []).append((ts, url))
+    for host, evs in by_host.items():
+        tokens, last = capacity, None
+        for ts, url in sorted(evs):
+            if last is not None:
+                tokens = min(capacity, tokens + (ts - last) * refill)
+            last = ts
+            admitted = tokens >= cost
+            if admitted:
+                tokens -= cost
+            out[(host, url, ts)] = (admitted, tokens)
+    return out
+
+
+EVENTS = [
+    # burst of three 1s apart: 1st admitted (800 left), 2nd denied
+    # (801 < 1000), 3rd denied (802)
+    ("a.com", 1000, "http://a.com/1"),
+    ("a.com", 1001, "http://a.com/2"),
+    ("a.com", 1002, "http://a.com/3"),
+    # refill to exactly cost: 802 + 198 = 1000 -> admitted, 0 left
+    ("a.com", 1200, "http://a.com/4"),
+    # one second short: 0 + 999 = 999 -> denied
+    ("a.com", 2199, "http://a.com/5"),
+    # long idle clamps at capacity (not capacity + surplus): admitted, 800
+    ("a.com", 100000, "http://a.com/6"),
+    # independent host: bucket starts full
+    ("b.com", 1001, "http://b.com/1"),
+    # tie on ts broken by url: /a admitted first, /b denied
+    ("c.com", 500, "http://c.com/b"),
+    ("c.com", 500, "http://c.com/a"),
+]
+
+
+def test_batch_gate_matches_model(spark):
+    df = spark.createDataFrame(
+        EVENTS, "host string, fetch_ts long, url string"
+    )
+    got = {
+        (r.host, r.url, r.fetch_ts): (r.admitted, r.tokens_after)
+        for r in token_bucket_gate(df).collect()
+    }
+    assert got == _model(EVENTS)
+    # spot-pin the edge verdicts the fixture was built around
+    assert got[("a.com", "http://a.com/2", 1001)] == (False, 801)
+    assert got[("a.com", "http://a.com/4", 1200)] == (True, 0)
+    assert got[("a.com", "http://a.com/5", 2199)] == (False, 999)
+    assert got[("a.com", "http://a.com/6", 100000)] == (True, 800)
+    assert got[("c.com", "http://c.com/a", 500)] == (True, 800)
+    assert got[("c.com", "http://c.com/b", 500)] == (False, 800)
+
+
+def test_batch_gate_on_pages_is_conservation_exact(spark):
+    """On the sf0.001 pages fixture: every row gets a verdict, admitted +
+    denied = total, and token balances never go negative or above
+    capacity."""
+    pages = pages_df(spark, SF_SMOKE)
+    gated = token_bucket_gate(pages)
+    agg = gated.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("admitted").cast("long")).alias("adm"),
+        F.min("tokens_after").alias("lo"),
+        F.max("tokens_after").alias("hi"),
+    ).collect()[0]
+    assert agg.n == pages.count()
+    assert 0 < agg.adm < agg.n  # the fixture exercises both verdicts
+    assert agg.lo >= 0 and agg.hi <= 1800
+
+
+def test_batch_plan_is_jvm_only(spark):
+    df = spark.createDataFrame(
+        EVENTS, "host string, fetch_ts long, url string"
+    )
+    plan = token_bucket_gate(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # no Python UDF in the batch path
+    # exactly the one unavoidable exchange: the groupBy(host)
+    assert plan.count("Exchange") <= 2  # agg partial/final pair
+
+
+def test_stream_matches_batch_bit_for_bit(spark, tmp_path):
+    pages = pages_df(spark, SF_SMOKE).select("host", "fetch_ts", "url")
+    src = str(tmp_path / "fetches")
+    pages.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("host string, fetch_ts long, url string")
+        .parquet(src)
+    )
+    out = token_bucket_stream(stream)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bucket_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.host, r.url, r.fetch_ts): (r.admitted, r.tokens_after)
+        for r in spark.sql("SELECT * FROM bucket_out").collect()
+    }
+    want = {
+        (r.host, r.url, r.fetch_ts): (r.admitted, r.tokens_after)
+        for r in token_bucket_gate(pages).collect()
+    }
+    assert got == want
