@@ -87,18 +87,34 @@ def token_bucket_gate(
     host_col: str = "host",
     ts_col: str = "fetch_ts",
     url_col: str = "url",
+    impl: str = "fold",
 ) -> DataFrame:
     """Batch token-bucket admission: one row per request with its
     admission verdict and the bucket balance after it.
 
     Output: (host, url, fetch_ts, admitted, tokens_after) — all
     integer/bool, oracle-safe.
+
+    Two physical shapes, same verdicts (equality pinned in
+    tests/test_politeness.py):
+
+    - ``impl="fold"`` (default): JVM ``aggregate`` over the sorted
+      per-host array — whole-stage codegen, zero Python. The array
+      append inside the fold copies the accumulator, so work per host is
+      O(n²) in its event count: right for politeness-bounded hosts
+      (n ≲ 10⁴), wrong for pathological ones.
+    - ``impl="pandas"``: Arrow-batched ``applyInPandas`` per host —
+      linear time/memory, the big-host path (a month of 1 req/s is
+      ~2.6M events: linear scan, one task). Same single host-hash
+      shuffle either way.
     """
     evs = fetches.select(
         F.col(host_col).alias("host"),
         F.col(ts_col).cast("long").alias("ts"),
         F.col(url_col).alias("url"),
     )
+    if impl == "pandas":
+        return _gate_pandas(evs, capacity_mtok, refill_mtok_per_s, cost_mtok)
     per_host = evs.groupBy("host").agg(
         F.array_sort(F.collect_list(F.struct("ts", "url"))).alias("evs")
     )
@@ -114,6 +130,43 @@ def token_bucket_gate(
         F.col("e.ts").alias("fetch_ts"),
         F.col("e.admitted").alias("admitted"),
         F.col("e.tokens_after").alias("tokens_after"),
+    )
+
+
+def _gate_pandas(
+    evs: DataFrame, capacity: int, refill: int, cost: int
+) -> DataFrame:
+    """Linear-scan per-host fold as an Arrow-batched grouped map."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "url"], kind="mergesort")
+        ts = pdf["ts"].to_numpy()
+        admitted = [False] * len(ts)
+        after = [0] * len(ts)
+        tokens, last = capacity, None
+        # inherently sequential scan (admission feeds back through the
+        # capacity clamp); one pass, no quadratic copying
+        for i, t in enumerate(ts.tolist()):
+            if last is not None:
+                tokens = min(capacity, tokens + (t - last) * refill)
+            last = t
+            if tokens >= cost:
+                tokens -= cost
+                admitted[i] = True
+            after[i] = tokens
+        return pd.DataFrame(
+            {
+                "host": pdf["host"].values,
+                "url": pdf["url"].values,
+                "fetch_ts": ts,
+                "admitted": admitted,
+                "tokens_after": after,
+            }
+        )
+
+    return evs.groupBy("host").applyInPandas(
+        fold, schema=TOKEN_BUCKET_OUTPUT_SCHEMA
     )
 
 

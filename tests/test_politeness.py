@@ -88,6 +88,18 @@ def test_batch_gate_on_pages_is_conservation_exact(spark):
     assert agg.lo >= 0 and agg.hi <= 1800
 
 
+def test_pandas_impl_matches_fold(spark):
+    """The linear big-host path (applyInPandas) and the codegen fold give
+    identical verdicts on the pages fixture."""
+    pages = pages_df(spark, SF_SMOKE)
+    key = lambda r: (r.host, r.url, r.fetch_ts)  # noqa: E731
+    fold = {key(r): (r.admitted, r.tokens_after)
+            for r in token_bucket_gate(pages).collect()}
+    pand = {key(r): (r.admitted, r.tokens_after)
+            for r in token_bucket_gate(pages, impl="pandas").collect()}
+    assert fold == pand
+
+
 def test_batch_plan_is_jvm_only(spark):
     df = spark.createDataFrame(
         EVENTS, "host string, fetch_ts long, url string"
