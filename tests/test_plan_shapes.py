@@ -90,6 +90,7 @@ _BOUNDED_BNLJ_OK = {
     "ann_topk",  # brute-force baseline: broadcast query batch by design
     "crawl_overlap_hll",  # crawl-pair a<b non-equi join, ≤126-row dim
     "crawl_overlap_hll_digest",  # same shape, digest sketches
+    "crawl_overlap_kmv",  # same crawl-pair a<b shape, bottom-k arrays
     "ann_ivf_topk",  # probe joins the ≤n_centroids broadcast table
     "vocabulary",  # token share vs 1-row corpus-total aggregate
     "domain_weights",  # per-domain share vs 1-row total
