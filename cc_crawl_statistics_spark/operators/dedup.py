@@ -750,10 +750,13 @@ def cdc_duplicate_spans(
 
 
 def split_units(
-    docs: DataFrame, text_col: str = "text", unit_words: int = 16
+    docs: DataFrame,
+    text_col: str = "text",
+    unit_words: int = 16,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, pos, unit): tumbling ``unit_words``-word windows of each
-    document — the deterministic segmenter stand-in for the sentence/
+    """(doc_id, *carry, pos, unit): tumbling ``unit_words``-word windows of
+    each document — the deterministic segmenter stand-in for the sentence/
     paragraph units C4 (Raffel et al. 2020, "three-sentence span") and
     RefinedWeb dedup at. Real corpora would split on sentence boundaries;
     the unit-dedup semantics downstream are segmenter-agnostic.
@@ -772,6 +775,7 @@ def split_units(
         .withColumn("_ud_n_units", n_units)
         .select(
             "doc_id",
+            *carry,
             F.col("_ud_n_units").alias("n_units"),
             F.posexplode(
                 F.transform(
@@ -827,6 +831,83 @@ def unit_dedup(
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.count("*").alias("kept_units"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    base = units.groupBy("doc_id").agg(F.max("n_units").alias("n_units"))
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_units",
+            F.coalesce(F.col("kept_units"), zero).alias("kept_units"),
+            F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    unit_words: int = 8,
+    min_docs: int = 2,
+    min_share_permille: int = 600,
+) -> DataFrame:
+    """Per-group boilerplate removal — the CCNet-adjacent curation stage
+    unit_dedup does NOT cover: a unit is boilerplate when it appears in at
+    least ``min_share_permille``/1000 of the group's documents (and in at
+    least ``min_docs`` of them), and boilerplate units are stripped from
+    EVERY document of that group. Contrast with unit_dedup's global
+    first-occurrence rule, which keeps a nav header in the first page that
+    carries it; a site-scoped template should vanish from all of them.
+    (CCNet removes repeated paragraphs by shard-level hash count, Wenzek
+    et al. 2020 §3.1; group_col generalizes the scope to host/source.)
+
+    Returns one row per input doc: (doc_id, n_units, kept_units,
+    new_text).
+
+    Scale shape: units are materialized once (three consumers — the
+    frequency table, the anti-join probe, the per-doc totals;
+    localCheckpoint stops three corpus re-splits). The frequency pass is
+    a two-level (group, unit, doc) -> (group, unit) aggregation — map-side
+    partial distinct, no countDistinct Expand. The boilerplate table is
+    tiny relative to the corpus (groups x the few over-threshold units),
+    so the LEFT ANTI join's build side stays small; group totals are a
+    broadcast-sized dimension."""
+    units = split_units(
+        docs, text_col, unit_words, carry=(group_col,)
+    ).localCheckpoint(eager=False)
+    group_sizes = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("_g_docs")
+    )
+    unit_docs = (
+        units.select(group_col, "unit", "doc_id")
+        .distinct()
+        .groupBy(group_col, "unit")
+        .agg(F.count("*").cast("long").alias("_u_docs"))
+    )
+    boiler = (
+        unit_docs.join(group_sizes, group_col)
+        .filter(
+            (F.col("_u_docs") >= min_docs)
+            & (
+                F.col("_u_docs") * 1000
+                >= min_share_permille * F.col("_g_docs")
+            )
+        )
+        .select(group_col, "unit")
+    )
+    kept = units.join(boiler, [group_col, "unit"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("kept_units"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "unit"))),

@@ -939,6 +939,33 @@ def q_host_fetch_gaps(spark: SparkSession, sf: str) -> DataFrame:
     return RC.observed_host_gaps(pages_df(spark, sf), min_fetches=3)
 
 
+# boilerplate fixture: inject a per-source nav header (7 words + the source
+# token = exactly one 8-word unit) in front of every document, so each
+# source has one unit at 100% document share. Dialect-neutral (|| concat).
+BOILER_CORPUS_SQL = """
+SELECT doc_id, lang, source,
+       'nav home about contact copyright notice for ' || source || ' '
+         || text AS text
+FROM documents
+"""
+
+
+def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source boilerplate-unit removal (operators/dedup.py:
+    boilerplate_strip) over the header-injected corpus: the injected nav
+    unit appears in every document of its source (share 1000 permille ≥
+    the 600 threshold) and must vanish from all of them; the word-salad
+    body units stay. Oracle recomputes the full frequency/threshold/
+    reassembly chain in DuckDB."""
+    load_table(spark, sf, "documents").createOrReplaceTempView("documents")
+    return D.boilerplate_strip(
+        spark.sql(BOILER_CORPUS_SQL),
+        group_col="source",
+        unit_words=8,
+        min_share_permille=600,
+    )
+
+
 def q_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """Token-bucket politeness gate (frontier/politeness.py): every page
     request folded through the per-host bucket (capacity 1800 mtok,
@@ -1159,6 +1186,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_components": q_host_components,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
+    "boilerplate_strip": q_boilerplate_strip,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
@@ -1347,6 +1375,45 @@ SELECT host,
 FROM h ORDER BY host
 """
     ),
+    # boilerplate: full frequency/threshold/reassembly chain recomputed
+    "boilerplate_strip": f"""WITH corpus AS ({BOILER_CORPUS_SQL})
+, docs AS (SELECT doc_id, source, string_split(text, ' ') AS words
+           FROM corpus),
+units AS (
+  SELECT doc_id, source,
+         CAST(ceil(len(words) / 8.0) AS BIGINT) AS n_units,
+         CAST(i AS BIGINT) AS pos,
+         array_to_string(words[i*8+1 : i*8+8], ' ') AS unit
+  FROM docs,
+       UNNEST(range(CAST(ceil(len(words) / 8.0) AS BIGINT))) AS t(i)
+),
+gsize AS (SELECT source, COUNT(*) AS g_docs FROM corpus GROUP BY source),
+udocs AS (
+  SELECT source, unit, COUNT(DISTINCT doc_id) AS u_docs
+  FROM units GROUP BY source, unit
+),
+boiler AS (
+  SELECT u.source, u.unit
+  FROM udocs u JOIN gsize g USING (source)
+  WHERE u.u_docs >= 2 AND u.u_docs * 1000 >= 600 * g.g_docs
+),
+kept AS (
+  SELECT un.doc_id, un.pos, un.unit
+  FROM units un
+  LEFT JOIN boiler b ON un.source = b.source AND un.unit = b.unit
+  WHERE b.unit IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_units,
+         string_agg(unit, ' ' ORDER BY pos) AS new_text
+  FROM kept GROUP BY doc_id
+),
+base AS (SELECT doc_id, MAX(n_units) AS n_units FROM units GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_units AS BIGINT) AS n_units,
+       CAST(COALESCE(r.kept_units, 0) AS BIGINT) AS kept_units,
+       COALESCE(r.new_text, '') AS new_text
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+""",
     # token bucket: recursive replay of the integer milli-token fold
     # (capacity 1800, refill 1/s, cost 1000; base case 1800-1000=800)
     "token_bucket": oracle_cte(

@@ -2252,6 +2252,7 @@ _PRIORITY_NEXT = [
     "events_attribution",   # stream-stream time-range join (batch plan)
     "host_fetch_gaps",      # adaptive politeness from observed gaps
     "token_bucket",         # token-bucket gate vs recursive-CTE oracle
+    "boilerplate_strip",    # per-group template removal (vs unit_dedup)
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

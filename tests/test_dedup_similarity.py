@@ -518,6 +518,35 @@ def test_unit_dedup_hand_planted(spark):
         2, 2, e)
 
 
+def test_boilerplate_strip_hand_planted(spark):
+    """Per-group frequency rule: the 3/3-share header and a 2/3-share
+    (667‰ ≥ 600) body unit are stripped from EVERY doc of the group;
+    1/3-share units stay; an identical header in a single-doc group
+    survives via the min_docs=2 guard (group scoping)."""
+    h = "nav nav nav nav"
+    rows = [
+        (0, "s1", f"{h} a0 a1 a2 a3"),
+        (1, "s1", f"{h} a0 a1 a2 a3 b0 b1 b2 b3"),
+        (2, "s1", f"{h} c0 c1 c2 c3"),
+        (3, "s2", f"{h} z0 z1 z2 z3"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    got = {
+        r.doc_id: r
+        for r in D.boilerplate_strip(
+            docs, group_col="source", unit_words=4,
+            min_docs=2, min_share_permille=600,
+        ).collect()
+    }
+    assert (got[0].n_units, got[0].kept_units, got[0].new_text) == (2, 0, "")
+    assert (got[1].n_units, got[1].kept_units, got[1].new_text) == (
+        3, 1, "b0 b1 b2 b3")
+    assert (got[2].n_units, got[2].kept_units, got[2].new_text) == (
+        2, 1, "c0 c1 c2 c3")
+    assert (got[3].n_units, got[3].kept_units, got[3].new_text) == (
+        2, 2, f"{h} z0 z1 z2 z3")
+
+
 def test_unit_dedup_planted_corpus_copies_emptied(spark):
     """Every +1000000 exact copy in the synth corpus must lose all units;
     every base doc must be reproduced unless it shares units with an
