@@ -158,3 +158,72 @@ def apply_host_blocklist(
     frontier side."""
     hosts = blocklist.select(F.col(host_col).alias(host_col)).distinct()
     return df.join(F.broadcast(hosts), host_col, "left_anti")
+
+
+def mine_url_templates(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    min_urls: int = 10,
+    share_permille: int = 500,
+) -> DataFrame:
+    """Empirical crawler-trap mining — the data-driven complement to the
+    static rule chain above: collapse every distinct URL to its path
+    TEMPLATE (digit runs -> ``<n>``) and flag templates that behave like
+    infinite generators. Heritrix/Nutch ship the fixed rules; real
+    operations derive new ones from the crawl itself (calendar pages,
+    session mirrors, faceted search) by exactly this frequency shape.
+
+    A template is flagged ``trap`` when all three hold:
+      - it carries >= 2 ``<n>`` placeholders (a one-dimensional id space
+        like /page/<n>.html is a normal listing; traps are
+        multi-dimensional),
+      - it holds >= ``min_urls`` distinct URLs, and
+      - it accounts for >= ``share_permille``/1000 of the host's distinct
+        URLs (one template dominating a host is the signature).
+
+    Output per (host, template): (host, template, n_urls, host_urls,
+    n_placeholders, trap) — integers/bool only, oracle-safe.
+
+    Scale shape: one distinct over (host, url) (politeness-bounded per
+    host), one (host, template) aggregation with map-side partials, then
+    a host-level second aggregation joined back — templates-per-host is
+    tiny, so the join's right side is host-dimension-sized. Pure codegen
+    string expressions; no UDF, no window over an unbounded dimension.
+    """
+    urls = pages.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    ).distinct()
+    t = urls.withColumn(
+        "template",
+        F.regexp_replace(
+            F.regexp_replace("url", "^https?://[^/]+", ""),
+            "[0-9]+",
+            "<n>",
+        ),
+    )
+    per_t = t.groupBy("host", "template").agg(
+        F.count("*").cast("long").alias("n_urls")
+    )
+    host_tot = per_t.groupBy("host").agg(
+        F.sum("n_urls").cast("long").alias("host_urls")
+    )
+    n_ph = (
+        (
+            F.length("template")
+            - F.length(F.expr("replace(template, '<n>', '')"))
+        )
+        / 3
+    ).cast("long")
+    return per_t.join(host_tot, "host").select(
+        "host",
+        "template",
+        "n_urls",
+        "host_urls",
+        n_ph.alias("n_placeholders"),
+        (
+            (n_ph >= 2)
+            & (F.col("n_urls") >= min_urls)
+            & (F.col("n_urls") * 1000 >= share_permille * F.col("host_urls"))
+        ).alias("trap"),
+    )

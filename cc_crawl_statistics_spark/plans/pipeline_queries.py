@@ -966,6 +966,44 @@ def q_boilerplate_strip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_templates(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical trap mining (frontier/urlfilter.py:mine_url_templates)
+    over a trap-injected URL population: hosts whose docs satisfy
+    doc_id%3==0 (a fixed 40 of the 120 fixture hosts — doc_id≡host
+    residue mod 120 and 120≡0 mod 3) get 16 /cal/<n>/<n>/<n> URLs per
+    doc, a multi-placeholder template dominating the host; the base
+    /page/<n>.html template has one placeholder and must never flag.
+    Oracle rebuilds the same population with UNNEST(range())."""
+    from ..frontier.urlfilter import mine_url_templates
+
+    pages = pages_df(spark, sf)
+    extra = (
+        pages.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "host",
+            "scheme",
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+        )
+        .select(
+            "host",
+            F.concat(
+                F.col("scheme"),
+                F.lit("://"),
+                F.col("host"),
+                F.lit("/cal/"),
+                (F.lit(2000) + F.col("i") % 30).cast("string"),
+                F.lit("/"),
+                (F.col("i") % 12).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") * 16 + F.col("i")).cast("string"),
+            ).alias("url"),
+        )
+    )
+    pop = pages.select("host", "url").unionByName(extra)
+    return mine_url_templates(pop, min_urls=10, share_permille=500)
+
+
 def q_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """Token-bucket politeness gate (frontier/politeness.py): every page
     request folded through the per-host bucket (capacity 1800 mtok,
@@ -1187,6 +1225,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "boilerplate_strip": q_boilerplate_strip,
+    "url_templates": q_url_templates,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
@@ -1373,6 +1412,46 @@ SELECT host,
        CAST(n_urls AS BIGINT) AS n_urls,
        CAST(last_mod AS BIGINT) AS last_mod
 FROM h ORDER BY host
+"""
+    ),
+    # url templates: same trap population via UNNEST(range()); DuckDB
+    # regexp_replace needs the 'g' flag for the global digit collapse
+    "url_templates": oracle_cte(
+        """
+, pop AS (
+  SELECT host, url FROM pages
+  UNION ALL
+  SELECT p.host,
+         p.scheme || '://' || p.host || '/cal/'
+           || CAST(2000 + r.i % 30 AS STRING) || '/'
+           || CAST(r.i % 12 AS STRING) || '/'
+           || CAST(p.doc_id * 16 + r.i AS STRING) AS url
+  FROM pages p, UNNEST(range(16)) AS r(i)
+  WHERE p.doc_id % 3 = 0
+),
+u AS (SELECT DISTINCT host, url FROM pop),
+t AS (
+  SELECT host,
+         regexp_replace(
+           regexp_replace(url, '^https?://[^/]+', ''),
+           '[0-9]+', '<n>', 'g') AS template
+  FROM u
+),
+per_t AS (
+  SELECT host, template, COUNT(*) AS n_urls FROM t GROUP BY host, template
+),
+tot AS (SELECT host, SUM(n_urls) AS host_urls FROM per_t GROUP BY host)
+SELECT p.host, p.template,
+       CAST(p.n_urls AS BIGINT) AS n_urls,
+       CAST(t.host_urls AS BIGINT) AS host_urls,
+       CAST((length(p.template)
+             - length(replace(p.template, '<n>', ''))) // 3 AS BIGINT)
+         AS n_placeholders,
+       ((length(p.template)
+          - length(replace(p.template, '<n>', ''))) // 3 >= 2
+        AND p.n_urls >= 10
+        AND p.n_urls * 1000 >= 500 * t.host_urls) AS trap
+FROM per_t p JOIN tot t USING (host)
 """
     ),
     # boilerplate: full frequency/threshold/reassembly chain recomputed

@@ -174,3 +174,61 @@ def test_host_blocklist_gate(spark):  # noqa: F811
     assert [r.host for r in kept.collect()] == ["fresh.org"]
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_mine_url_templates_hand_planted(spark):
+    """Trap rule: >=2 placeholders AND >=min_urls AND >=share of the
+    host's distinct URLs. A dominant one-placeholder listing never
+    flags; a dominant multi-placeholder generator does; the same
+    generator below the share floor on a bigger host does not."""
+    from cc_crawl_statistics_spark.frontier.urlfilter import (
+        mine_url_templates,
+    )
+
+    rows = (
+        # trap.com: 12 calendar urls (3 placeholders) + 2 plain pages
+        [("trap.com", f"https://trap.com/cal/2024/{m}/{d}")
+         for m in range(1, 4) for d in range(1, 5)]
+        + [("trap.com", "https://trap.com/about"),
+           ("trap.com", "https://trap.com/contact")]
+        # list.com: 12 one-placeholder listing urls — never a trap
+        + [("list.com", f"https://list.com/page/{i}.html")
+         for i in range(12)]
+        # big.com: same 12 calendar urls but diluted below 50% share
+        + [("big.com", f"https://big.com/cal/2024/{m}/{d}")
+         for m in range(1, 4) for d in range(1, 5)]
+        + [("big.com", f"https://big.com/a{i}/b") for i in range(20)]
+        # duplicate url rows must collapse before counting
+        + [("trap.com", "https://trap.com/cal/2024/1/1")]
+    )
+    out = mine_url_templates(
+        spark.createDataFrame(rows, "host string, url string"),
+        min_urls=10,
+        share_permille=500,
+    )
+    got = {(r.host, r.template): r for r in out.collect()}
+    cal = got[("trap.com", "/cal/<n>/<n>/<n>")]
+    assert (cal.n_urls, cal.host_urls, cal.n_placeholders, cal.trap) == (
+        12, 14, 3, True)
+    lst = got[("list.com", "/page/<n>.html")]
+    assert (lst.n_urls, lst.n_placeholders, lst.trap) == (12, 1, False)
+    big = got[("big.com", "/cal/<n>/<n>/<n>")]
+    assert (big.n_urls, big.host_urls, big.trap) == (12, 32, False)
+    # diluting urls /a<n>/b: one placeholder, not a trap either
+    assert not got[("big.com", "/a<n>/b")].trap
+
+
+def test_url_templates_fixture_discriminates(spark):
+    """On the trap-injected fixture population, every flagged template is
+    the 3-placeholder /cal/ generator and exactly the doc_id%3==0 host
+    cohort flags (40 of 120 hosts)."""
+    from cc_crawl_statistics_spark.plans.pipeline_queries import (
+        q_url_templates,
+    )
+    from tests.conftest import SF_SMOKE
+
+    out = q_url_templates(spark, SF_SMOKE).collect()
+    traps = [r for r in out if r.trap]
+    assert traps and all(r.template == "/cal/<n>/<n>/<n>" for r in traps)
+    assert len({r.host for r in traps}) == 40
+    assert all(not r.trap for r in out if r.n_placeholders < 2)
