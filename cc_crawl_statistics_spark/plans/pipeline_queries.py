@@ -1004,6 +1004,18 @@ def q_url_templates(spark: SparkSession, sf: str) -> DataFrame:
     return mine_url_templates(pop, min_urls=10, share_permille=500)
 
 
+def q_host_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-crawl volume-concentration scalars
+    (operators/counts.py:concentration_stats): exact integer-permille
+    Gini over pages-per-host plus the top-decile page share — computed
+    on the frequency-compressed (crawl, count-value, frequency)
+    distribution so no unbounded window. Oracle replays the grouped-rank
+    identities in DuckDB."""
+    from ..operators.counts import concentration_stats
+
+    return concentration_stats(pages_df(spark, sf), dim_col="host")
+
+
 def q_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """Token-bucket politeness gate (frontier/politeness.py): every page
     request folded through the per-host bucket (capacity 1800 mtok,
@@ -1226,6 +1238,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_bucket": q_token_bucket,
     "boilerplate_strip": q_boilerplate_strip,
     "url_templates": q_url_templates,
+    "host_concentration": q_host_concentration,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
@@ -1412,6 +1425,38 @@ SELECT host,
        CAST(n_urls AS BIGINT) AS n_urls,
        CAST(last_mod AS BIGINT) AS last_mod
 FROM h ORDER BY host
+"""
+    ),
+    # concentration: grouped-rank Gini identity, integer floor division
+    "host_concentration": oracle_cte(
+        """
+, per AS (SELECT crawl, host, COUNT(*) AS x FROM pages GROUP BY crawl, host),
+hist AS (SELECT crawl, x, COUNT(*) AS f FROM per GROUP BY crawl, x),
+cum AS (
+  SELECT crawl, x, f,
+         SUM(f) OVER (PARTITION BY crawl ORDER BY x) AS cf
+  FROM hist
+),
+agg AS (
+  SELECT crawl, SUM(f) AS n, SUM(x * f) AS s,
+         SUM(x * f * (2 * cf - f + 1)) AS t2
+  FROM cum GROUP BY crawl
+),
+top AS (
+  SELECT c.crawl,
+         SUM(c.x * GREATEST(0, LEAST(c.f,
+             c.cf - (a.n - (a.n + 9) // 10)))) AS top_pages
+  FROM cum c JOIN agg a USING (crawl) GROUP BY c.crawl
+)
+SELECT a.crawl,
+       CAST(a.n AS BIGINT) AS n_hosts,
+       CAST(a.s AS BIGINT) AS total_pages,
+       CAST((a.t2 - (a.n + 1) * a.s) * 1000 // (a.n * a.s) AS BIGINT)
+         AS gini_permille,
+       CAST(t.top_pages * 1000 // a.s AS BIGINT)
+         AS top_decile_share_permille
+FROM agg a JOIN top t USING (crawl)
+ORDER BY a.crawl
 """
     ),
     # url templates: same trap population via UNNEST(range()); DuckDB

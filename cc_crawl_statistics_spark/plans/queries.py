@@ -2254,6 +2254,7 @@ _PRIORITY_NEXT = [
     "token_bucket",         # token-bucket gate vs recursive-CTE oracle
     "boilerplate_strip",    # per-group template removal (vs unit_dedup)
     "url_templates",        # empirical trap mining (digit-collapse)
+    "host_concentration",   # exact Gini + top-decile share (permille)
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

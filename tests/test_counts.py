@@ -295,3 +295,40 @@ def test_mime_matrix_null_safe_disagreement(spark):
     assert [(r.mimetype, r.mimetype_detected) for r in mism] == [
         ("text/html", None)
     ]
+
+
+def test_concentration_stats_hand_computed(spark):
+    """Exact Gini + top-decile share vs a brute-force rank-formula model,
+    including tied-value blocks and the boundary block's partial clamp."""
+    from cc_crawl_statistics_spark.operators.counts import (
+        concentration_stats,
+    )
+
+    # crawl A: 12 hosts — ten with 1 page, one with 10, one with 100
+    rows = []
+    for h in range(10):
+        rows.append((f"h{h}", "A"))
+    rows += [("big", "A")] * 10 + [("huge", "A")] * 100
+    # crawl B: perfectly equal — 4 hosts x 5 pages -> gini 0
+    for h in range(4):
+        rows += [(f"e{h}", "B")] * 5
+    df = spark.createDataFrame(rows, "host string, crawl string")
+    got = {r.crawl: r for r in concentration_stats(df).collect()}
+
+    def model(xs):
+        xs = sorted(xs)
+        n, s = len(xs), sum(xs)
+        t2 = 2 * sum((i + 1) * x for i, x in enumerate(xs))
+        gini = (t2 - (n + 1) * s) * 1000 // (n * s)
+        k = (n + 9) // 10
+        top = sum(xs[n - k:]) * 1000 // s
+        return n, s, gini, top
+
+    a = model([1] * 10 + [10, 100])
+    assert (got["A"].n_hosts, got["A"].total_pages,
+            got["A"].gini_permille,
+            got["A"].top_decile_share_permille) == a
+    assert got["A"].top_decile_share_permille == 1000 * 110 // 120
+    b = model([5, 5, 5, 5])
+    assert (got["B"].gini_permille, got["B"].n_hosts) == (0, 4)
+    assert got["B"].top_decile_share_permille == b[3]  # k=1 -> one host
