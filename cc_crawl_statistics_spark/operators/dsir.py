@@ -1,0 +1,146 @@
+"""DSIR-style hashed n-gram importance weighting for data selection.
+
+Xie et al. 2023 ("Data Selection for Language Models via Importance
+Resampling", NeurIPS 2023) select pretraining documents by the importance
+weight p_target(x)/q_raw(x) under bag-of-hashed-n-gram models: unigrams +
+bigrams hashed into a fixed bucket space, per-bucket probabilities
+estimated on a trusted target slice (p) and on the raw corpus (q), and
+each document scored by Σ count_b · (ln p_b − ln q_b). It is the
+importance-weighting complement to the CCNet perplexity filter in
+operators/lm.py (which scores only against the target model; DSIR scores
+the CONTRAST between target and raw, so features merely common in the
+raw crawl don't inflate a document).
+
+Exactness conventions follow lm.py: per-bucket log weights are
+``floor(1e6 · ln(((cp+1)(Nq+B)) / ((cq+1)(Np+B))))`` — add-one smoothing
+over B buckets, with every factor cast to DOUBLE before multiplying so
+Spark and DuckDB run the identical IEEE op sequence; per-document scores
+are integer sums of those. Bucket hashing is the portable md5 arithmetic
+(first 3 hex chars → 0..4095 → mod B), reproducible in both engines
+without engine-specific hash functions.
+
+Scale shape: features are bucket-aggregated per document BEFORE any
+join (each doc crosses the wire as ≤ B rows, not its token count); the
+two distributions are B-row tables (B = 1024 default — kilobytes), so
+the weight table broadcasts and scoring is one broadcast-hash join plus
+one doc_id aggregation. The raw-corpus feature pass is materialized once
+and reused for q and for scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .lm import SCALE, _words
+
+__all__ = ["feature_bucket", "hashed_features", "dsir_weights"]
+
+
+def _hexval(h: Column, i: int) -> Column:
+    """Value 0..15 of the i-th (1-based) hex char of ``h`` — ascii
+    arithmetic only, so the same expression exists in DuckDB."""
+    a = F.ascii(F.substring(h, i, 1))
+    return a - 48 - F.when(a >= 97, F.lit(39)).otherwise(F.lit(0))
+
+
+def feature_bucket(feat: Column, n_buckets: int = 1024) -> Column:
+    """Hash a feature string into 0..n_buckets-1 via the first 3 hex
+    chars of md5 (0..4095, uniform when n_buckets divides 4096)."""
+    h = F.md5(feat)
+    raw = _hexval(h, 1) * 256 + _hexval(h, 2) * 16 + _hexval(h, 3)
+    return F.pmod(raw, F.lit(n_buckets))
+
+
+def hashed_features(
+    docs: DataFrame, text_col: str = "text", n_buckets: int = 1024
+) -> DataFrame:
+    """(doc_id, bucket, cnt): unigram + bigram features of each document
+    hashed into the bucket space. The bigram pairing is the same codegen
+    zip_with as lm.bigrams; one explode, then the per-doc bucket
+    aggregation that bounds downstream row counts at B per doc."""
+    w = _words(text_col)
+    n = F.size(w)
+    bg = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(w, 1, n - 1),
+            F.slice(w, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(F.concat(w, bg)).alias("feat"))
+        .select(
+            "doc_id", feature_bucket(F.col("feat"), n_buckets).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document integer log importance weight under the hashed
+    n-gram target/raw contrast.
+
+    Returns (doc_id, n_feats, logw_x1m) for every doc with at least one
+    feature. There is deliberately NO absolute selection threshold: the
+    expectation of the weight under the raw distribution is −KL(q‖p) ≤ 0,
+    so "logw ≥ 0" would select almost nothing from a broad crawl — DSIR
+    selects by RANK (top fraction, or Gumbel-perturbed sampling). Compose
+    with sampling.weighted_sample / stratified top-k for the selection
+    step."""
+    f_all = hashed_features(docs, text_col, n_buckets).localCheckpoint(
+        eager=False
+    )
+    q = f_all.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cq"))
+    p = (
+        hashed_features(target, text_col, n_buckets)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("cp"))
+    )
+    zero = F.lit(0).cast("long")
+    dist = q.join(p, "bucket", "full").select(
+        "bucket",
+        F.coalesce("cq", zero).alias("cq"),
+        F.coalesce("cp", zero).alias("cp"),
+    )
+    tot = dist.agg(
+        F.sum("cq").cast("long").alias("nq"),
+        F.sum("cp").cast("long").alias("np"),
+    )
+    b = F.lit(n_buckets)
+    lw = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(
+            F.lit(SCALE)
+            * F.log(
+                (
+                    (F.col("cp") + 1).cast("double")
+                    * (F.col("nq") + b).cast("double")
+                )
+                / (
+                    (F.col("cq") + 1).cast("double")
+                    * (F.col("np") + b).cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("lw_x1m"),
+    )
+    per = (
+        f_all.join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("lw_x1m"))
+            .cast("long")
+            .alias("logw_x1m"),
+        )
+    )
+    return per.select("doc_id", "n_feats", "logw_x1m").orderBy("doc_id")

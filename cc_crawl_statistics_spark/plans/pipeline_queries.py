@@ -1151,6 +1151,19 @@ _LM_REF_FILTER = "lang = 'en' AND doc_id % 5 = 0"
 _LM_THRESHOLD_MNAT = 3500
 
 
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py) with the LM module's
+    trusted slice as the target distribution: every document's integer
+    log importance under the hashed unigram+bigram target/raw contrast
+    (rank-selected downstream — see dsir_weights' no-absolute-threshold
+    note). Oracle replays the full chain — portable md5 bucket
+    arithmetic, smoothing, DOUBLE-cast op order — in DuckDB."""
+    from ..operators import dsir as DS
+
+    d = load_table(spark, sf, "documents")
+    return DS.dsir_weights(d, d.filter(_LM_REF_FILTER))
+
+
 def q_lm_bigram_weights(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators import lm as LM
 
@@ -1176,6 +1189,7 @@ def q_lm_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_bigram_weights": q_lm_bigram_weights,
+    "dsir_weights": q_dsir_weights,
     "lm_perplexity": q_lm_perplexity,
     "lm_quality_filter": q_lm_quality_filter,
     "robots_decisions": q_robots_decisions,
@@ -2001,6 +2015,66 @@ PIPELINE_ORACLES: dict[str, str] = {
     "curation_funnel": _curation_funnel_oracle(),
     "lm_bigram_weights": _lm_model_ctes("documents")
     + "SELECT * FROM model ORDER BY w1, w2",
+    # DSIR: full chain — portable md5 bucket arithmetic, add-one
+    # smoothing over B=1024, DOUBLE casts before every multiply so the
+    # IEEE op order matches the Spark plan exactly
+    "dsir_weights": f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(str_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, tok AS feat
+  FROM toks, LATERAL (SELECT unnest(w) AS tok) u
+  UNION ALL
+  SELECT doc_id, w[i] || ' ' || w[i+1] AS feat
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+  WHERE len(w) >= 2
+),
+hx AS (
+  SELECT doc_id,
+         ascii(substring(md5(feat), 1, 1)) AS a1,
+         ascii(substring(md5(feat), 2, 1)) AS a2,
+         ascii(substring(md5(feat), 3, 1)) AS a3
+  FROM feats
+),
+fb AS (
+  SELECT doc_id,
+         ((a1 - 48 - CASE WHEN a1 >= 97 THEN 39 ELSE 0 END) * 256
+        + (a2 - 48 - CASE WHEN a2 >= 97 THEN 39 ELSE 0 END) * 16
+        + (a3 - 48 - CASE WHEN a3 >= 97 THEN 39 ELSE 0 END)) % 1024
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM hx GROUP BY 1, 2
+),
+tgt AS (SELECT doc_id FROM documents WHERE {_LM_REF_FILTER}),
+p AS (
+  SELECT bucket, SUM(cnt) AS cp
+  FROM fb JOIN tgt USING (doc_id) GROUP BY bucket
+),
+q AS (SELECT bucket, SUM(cnt) AS cq FROM fb GROUP BY bucket),
+dist AS (
+  SELECT bucket, COALESCE(cq, 0) AS cq, COALESCE(cp, 0) AS cp
+  FROM q FULL JOIN p USING (bucket)
+),
+tot AS (SELECT SUM(cq) AS nq, SUM(cp) AS np FROM dist),
+lw AS (
+  SELECT bucket,
+         CAST(floor(1000000 * ln(
+           (CAST(cp + 1 AS DOUBLE) * CAST(nq + 1024 AS DOUBLE))
+         / (CAST(cq + 1 AS DOUBLE) * CAST(np + 1024 AS DOUBLE))))
+           AS BIGINT) AS lw_x1m
+  FROM dist CROSS JOIN tot
+),
+per AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+         CAST(SUM(cnt * lw_x1m) AS BIGINT) AS logw_x1m
+  FROM fb JOIN lw USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_feats, logw_x1m
+FROM per ORDER BY doc_id
+""",
     "lm_perplexity": _lm_score_ctes("documents")
     + "SELECT * FROM xent ORDER BY doc_id",
     "lm_quality_filter": _lm_score_ctes("documents")

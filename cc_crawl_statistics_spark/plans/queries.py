@@ -2255,6 +2255,7 @@ _PRIORITY_NEXT = [
     "boilerplate_strip",    # per-group template removal (vs unit_dedup)
     "url_templates",        # empirical trap mining (digit-collapse)
     "host_concentration",   # exact Gini + top-decile share (permille)
+    "dsir_weights",         # DSIR importance resampling (Xie 2023)
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

@@ -1,0 +1,67 @@
+"""DSIR hashed n-gram importance weighting: selection semantics, the
+bucket-hash portability contract, and feature accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.operators import dsir as DS
+
+
+def test_contrastive_ranking(spark):
+    """Rank semantics (DSIR selects by rank, not an absolute cut): every
+    document built from target-slice vocabulary outranks every raw-only
+    document — the contrast the plain perplexity filter can't express."""
+    rows = [
+        (0, "good clean prose flows here"),
+        (1, "good clean text reads well"),
+        (2, "spam spam casino casino pills"),
+        (3, "casino pills spam pills spam"),
+        (4, "good clean prose reads well"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter(F.col("doc_id").isin(0, 1))
+    got = {r.doc_id: r for r in DS.dsir_weights(docs, target).collect()}
+    assert max(got[2].logw_x1m, got[3].logw_x1m) < min(
+        got[0].logw_x1m, got[1].logw_x1m, got[4].logw_x1m
+    )
+    # feature accounting: n words + (n-1) bigrams
+    assert got[0].n_feats == 5 + 4
+
+
+def test_bucket_hash_matches_md5_arithmetic(spark):
+    """The Spark bucket column equals the reference arithmetic over
+    md5's first three hex chars (the portability contract the DuckDB
+    oracle relies on)."""
+    import hashlib
+
+    feats = ["alpha", "beta beta", "", "Ünïcode", "9"]
+    df = spark.createDataFrame([(f,) for f in feats], ["feat"])
+    got = {
+        r.feat: r.b
+        for r in df.select(
+            "feat", DS.feature_bucket(F.col("feat"), 1024).alias("b")
+        ).collect()
+    }
+    for f in feats:
+        h = hashlib.md5(f.encode()).hexdigest()
+        assert got[f] == int(h[:3], 16) % 1024, f
+
+
+def test_weights_shift_with_target(spark):
+    """Moving a document into the target slice raises its own weight."""
+    rows = [(i, f"tok{i} tok{i} filler common") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    w_out = {
+        r.doc_id: r.logw_x1m
+        for r in DS.dsir_weights(
+            docs, docs.filter("doc_id = 0")
+        ).collect()
+    }
+    w_in = {
+        r.doc_id: r.logw_x1m
+        for r in DS.dsir_weights(
+            docs, docs.filter("doc_id IN (0, 3)")
+        ).collect()
+    }
+    assert w_in[3] > w_out[3]

@@ -100,6 +100,7 @@ _BOUNDED_BNLJ_OK = {
     "nb_classify",  # same training CTE inside
     "nb_agreement",  # same training CTE inside
     "lm_bigram_weights",  # smoothing vs 1-row vocab-size aggregate
+    "dsir_weights",  # bucket weights vs 1-row distribution totals
     "lm_perplexity",  # same 1-row vocab join in the scoring chain
     "lm_quality_filter",  # same scoring chain inside
     "curation_funnel",  # composes the LM scoring chain
