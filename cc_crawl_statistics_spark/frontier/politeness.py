@@ -46,12 +46,16 @@ from pyspark.sql import functions as F
 __all__ = ["token_bucket_gate", "token_bucket_stream"]
 
 
-def _fold_expr(capacity_mtok: int, refill_mtok_per_s: int, cost_mtok: int) -> str:
+def _fold_expr(
+    capacity_mtok: int | str, refill_mtok_per_s: int | str, cost_mtok: int
+) -> str:
     """SQL ``aggregate`` fold over the sorted per-host event array.
 
     Accumulator: (tokens, last_ts, rows[]); SQL lambdas have no `let`, so
     the refilled-tokens expression is templated twice (admission test and
-    new-balance arms share it).
+    new-balance arms share it). ``capacity_mtok``/``refill_mtok_per_s``
+    may be integer literals or SQL column references (the per-host
+    adaptive path) — lambdas capture outer row columns.
     """
     refilled = (
         f"IF(acc.last_ts < 0, acc.tokens, "
@@ -88,12 +92,21 @@ def token_bucket_gate(
     ts_col: str = "fetch_ts",
     url_col: str = "url",
     impl: str = "fold",
+    params: DataFrame | None = None,
 ) -> DataFrame:
     """Batch token-bucket admission: one row per request with its
     admission verdict and the bucket balance after it.
 
     Output: (host, url, fetch_ts, admitted, tokens_after) — all
     integer/bool, oracle-safe.
+
+    ``params`` (optional, fold impl): a (host, refill_mtok_per_s) frame —
+    e.g. derived from operators/recrawl.py:observed_host_gaps'
+    suggested_delay_s — overriding the global refill rate per host
+    (missing hosts fall back to ``refill_mtok_per_s``). This closes the
+    adaptive-politeness loop: the pace a host demonstrably sustained
+    becomes its bucket's refill. The params frame is host-dimension-sized
+    (broadcast-joined onto the per-host fold input).
 
     Two physical shapes, same verdicts (equality pinned in
     tests/test_politeness.py):
@@ -118,10 +131,30 @@ def token_bucket_gate(
     per_host = evs.groupBy("host").agg(
         F.array_sort(F.collect_list(F.struct("ts", "url"))).alias("evs")
     )
+    refill: int | str = refill_mtok_per_s
+    if params is not None:
+        per_host = per_host.join(
+            F.broadcast(
+                params.select(
+                    "host",
+                    F.col("refill_mtok_per_s")
+                    .cast("long")
+                    .alias("_rf_override"),
+                )
+            ),
+            "host",
+            "left",
+        ).withColumn(
+            "_rf",
+            F.coalesce(
+                F.col("_rf_override"), F.lit(refill_mtok_per_s).cast("long")
+            ),
+        )
+        refill = "_rf"
     folded = per_host.select(
         "host",
         F.explode(
-            F.expr(_fold_expr(capacity_mtok, refill_mtok_per_s, cost_mtok))
+            F.expr(_fold_expr(capacity_mtok, refill, cost_mtok))
         ).alias("e"),
     )
     return folded.select(

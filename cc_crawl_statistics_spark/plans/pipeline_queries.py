@@ -1041,6 +1041,59 @@ def q_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_adaptive_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """The adaptive-politeness loop closed end-to-end: observed_host_gaps'
+    suggested delay becomes each host's bucket refill
+    (refill = max(1, 1000 DIV delay) mtok/s — one 1000-mtok fetch per
+    observed-sustainable interval), and the query contrasts the fixed
+    gate with the adaptive one per host. On the fixture the echo hosts
+    (min observed gap 1 s → refill 1000) re-admit their +1 s duplicate
+    bursts; every other host keeps the default pace — so denied_fixed >
+    denied_adaptive exactly on the proven-fast cohort. Oracle: ONE
+    recursive walk carrying both bucket states."""
+    from ..frontier.politeness import token_bucket_gate
+
+    pages = pages_df(spark, sf)
+    params = RC.observed_host_gaps(pages, min_fetches=3).select(
+        "host",
+        F.expr(
+            "GREATEST(CAST(1 AS BIGINT), 1000 DIV suggested_delay_s)"
+        ).alias("refill_mtok_per_s"),
+    )
+    fixed = (
+        token_bucket_gate(pages)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_requests"),
+            F.sum((~F.col("admitted")).cast("long"))
+            .cast("long")
+            .alias("denied_fixed"),
+        )
+    )
+    adaptive = (
+        token_bucket_gate(pages, params=params)
+        .groupBy("host")
+        .agg(
+            F.sum((~F.col("admitted")).cast("long"))
+            .cast("long")
+            .alias("denied_adaptive"),
+        )
+    )
+    return (
+        fixed.join(adaptive, "host")
+        .join(params, "host", "left")
+        .select(
+            "host",
+            "n_requests",
+            "denied_fixed",
+            "denied_adaptive",
+            F.coalesce(
+                F.col("refill_mtok_per_s"), F.lit(1).cast("long")
+            ).alias("refill_mtok_per_s"),
+        )
+    )
+
+
 def q_asof_capture(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time capture lookup (operators/asof.py): for every
     distinct URL probed at two fixed instants, the latest capture with
@@ -1250,6 +1303,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_components": q_host_components,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
+    "adaptive_token_bucket": q_adaptive_token_bucket,
     "boilerplate_strip": q_boilerplate_strip,
     "url_templates": q_url_templates,
     "host_concentration": q_host_concentration,
@@ -1587,6 +1641,68 @@ SELECT host,
          AS admitted_ts_sum,
        CAST(MIN(CASE WHEN NOT admitted THEN ts END) AS BIGINT)
          AS first_denied_ts
+FROM walk GROUP BY host
+"""
+    ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    # adaptive token bucket: gaps-derived per-host refill; one recursive
+    # walk carries BOTH bucket states (fixed rf=1 and adaptive rf)
+    "adaptive_token_bucket": oracle_cte(
+        """
+, g AS (
+  SELECT host,
+         fetch_ts - lag(fetch_ts) OVER (
+           PARTITION BY host ORDER BY fetch_ts, url
+         ) AS gap_s
+  FROM pages WHERE status = 200
+),
+r AS (
+  SELECT host, gap_s,
+         COUNT(*) OVER (PARTITION BY host) AS n
+  FROM g WHERE gap_s IS NOT NULL
+),
+p AS (
+  SELECT host,
+         CAST(MAX(n) + 1 AS BIGINT) AS n_fetches,
+         CAST(MIN(gap_s) AS BIGINT) AS min_gap_s
+  FROM r GROUP BY host
+),
+params AS (
+  SELECT host,
+         GREATEST(CAST(1 AS BIGINT),
+                  CAST(1000 // GREATEST(1, min_gap_s) AS BIGINT)) AS rf
+  FROM p WHERE n_fetches >= 3
+),
+ordered AS (
+  SELECT pg.host, pg.url, CAST(pg.fetch_ts AS BIGINT) AS ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY pg.host ORDER BY pg.fetch_ts, pg.url) AS rn,
+         COALESCE(pa.rf, 1) AS rf
+  FROM pages pg LEFT JOIN params pa ON pg.host = pa.host
+),
+walk AS (
+  SELECT host, rn, ts, rf,
+         CAST(800 AS BIGINT) AS tok_f, FALSE AS den_f,
+         CAST(800 AS BIGINT) AS tok_a, FALSE AS den_a
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.host, o.rn, o.ts, o.rf,
+         CASE WHEN LEAST(1800, w.tok_f + (o.ts - w.ts) * 1) >= 1000
+              THEN LEAST(1800, w.tok_f + (o.ts - w.ts) * 1) - 1000
+              ELSE LEAST(1800, w.tok_f + (o.ts - w.ts) * 1) END,
+         LEAST(1800, w.tok_f + (o.ts - w.ts) * 1) < 1000,
+         CASE WHEN LEAST(1800, w.tok_a + (o.ts - w.ts) * o.rf) >= 1000
+              THEN LEAST(1800, w.tok_a + (o.ts - w.ts) * o.rf) - 1000
+              ELSE LEAST(1800, w.tok_a + (o.ts - w.ts) * o.rf) END,
+         LEAST(1800, w.tok_a + (o.ts - w.ts) * o.rf) < 1000
+  FROM walk w JOIN ordered o ON o.host = w.host AND o.rn = w.rn + 1
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(SUM(CASE WHEN den_f THEN 1 ELSE 0 END) AS BIGINT)
+         AS denied_fixed,
+       CAST(SUM(CASE WHEN den_a THEN 1 ELSE 0 END) AS BIGINT)
+         AS denied_adaptive,
+       CAST(MAX(rf) AS BIGINT) AS refill_mtok_per_s
 FROM walk GROUP BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),

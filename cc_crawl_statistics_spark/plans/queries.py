@@ -2256,6 +2256,7 @@ _PRIORITY_NEXT = [
     "url_templates",        # empirical trap mining (digit-collapse)
     "host_concentration",   # exact Gini + top-decile share (permille)
     "dsir_weights",         # DSIR importance resampling (Xie 2023)
+    "adaptive_token_bucket",  # gaps->refill loop, dual-state oracle
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

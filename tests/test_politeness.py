@@ -137,3 +137,37 @@ def test_stream_matches_batch_bit_for_bit(spark, tmp_path):
         for r in token_bucket_gate(pages).collect()
     }
     assert got == want
+
+
+def test_per_host_params_override(spark):
+    """The params frame overrides refill per host: a refill of 1000
+    mtok/s re-admits the 1s burst the global rate denies; hosts missing
+    from params keep the default."""
+    df = spark.createDataFrame(EVENTS, "host string, fetch_ts long, url string")
+    params = spark.createDataFrame(
+        [("a.com", 1000)], "host string, refill_mtok_per_s long"
+    )
+    got = {
+        (r.host, r.url): r.admitted
+        for r in token_bucket_gate(df, params=params).collect()
+    }
+    assert got[("a.com", "http://a.com/2")]  # denied under rf=1
+    assert got[("a.com", "http://a.com/3")]
+    # c.com untouched: tie-ordered second request still denied
+    assert not got[("c.com", "http://c.com/b")]
+
+
+def test_adaptive_contrast_on_fixture(spark):
+    """End-to-end loop: exactly the echo cohort (hosts that demonstrably
+    sustained 1s gaps) gets its denials lifted; no host denies more
+    under the adaptive gate than under the fixed one."""
+    from cc_crawl_statistics_spark.plans.pipeline_queries import (
+        q_adaptive_token_bucket,
+    )
+
+    rows = q_adaptive_token_bucket(spark, SF_SMOKE).collect()
+    assert all(r.denied_adaptive <= r.denied_fixed for r in rows)
+    lifted = [r for r in rows if r.denied_fixed > r.denied_adaptive]
+    assert lifted and all(r.refill_mtok_per_s == 1000 for r in lifted)
+    assert sum(r.denied_adaptive for r in rows) == 0  # fixture has no
+    # host that keeps denying once paced by its own observed gaps
