@@ -335,7 +335,18 @@ def round_statistics(scheduled_pages: DataFrame) -> DataFrame:
     7×|schedule| narrow rows (still budget-bounded). ``urls`` == count
     because schedule rows are unique per URL (the frontier is
     deduplicated; pinned by test_round_stats_semantics)."""
-    pp = scheduled_pages.withColumn(
+    melted = _melt_stat_keys(scheduled_pages)
+    n = F.count("*").cast("long")
+    return melted.groupBy("type", "key").agg(
+        n.alias("pages"), n.alias("urls")
+    )
+
+
+def _melt_stat_keys(pages: DataFrame) -> DataFrame:
+    """One row per (type, key, url) membership — the shared melt behind
+    round_statistics and its sketched/mergeable variant. Explode over an
+    inline 7-element array: no shuffle, no per-dimension rescan."""
+    pp = pages.withColumn(
         "primary_language", F.split(F.col("languages"), ",").getItem(0)
     )
 
@@ -344,7 +355,8 @@ def round_statistics(scheduled_pages: DataFrame) -> DataFrame:
             F.lit(typ).alias("type"), key.cast("string").alias("key")
         )
 
-    melted = pp.select(
+    return pp.select(
+        "url",
         F.explode(
             F.array(
                 tk("size", F.lit("global")),
@@ -355,12 +367,51 @@ def round_statistics(scheduled_pages: DataFrame) -> DataFrame:
                 tk("primary_language", F.col("primary_language")),
                 tk("http_status", F.col("status")),
             )
-        ).alias("tk")
-    )
+        ).alias("tk"),
+    ).select(F.col("tk.type").alias("type"), F.col("tk.key").alias("key"), "url")
+
+
+def sketched_round_statistics(scheduled_pages: DataFrame) -> DataFrame:
+    """round_statistics plus a mergeable distinct-URL sketch per
+    (type, key): (type, key, pages, urls, url_hll). The sketch column is
+    what makes cross-round accumulation ALGEBRAIC — counts merge by sum,
+    distincts by hll_union_agg — so a 100 TB deployment maintains its
+    cumulative statistics table by folding each round's delta in
+    (Iceberg MERGE / foreachBatch upsert), never rescanning history.
+    Same single melt + one map-side-combined aggregation as
+    round_statistics."""
     n = F.count("*").cast("long")
-    return melted.groupBy(
-        F.col("tk.type").alias("type"), F.col("tk.key").alias("key")
-    ).agg(n.alias("pages"), n.alias("urls"))
+    return _melt_stat_keys(scheduled_pages).groupBy("type", "key").agg(
+        n.alias("pages"),
+        n.alias("urls"),
+        F.hll_sketch_agg("url", F.lit(12)).alias("url_hll"),
+    )
+
+
+def merge_round_statistics(*stats: DataFrame) -> DataFrame:
+    """Fold any number of per-round stats frames into one: counts sum,
+    sketches union. The register merge is lossless, associative and
+    commutative (register state depends only on the SET of hashed
+    values), so rounds can be accumulated in any order, retried, or
+    re-partitioned safely — pinned in tests/test_frontier.py. Estimator
+    caveat: the ESTIMATE read off a sketch is not invariant to how it
+    was assembled — a directly-built sketch uses the order-dependent HIP
+    estimator, a union the composite one, and sparse→dense mode
+    promotion happens at fold-shape-dependent points — so different
+    merge shapes may read slightly different estimates (measured
+    501/504 at ~500 true distincts). Every shape stays within the
+    configured HLL error of the true count; exact columns are exactly
+    lossless."""
+    from functools import reduce
+
+    u = reduce(lambda a, b: a.unionByName(b), stats)
+    aggs = [
+        F.sum("pages").cast("long").alias("pages"),
+        F.sum("urls").cast("long").alias("urls"),
+    ]
+    if "url_hll" in u.columns:
+        aggs.append(F.hll_union_agg("url_hll").alias("url_hll"))
+    return u.groupBy("type", "key").agg(*aggs)
 
 
 def first_round_schedule(pages: DataFrame) -> DataFrame:

@@ -1041,6 +1041,37 @@ def q_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stats_accumulate(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-statistics maintenance
+    (frontier/scheduler.py:sketched_round_statistics +
+    merge_round_statistics): per-crawl stats emitted independently (one
+    frame per crawl, as rounds would), folded by the algebraic merge,
+    must equal a direct single-pass computation over all pages — the
+    property that lets a 100 TB deployment accumulate its stats table
+    round-over-round without rescanning history. Driver compares the
+    exact sum-merged columns; the sketch-union identity (merged HLL
+    estimate == direct estimate) is pinned in tests/test_frontier.py."""
+    from ..frontier.scheduler import (
+        merge_round_statistics,
+        sketched_round_statistics,
+    )
+
+    pages = pages_df(spark, sf)
+    # the crawl dimension is ≤126 rows by construction — driver-side
+    # collect of the partition list is the bounded-dim exception
+    crawls = sorted(
+        r[0] for r in pages.select("crawl").distinct().collect()
+    )
+    parts = [
+        sketched_round_statistics(pages.filter(F.col("crawl") == c))
+        for c in crawls
+    ]
+    merged = merge_round_statistics(*parts)
+    return merged.select("type", "key", "pages", "urls").orderBy(
+        "type", "key"
+    )
+
+
 def q_adaptive_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """The adaptive-politeness loop closed end-to-end: observed_host_gaps'
     suggested delay becomes each host's bucket refill
@@ -1304,6 +1335,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
+    "stats_accumulate": q_stats_accumulate,
     "boilerplate_strip": q_boilerplate_strip,
     "url_templates": q_url_templates,
     "host_concentration": q_host_concentration,
@@ -1644,6 +1676,27 @@ SELECT host,
 FROM walk GROUP BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    # mergeable stats: direct melt over ALL pages — equality with the
+    # per-crawl merge path proves the fold is lossless
+    "stats_accumulate": oracle_cte(
+        """
+, melted AS (
+  SELECT 'size' AS type, 'global' AS key, url FROM pages
+  UNION ALL SELECT 'host', host, url FROM pages
+  UNION ALL SELECT 'domain', domain, url FROM pages
+  UNION ALL SELECT 'tld', tld, url FROM pages
+  UNION ALL SELECT 'mimetype', mime_detected, url FROM pages
+  UNION ALL
+  SELECT 'primary_language', string_split(languages, ',')[1], url FROM pages
+  UNION ALL SELECT 'http_status', CAST(status AS STRING), url FROM pages
+)
+SELECT type, key,
+       CAST(COUNT(*) AS BIGINT) AS pages,
+       CAST(COUNT(*) AS BIGINT) AS urls
+FROM melted GROUP BY type, key
+ORDER BY type, key
+"""
+    ),
     # adaptive token bucket: gaps-derived per-host refill; one recursive
     # walk carries BOTH bucket states (fixed rf=1 and adaptive rf)
     "adaptive_token_bucket": oracle_cte(

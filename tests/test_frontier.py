@@ -564,3 +564,60 @@ def test_expire_rounds_bit_identical_and_unreachable_removed(spark, tmp_path):
     # time travel before the cutoff is gone, and fails loudly
     with pytest.raises(FileNotFoundError):
         b.read_frontier(spark, cutoff - 1)
+
+
+def test_stats_merge_is_lossless_and_associative(spark):
+    """Mergeable statistics: folding per-crawl sketched stats equals the
+    direct single pass on the exact columns (lossless), and EVERY merge
+    shape's estimate lands within the HLL error envelope of the true
+    distinct count. Estimates are not bit-invariant across assembly
+    paths (HIP vs composite estimator, mode-promotion points — see
+    merge_round_statistics docstring), which is exactly why the driver
+    oracle compares only the exact columns."""
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.frontier.scheduler import (
+        merge_round_statistics,
+        sketched_round_statistics,
+    )
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+    from tests.conftest import SF_SMOKE
+
+    pages = pages_df(spark, SF_SMOKE)
+    parts = [
+        sketched_round_statistics(pages.filter(F.col("crawl_id") == i))
+        for i in range(3)
+    ]
+
+    def snap(df):
+        return {
+            (r.type, r.key): (r.pages, r.urls, r.est)
+            for r in df.select(
+                "type", "key", "pages", "urls",
+                F.hll_sketch_estimate("url_hll").cast("long").alias("est"),
+            ).collect()
+        }
+
+    direct = snap(sketched_round_statistics(pages))
+    merged = snap(merge_round_statistics(*parts))
+    # exact columns: lossless
+    assert {k: v[:2] for k, v in merged.items()} == {
+        k: v[:2] for k, v in direct.items()
+    }
+    # reordered/nested fold: exact columns identical, estimates within
+    # envelope (not bit-equal — assembly-path-dependent estimator)
+    nested = snap(
+        merge_round_statistics(
+            merge_round_statistics(parts[2], parts[0]), parts[1]
+        )
+    )
+    assert {k: v[:2] for k, v in nested.items()} == {
+        k: v[:2] for k, v in merged.items()
+    }
+    g = ("size", "global")
+    exact = pages.agg(F.count_distinct("url")).first()[0]
+    for est in (merged[g][2], nested[g][2], direct[g][2]):
+        assert abs(est - exact) <= max(2, exact // 50)  # ≤2%
+    # the distinct estimate is genuinely per-key: the global row's
+    # distinct urls exceed any single host's
+    assert merged[g][2] == max(v[2] for v in merged.values())
