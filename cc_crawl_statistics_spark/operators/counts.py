@@ -603,3 +603,70 @@ def concentration_stats(pages: DataFrame, dim_col: str = "host") -> DataFrame:
         )
         .orderBy("crawl")
     )
+
+
+def robust_host_outliers(
+    pages: DataFrame, dim_col: str = "host", k_mad: int = 3
+) -> DataFrame:
+    """Per-crawl robust outlier detection over pages-per-``dim_col``:
+    flag dimensions whose page count deviates from the crawl's median by
+    more than ``k_mad`` × MAD (median absolute deviation) — the
+    template-farm / runaway-generator screen that a mean/stddev rule
+    misses because the outliers themselves inflate the mean. All
+    integer-exact (lower medians), no floats.
+
+    Returns one row per flagged (crawl, dim): (crawl, host, x, med, mad)
+    where x is the dimension's page count. MAD = 0 degenerates to "any
+    deviation flags" (> 0 = k·0), the standard convention.
+
+    Scale shape: same frequency-compression as concentration_stats —
+    both medians are read off cumulative sums over the DISTINCT-VALUE
+    histograms ((crawl, x, f) then (crawl, |x−med|, f)), so no window
+    ever partitions the unbounded host dimension; the final flag is one
+    broadcast-size join (crawl-keyed scalars) against the per-host
+    counts."""
+    per = pages.groupBy("crawl", dim_col).agg(F.count("*").alias("x"))
+    hist = per.groupBy("crawl", "x").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    w = Window.partitionBy("crawl").orderBy("x")
+    cum = hist.withColumn("cf", F.sum("f").over(w)).withColumn(
+        "n", F.sum("f").over(Window.partitionBy("crawl"))
+    )
+    # lower median: smallest x whose cumulative count reaches ceil(n/2)
+    # (rank ceil(n/2) == the observed_host_gaps convention; 2*cf >= n is
+    # the float-free form)
+    med = (
+        cum.filter(2 * F.col("cf") >= F.col("n"))
+        .groupBy("crawl")
+        .agg(F.min("x").cast("long").alias("med"))
+    )
+    dev_hist = (
+        hist.join(med, "crawl")
+        .groupBy("crawl", F.abs(F.col("x") - F.col("med")).alias("d"))
+        .agg(F.sum("f").cast("long").alias("f"))
+    )
+    wd = Window.partitionBy("crawl").orderBy("d")
+    dev_cum = dev_hist.withColumn("cf", F.sum("f").over(wd)).withColumn(
+        "n", F.sum("f").over(Window.partitionBy("crawl"))
+    )
+    mad = (
+        dev_cum.filter(2 * F.col("cf") >= F.col("n"))
+        .groupBy("crawl")
+        .agg(F.min("d").cast("long").alias("mad"))
+    )
+    scalars = med.join(mad, "crawl")
+    return (
+        per.join(F.broadcast(scalars), "crawl")
+        .filter(
+            F.abs(F.col("x") - F.col("med")) > F.lit(k_mad) * F.col("mad")
+        )
+        .select(
+            "crawl",
+            F.col(dim_col).alias("host"),
+            F.col("x").cast("long").alias("x"),
+            "med",
+            "mad",
+        )
+        .orderBy("crawl", "host")
+    )

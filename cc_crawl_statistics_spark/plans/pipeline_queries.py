@@ -1016,6 +1016,18 @@ def q_host_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return concentration_stats(pages_df(spark, sf), dim_col="host")
 
 
+def q_host_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-crawl volume outliers
+    (operators/counts.py:robust_host_outliers): hosts whose page count
+    deviates from the crawl median by > 3×MAD, both medians integer-
+    exact off frequency-compressed histograms. The fixture's echo/extra-
+    slot hosts flag against its MAD=0 majority (the degenerate
+    convention); the MAD>0 path is pinned in tests/test_counts.py."""
+    from ..operators.counts import robust_host_outliers
+
+    return robust_host_outliers(pages_df(spark, sf), k_mad=3)
+
+
 def q_token_bucket(spark: SparkSession, sf: str) -> DataFrame:
     """Token-bucket politeness gate (frontier/politeness.py): every page
     request folded through the per-host bucket (capacity 1800 mtok,
@@ -1339,6 +1351,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_strip": q_boilerplate_strip,
     "url_templates": q_url_templates,
     "host_concentration": q_host_concentration,
+    "host_outliers": q_host_outliers,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
@@ -1557,6 +1570,41 @@ SELECT a.crawl,
          AS top_decile_share_permille
 FROM agg a JOIN top t USING (crawl)
 ORDER BY a.crawl
+"""
+    ),
+    # robust outliers: both medians off frequency-compressed histograms
+    "host_outliers": oracle_cte(
+        """
+, per AS (SELECT crawl, host, COUNT(*) AS x FROM pages GROUP BY crawl, host),
+hist AS (SELECT crawl, x, COUNT(*) AS f FROM per GROUP BY crawl, x),
+cum AS (
+  SELECT crawl, x, f,
+         SUM(f) OVER (PARTITION BY crawl ORDER BY x) AS cf,
+         SUM(f) OVER (PARTITION BY crawl) AS n
+  FROM hist
+),
+med AS (
+  SELECT crawl, CAST(MIN(x) AS BIGINT) AS med
+  FROM cum WHERE 2 * cf >= n GROUP BY crawl
+),
+dev AS (
+  SELECT h.crawl, ABS(h.x - m.med) AS d, SUM(h.f) AS f
+  FROM hist h JOIN med m USING (crawl) GROUP BY 1, 2
+),
+dcum AS (
+  SELECT crawl, d, f,
+         SUM(f) OVER (PARTITION BY crawl ORDER BY d) AS cf,
+         SUM(f) OVER (PARTITION BY crawl) AS n
+  FROM dev
+),
+mad AS (
+  SELECT crawl, CAST(MIN(d) AS BIGINT) AS mad
+  FROM dcum WHERE 2 * cf >= n GROUP BY crawl
+)
+SELECT p.crawl, p.host, CAST(p.x AS BIGINT) AS x, m.med, a.mad
+FROM per p JOIN med m USING (crawl) JOIN mad a USING (crawl)
+WHERE ABS(p.x - m.med) > 3 * a.mad
+ORDER BY p.crawl, p.host
 """
     ),
     # url templates: same trap population via UNNEST(range()); DuckDB

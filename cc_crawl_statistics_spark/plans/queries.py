@@ -2258,6 +2258,7 @@ _PRIORITY_NEXT = [
     "dsir_weights",         # DSIR importance resampling (Xie 2023)
     "adaptive_token_bucket",  # gaps->refill loop, dual-state oracle
     "stats_accumulate",     # algebraic stats merge == direct pass
+    "host_outliers",        # robust median/MAD volume outliers
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

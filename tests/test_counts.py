@@ -332,3 +332,29 @@ def test_concentration_stats_hand_computed(spark):
     b = model([5, 5, 5, 5])
     assert (got["B"].gini_permille, got["B"].n_hosts) == (0, 4)
     assert got["B"].top_decile_share_permille == b[3]  # k=1 -> one host
+
+
+def test_robust_host_outliers_hand_computed(spark):
+    """MAD > 0 path: median 10, MAD 2 -> threshold |x-10| > 6; the
+    x=100 burst flags, x=16 sits exactly at the boundary (6 = 3*2, not
+    >) and stays; a second crawl with MAD=0 flags any deviation."""
+    from cc_crawl_statistics_spark.operators.counts import (
+        robust_host_outliers,
+    )
+
+    rows = []
+    # crawl A counts: 8,8,10,10,12,12,16,100 -> med 10, |d|: 2,2,0,0,2,2,6,90
+    # sorted d: 0,0,2,2,2,2,6,90 -> lower median (rank 4) = 2
+    for h, cnt in [("a", 8), ("b", 8), ("c", 10), ("d", 10),
+                   ("e", 12), ("f", 12), ("g", 16), ("burst", 100)]:
+        rows += [(h, "A")] * cnt
+    # crawl B: 5,5,5,7 -> med 5, d: 0,0,0,2 -> MAD 0 -> x=7 flags
+    for h, cnt in [("p", 5), ("q", 5), ("r", 5), ("s", 7)]:
+        rows += [(h, "B")] * cnt
+    df = spark.createDataFrame(rows, "host string, crawl string")
+    got = {(r.crawl, r.host): (r.x, r.med, r.mad)
+           for r in robust_host_outliers(df, k_mad=3).collect()}
+    assert got == {
+        ("A", "burst"): (100, 10, 2),
+        ("B", "s"): (7, 5, 0),
+    }
