@@ -967,3 +967,58 @@ def host_quality_rollup(
         )
         .orderBy("host")
     )
+
+
+def vocab_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good–Turing vocabulary-coverage statistics per language — the
+    corpus-sufficiency read a curation pipeline takes before deciding
+    whether a language slice is big enough to train on: the missing mass
+    (probability the NEXT token is unseen) is estimated by N1/N (Good
+    1953), with the hapax/doubleton counts that drive smoothing.
+
+    Output per lang: (lang, n_tokens, n_types, n_hapax, n_dis,
+    missing_mass_permille, type_token_permille) — all integer-exact
+    (permille via `div`).
+
+    Scale shape: the same two-level count as `vocabulary` — per
+    (lang, doc, token) map-side combine, then a (lang, token) frequency
+    table, then one bounded per-lang rollup. Nothing driver-side, no
+    windows."""
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("lang", "doc_id", "token").agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    freq = per_doc.groupBy("lang", "token").agg(
+        F.sum("_c").cast("long").alias("c")
+    )
+    return (
+        freq.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dis"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            "n_dis",
+            F.expr("CAST(n_hapax * 1000 DIV n_tokens AS BIGINT)").alias(
+                "missing_mass_permille"
+            ),
+            F.expr("CAST(n_types * 1000 DIV n_tokens AS BIGINT)").alias(
+                "type_token_permille"
+            ),
+        )
+        .orderBy("lang")
+    )

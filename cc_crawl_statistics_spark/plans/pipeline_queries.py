@@ -1016,6 +1016,16 @@ def q_host_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return concentration_stats(pages_df(spark, sf), dim_col="host")
 
 
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Good–Turing coverage per language (textstats.vocab_coverage) over
+    the documents table: missing mass N1/N, hapax/doubleton counts,
+    type-token ratio — integer permille. Oracle recomputes the frequency
+    table and rollup in DuckDB."""
+    from ..operators.textstats import vocab_coverage
+
+    return vocab_coverage(load_table(spark, sf, "documents"))
+
+
 def q_host_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Robust per-crawl volume outliers
     (operators/counts.py:robust_host_outliers): hosts whose page count
@@ -1352,6 +1362,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_templates": q_url_templates,
     "host_concentration": q_host_concentration,
     "host_outliers": q_host_outliers,
+    "vocab_coverage": q_vocab_coverage,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
@@ -1572,6 +1583,30 @@ FROM agg a JOIN top t USING (crawl)
 ORDER BY a.crawl
 """
     ),
+    # Good-Turing coverage: same whitespace tokenization as vocabulary
+    "vocab_coverage": """
+WITH toks AS (
+  SELECT lang, doc_id, tok AS token
+  FROM documents,
+       LATERAL (SELECT unnest(list_filter(str_split(text, ' '),
+                                          x -> x <> '')) AS tok) u
+),
+freq AS (
+  SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY lang, token
+),
+agg AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+  FROM freq GROUP BY lang
+)
+SELECT lang, n_tokens, n_types, n_hapax, n_dis,
+       CAST(n_hapax * 1000 // n_tokens AS BIGINT) AS missing_mass_permille,
+       CAST(n_types * 1000 // n_tokens AS BIGINT) AS type_token_permille
+FROM agg ORDER BY lang
+""",
     # robust outliers: both medians off frequency-compressed histograms
     "host_outliers": oracle_cte(
         """

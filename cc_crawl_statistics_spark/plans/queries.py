@@ -2259,6 +2259,7 @@ _PRIORITY_NEXT = [
     "adaptive_token_bucket",  # gaps->refill loop, dual-state oracle
     "stats_accumulate",     # algebraic stats merge == direct pass
     "host_outliers",        # robust median/MAD volume outliers
+    "vocab_coverage",       # Good-Turing missing mass per language
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

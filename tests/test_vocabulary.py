@@ -150,3 +150,23 @@ def test_bpe_merges_respects_min_pair_freq(spark):
     got = bpe_merges(docs, n_merges=5, min_pair_freq=2).collect()
     # only (x,y) reaches freq 2; (z,q) has freq 1 and must not be learned
     assert [(r.left, r.right) for r in got] == [("x", "y")]
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """Good-Turing accounting on a hand corpus: hapax/doubleton counts,
+    N1/N missing mass, type-token ratio — per language, integer floor."""
+    from cc_crawl_statistics_spark.operators.textstats import vocab_coverage
+
+    rows = [
+        (0, "en", "a a a b b c"),   # en: N=8, freq a=4,b=2,c=1,d=1
+        (1, "en", "a d"),
+        (2, "de", "x y"),           # de: N=2, both hapax
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r.lang: r for r in vocab_coverage(docs).collect()}
+    en = got["en"]
+    assert (en.n_tokens, en.n_types, en.n_hapax, en.n_dis) == (8, 4, 2, 1)
+    assert en.missing_mass_permille == 2 * 1000 // 8
+    assert en.type_token_permille == 4 * 1000 // 8
+    de = got["de"]
+    assert (de.n_tokens, de.n_hapax, de.missing_mass_permille) == (2, 2, 1000)
