@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..frontier import robots as RB
+from ..operators.bitext import LANG_SEG as BITEXT_LANG_SEG
 from ..frontier.scheduler import first_round_schedule
 from ..operators import dedup as D
 from ..operators import linkgraph as LG
@@ -1016,6 +1017,46 @@ def q_host_concentration(spark: SparkSession, sf: str) -> DataFrame:
     return concentration_stats(pages_df(spark, sf), dim_col="host")
 
 
+def q_bitext_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitext URL-pair mining (operators/bitext.py) over a localized URL
+    population: every distinct (host, doc, lang) gets /{lang}/ and /en/
+    variants of its page URL, so each non-English document yields
+    exactly one (xx, en) candidate pair and English documents collapse
+    to a single variant (no self-pair). Oracle rebuilds the population
+    and the extract/collapse/self-join chain in DuckDB ('g'-flag
+    regexp)."""
+    from ..operators.bitext import language_variant_pairs
+
+    base = pages_df(spark, sf).select(
+        "scheme",
+        "host",
+        "doc_id",
+        F.split("languages", ",").getItem(0).alias("lang"),
+    ).distinct()
+    variants = (
+        base.select(
+            "scheme",
+            "host",
+            "doc_id",
+            F.explode(F.array(F.col("lang"), F.lit("en"))).alias("seg"),
+        )
+        .select(
+            F.concat(
+                F.col("scheme"),
+                F.lit("://"),
+                F.col("host"),
+                F.lit("/"),
+                F.col("seg"),
+                F.lit("/page/"),
+                F.col("doc_id").cast("string"),
+                F.lit(".html"),
+            ).alias("url")
+        )
+        .distinct()
+    )
+    return language_variant_pairs(variants)
+
+
 def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Good–Turing coverage per language (textstats.vocab_coverage) over
     the documents table: missing mass N1/N, hapax/doubleton counts,
@@ -1363,6 +1404,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_concentration": q_host_concentration,
     "host_outliers": q_host_outliers,
     "vocab_coverage": q_vocab_coverage,
+    "bitext_pairs": q_bitext_pairs,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
@@ -1583,6 +1625,33 @@ FROM agg a JOIN top t USING (crawl)
 ORDER BY a.crawl
 """
     ),
+    # bitext: same variant population + extract/collapse/self-join chain
+    "bitext_pairs": oracle_cte(
+        """
+, base AS (SELECT DISTINCT scheme, host, doc_id,
+                  string_split(languages, ',')[1] AS lang FROM pages),
+pop AS (
+  SELECT DISTINCT scheme || '://' || host || '/' || seg || '/page/'
+         || CAST(doc_id AS STRING) || '.html' AS url
+  FROM (
+    SELECT scheme, host, doc_id, lang AS seg FROM base
+    UNION ALL
+    SELECT scheme, host, doc_id, 'en' AS seg FROM base
+  )
+),
+t AS (
+  SELECT DISTINCT
+         regexp_extract(url, '/__LANGSEG__/', 1) AS lang,
+         regexp_replace(url, '/__LANGSEG__/', '/<lang>/', 'g') AS key,
+         url AS u
+  FROM pop
+  WHERE regexp_extract(url, '/__LANGSEG__/', 1) <> ''
+)
+SELECT a.key, a.lang AS lang_a, a.u AS url_a,
+       b.lang AS lang_b, b.u AS url_b
+FROM t a JOIN t b ON a.key = b.key AND a.lang < b.lang
+"""
+    ).replace("__LANGSEG__", BITEXT_LANG_SEG),
     # Good-Turing coverage: same whitespace tokenization as vocabulary
     "vocab_coverage": """
 WITH toks AS (

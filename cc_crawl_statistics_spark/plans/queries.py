@@ -2260,6 +2260,7 @@ _PRIORITY_NEXT = [
     "stats_accumulate",     # algebraic stats merge == direct pass
     "host_outliers",        # robust median/MAD volume outliers
     "vocab_coverage",       # Good-Turing missing mass per language
+    "bitext_pairs",         # URL language-variant alignment (WMT16)
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

@@ -65,3 +65,31 @@ def test_weights_shift_with_target(spark):
         ).collect()
     }
     assert w_in[3] > w_out[3]
+
+
+def test_bitext_language_variant_pairs(spark):
+    """URL-matching bitext candidates: a 3-language group yields all 3
+    unordered pairs, keys never collide across hosts, no-segment URLs
+    drop, and duplicate rows collapse."""
+    from cc_crawl_statistics_spark.operators.bitext import (
+        language_variant_pairs,
+    )
+
+    urls = [
+        "https://a.com/en/about.html",
+        "https://a.com/de/about.html",
+        "https://a.com/fr/about.html",
+        "https://b.com/en/about.html",   # same path, other host: no mix
+        "https://b.com/plain/page.html",  # no language segment
+        "https://a.com/en/about.html",   # duplicate row
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    got = {
+        (r.key, r.lang_a, r.lang_b)
+        for r in language_variant_pairs(df).collect()
+    }
+    assert got == {
+        ("https://a.com/<lang>/about.html", "de", "en"),
+        ("https://a.com/<lang>/about.html", "de", "fr"),
+        ("https://a.com/<lang>/about.html", "en", "fr"),
+    }
