@@ -328,3 +328,250 @@ def semdedup_verdicts(
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): the compressed-domain ANN path.
+# IVF narrows WHERE to scan; PQ shrinks WHAT is scanned — each vector is m
+# small codes, and query distances are table lookups (ADC), so the scan
+# touches bytes-per-vector instead of floats-per-vector. At 10^10 vectors
+# the code table is ~100x smaller than the raw embeddings.
+# ---------------------------------------------------------------------------
+
+
+def _l2(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _subvec(vec_col, sub_id_col, sub_dim: int):
+    """slice(vec, sub_id*sub_dim+1, sub_dim) — 1-based SQL slicing."""
+    return F.slice(
+        vec_col, (sub_id_col * sub_dim + 1).cast("int"), sub_dim
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the m per-subspace codebooks (ks codewords each) with the
+    same deterministic Lloyd recipe as ivf_centroids, under L2 (the PQ
+    convention). One frame out: (sub_id, code, codeword).
+
+    Scale: each iteration is ONE corpus scan — the m subspaces train
+    together (explode to (vec_id, sub_id, subvec), broadcast all m*ks
+    codewords, min_by within sub_id, per-(sub_id, code, i) mean). m*ks
+    codewords = kilobytes, always broadcast."""
+    dim = len(emb.select(vec_col).first()[0])
+    sub_dim = dim // m
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.transform(
+            _subvec(F.col("_v"), F.col("sub_id"), sub_dim),
+            lambda x: x.cast("double"),
+        ).alias("sv"),
+    )
+    seeds = (
+        subs.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("sub_id").orderBy(
+                    F.xxhash64(F.col("vec_id").cast("string")), "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("r") <= ks)
+        .select("sub_id", F.col("r").alias("code"), F.col("sv").alias("codeword"))
+        .localCheckpoint(eager=True)
+    )
+    books = seeds
+    w = Window.partitionBy("vec_id", "sub_id").orderBy("d", "code")
+    for _ in range(iters):
+        scored = subs.join(F.broadcast(books), "sub_id").withColumn(
+            "d", _l2(F.col("sv"), F.col("codeword"))
+        )
+        assigned = (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("sub_id", "code", "sv")
+        )
+        means = (
+            assigned.select(
+                "sub_id", "code", F.posexplode("sv").alias("i", "x")
+            )
+            .groupBy("sub_id", "code", "i")
+            .agg(F.avg("x").alias("mn"))
+            .groupBy("sub_id", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "mn"))).alias("im"))
+            .select(
+                "sub_id",
+                "code",
+                F.transform(F.col("im"), lambda s: s.getField("mn")).alias(
+                    "codeword"
+                ),
+            )
+        )
+        books = (
+            books.select("sub_id", "code", F.col("codeword").alias("prev"))
+            .join(means, ["sub_id", "code"], "left")
+            .select(
+                "sub_id",
+                "code",
+                F.coalesce("codeword", "prev").alias("codeword"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame, books: DataFrame, m: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Encode every vector as its m nearest codewords:
+    (vec_id, codes array<int>, ordered by sub_id). One corpus scan +
+    broadcast codebooks + one vec_id reassembly aggregation."""
+    dim = len(emb.select(vec_col).first()[0])
+    sub_dim = dim // m
+    subs = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        F.col(vec_col).alias("_v"),
+    ).select(
+        "vec_id",
+        "sub_id",
+        F.transform(
+            _subvec(F.col("_v"), F.col("sub_id"), sub_dim),
+            lambda x: x.cast("double"),
+        ).alias("sv"),
+    )
+    w = Window.partitionBy("vec_id", "sub_id").orderBy("d", "code")
+    best = (
+        subs.join(F.broadcast(books), "sub_id")
+        .withColumn("d", _l2(F.col("sv"), F.col("codeword")))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "sub_id", "code")
+    )
+    return best.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda s: s.getField("code"),
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    books: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: per query, the k nearest vectors by summed per-subspace
+    lookup distances. Output (query_id, vec_id, rank, adist_x1m) —
+    distance in integer micro-units for deterministic display; ranking
+    happens on the double (ties broken by vec_id).
+
+    Scale shape: the lookup table (query_id, sub_id, code, d) is
+    |queries|*m*ks rows — broadcast; the scan explodes codes to
+    (vec_id, sub_id, code) and hash-joins the table, so cost is one pass
+    over the code table per query batch, never touching raw embeddings."""
+    dim = len(queries.select(vec_col).first()[0])
+    sub_dim = dim // m
+    qsubs = queries.select(
+        "query_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub_id"),
+        F.col(vec_col).alias("_q"),
+    ).select(
+        "query_id",
+        "sub_id",
+        F.transform(
+            _subvec(F.col("_q"), F.col("sub_id"), sub_dim),
+            lambda x: x.cast("double"),
+        ).alias("qv"),
+    )
+    qtable = qsubs.join(books, "sub_id").select(
+        "query_id", "sub_id", "code", _l2(F.col("qv"), F.col("codeword")).alias("d")
+    )
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("sub_id", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(qtable), ["sub_id", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("adist") * 1_000_000).cast("long").alias("adist_x1m"),
+        )
+    )
+
+
+def pq_topk_rerank(
+    codes: DataFrame,
+    books: DataFrame,
+    queries: DataFrame,
+    emb: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ shape: ADC shortlist (cheap, compressed-domain)
+    then EXACT L2 re-ranking of only the shortlist against the raw
+    vectors. Output (query_id, vec_id, rank, dist_x1m).
+
+    Scale: the expensive exact distance touches |queries| × shortlist
+    raw vectors instead of the corpus — the re-rank join's left side is
+    shortlist-bounded, so raw embeddings stream through a hash join
+    probe, never a full scan per query."""
+    sl = pq_topk(codes, books, queries, k=shortlist, m=m).select(
+        "query_id", "vec_id"
+    )
+    qv = queries.select(
+        "query_id",
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cand = (
+        sl.join(emb.select("vec_id", vec_col), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _l2(F.col(vec_col), F.col("qv")).alias("dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.floor(F.col("dist") * 1_000_000).cast("long").alias("dist_x1m"),
+        )
+    )

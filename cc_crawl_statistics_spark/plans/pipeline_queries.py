@@ -176,6 +176,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN in its production shape (similarity.
+    pq_codebooks/pq_encode → ADC shortlist → exact re-rank): the
+    compressed-domain path next to IVF's narrowed-scan path. Rows-only
+    (float codebook training has no SQL oracle); identity/copy
+    invariance, rerank recall, and encode partition-invariance pinned in
+    tests/test_dedup_similarity.py."""
+    emb = emb_corpus_df(spark, sf)
+    books = SIM.pq_codebooks(emb, m=8, ks=16, iters=2)
+    codes = SIM.pq_encode(emb, books, m=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.pq_topk_rerank(codes, books, queries, emb, k=5, shortlist=50, m=8)
+
+
 def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     return TX.token_stats(corpus_df(spark, sf))
 
@@ -1364,6 +1380,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "semdedup": q_semdedup,
     "curation_funnel": q_curation_funnel,
     "token_stats": q_token_stats,

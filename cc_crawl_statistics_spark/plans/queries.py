@@ -2261,6 +2261,7 @@ _PRIORITY_NEXT = [
     "host_outliers",        # robust median/MAD volume outliers
     "vocab_coverage",       # Good-Turing missing mass per language
     "bitext_pairs",         # URL language-variant alignment (WMT16)
+    "ann_pq_topk",          # product-quantization ADC scan (rows-only)
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

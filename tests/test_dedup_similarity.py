@@ -705,3 +705,76 @@ def test_weighted_sample_weight_monotonicity(spark):
     # 5 heavy rows at weight 50 vs 95 light at weight 1: heavy rows are
     # ~20% of the draw mass each; over 30 seeds they dominate per-capita
     assert heavy_hits / 5 > 5 * (light_hits / 95)
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ ADC top-k: (a) rank-1 self-hit for every query (a vector's own
+    code minimizes ADC distance on this corpus), (b) recall@5 vs exact
+    L2 brute force >= 0.6 on the fixture, (c) codes are invariant to
+    input partitioning."""
+    from cc_crawl_statistics_spark.plans.pipeline_queries import (
+        emb_corpus_df,
+    )
+
+    emb = emb_corpus_df(spark, SF_SMOKE)
+    books = SIM.pq_codebooks(emb, m=8, ks=16, iters=2)
+    codes = SIM.pq_encode(emb, books, m=8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = SIM.pq_topk(codes, books, queries, k=5, m=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id))
+    # (a) identity invariance: a query's own code minimizes ADC distance,
+    # and the planted exact copy (vec_id 0 -> 1000000) shares its code,
+    # so both sit in the top-5
+    for q, hits in by_q.items():
+        ids = {v for _, v in hits}
+        assert q in ids, (q, hits)
+    assert 1000000 in {v for _, v in by_q[0]}  # 0 % 11 == 0 has a copy
+    # (b) the production shape — ADC shortlist + exact re-rank — reaches
+    # useful recall even on this worst-case (uniform-random) corpus, and
+    # strictly improves on the plain compressed-domain ranking
+    ex = {
+        (r.query_id, r.vec_id)
+        for r in _l2_brute(spark, emb, queries, k=5).collect()
+    }
+    pq = {(r.query_id, r.vec_id) for r in got}
+    rr = {
+        (r.query_id, r.vec_id)
+        for r in SIM.pq_topk_rerank(
+            codes, books, queries, emb, k=5, shortlist=100, m=8
+        ).collect()
+    }
+    assert len(ex & rr) / len(ex) >= 0.7, len(ex & rr) / len(ex)
+    assert len(ex & rr) > len(ex & pq)
+    # (c) partitioning invariance of the encoding
+    c1 = {r.vec_id: r.codes for r in codes.collect()}
+    c2 = {
+        r.vec_id: r.codes
+        for r in SIM.pq_encode(emb.repartition(13), books, m=8).collect()
+    }
+    assert c1 == c2
+
+
+def _l2_brute(spark, emb, queries, k):
+    from pyspark.sql import Window as W
+
+    d = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("q"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = emb.join(
+        F.broadcast(
+            queries.select("query_id", F.col("embedding").alias("q"))
+        )
+    ).select("query_id", "vec_id", d.alias("d"))
+    w = W.partitionBy("query_id").orderBy("d", "vec_id")
+    return j.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
