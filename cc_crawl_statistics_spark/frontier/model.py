@@ -48,21 +48,34 @@ def ledger_for(site_id: int) -> tuple[int, int]:
 @dataclass
 class ModelState:
     n_docs: int
-    pending: dict[str, tuple[int, int]] = field(default_factory=dict)  # url -> (depth, score)
+    # url -> (depth, score, discovered_round)
+    pending: dict[str, tuple[int, int, int]] = field(default_factory=dict)
     seen: set[str] = field(default_factory=set)
     schedules: list[list[dict]] = field(default_factory=list)
     rnd: int = 0
+    # starvation-freedom: effective score = score + age_boost * rounds
+    # waiting (0 = pure static priority, the default ordering contract)
+    age_boost: int = 0
+    # flat_depth mirrors a flat-depth expand_fn (children always depth 1):
+    # the shape where same-depth competitors carry DIFFERENT discovery
+    # rounds, i.e. where aging actually reorders
+    flat_depth: bool = False
+    # cap every host's per-round budget (mirrors a rewritten host_ledger)
+    # — forces queues to linger so aging has something to reorder
+    budget_cap: int | None = None
 
     def __post_init__(self):
         self.uni = {u["url"]: u for u in (synth_url(d) for d in range(self.n_docs))}
         self.by_doc = {u["doc_id"]: u for u in self.uni.values()}
 
 
-def seed(n_docs: int) -> ModelState:
-    st = ModelState(n_docs)
+def seed(
+    n_docs: int, age_boost: int = 0, flat_depth: bool = False
+) -> ModelState:
+    st = ModelState(n_docs, age_boost=age_boost, flat_depth=flat_depth)
     for u in st.uni.values():
         if u["doc_id"] % 7 == 0:
-            st.pending[u["url"]] = (0, u["score"])
+            st.pending[u["url"]] = (0, u["score"], 0)
             st.seen.add(u["url"])
     return st
 
@@ -72,28 +85,36 @@ def run_round(st: ModelState) -> list[dict]:
     # politeness gate
     by_host: dict[str, list] = {}
     blocked = []
-    for url, (depth, score) in st.pending.items():
+    for url, (depth, score, disc) in st.pending.items():
         u = st.uni[url]
         robots, budget = ledger_for(u["site_id"])
+        if st.budget_cap is not None:
+            budget = min(budget, st.budget_cap)
         if robots == 403:
             blocked.append(url)
         else:
-            by_host.setdefault(u["host"], []).append((depth, -score, url, budget))
+            aged = score + st.age_boost * (st.rnd - disc)
+            by_host.setdefault(u["host"], []).append(
+                (depth, -aged, url, budget, score)
+            )
     for url in blocked:
         del st.pending[url]
-    # host-bucketed priority: total order (depth asc, score desc, url asc)
+    # host-bucketed priority: total order (depth asc, aged score desc,
+    # url asc); with age_boost == 0 aged == raw score (legacy contract)
     schedule = []
     for host in by_host:
         rows = sorted(by_host[host])
         budget = rows[0][3]
-        for rank, (depth, negscore, url, _) in enumerate(rows[:budget], 1):
+        for rank, (depth, _negaged, url, _, score) in enumerate(
+            rows[:budget], 1
+        ):
             schedule.append(
                 {
                     "round": st.rnd,
                     "url": url,
                     "host": host,
                     "depth": depth,
-                    "score": -negscore,
+                    "score": score,
                     "rank": rank,
                 }
             )
@@ -103,12 +124,12 @@ def run_round(st: ModelState) -> list[dict]:
     for row in schedule:
         d = st.uni[row["url"]]["doc_id"]
         for c in ((d * 2 + 1) % st.n_docs, (d * 3 + 7) % st.n_docs):
-            nd = row["depth"] + 1
+            nd = 1 if st.flat_depth else row["depth"] + 1
             child_depth[c] = min(child_depth.get(c, nd), nd)
     for c, depth in child_depth.items():
         u = st.by_doc[c]
         if u["url"] not in st.seen:
             st.seen.add(u["url"])
-            st.pending[u["url"]] = (depth, u["score"])
+            st.pending[u["url"]] = (depth, u["score"], st.rnd)
     st.schedules.append(schedule)
     return schedule

@@ -290,14 +290,20 @@ def host_bucketed_topk(
     budget_col: str = "max_per_round",
     n_salts: int = 8,
     key_col: str = "host",
+    score_col: str = "score",
 ) -> DataFrame:
     """Two-phase per-key priority selection (the skew-safe 'host-bucketed
     min-heap'; ``key_col`` defaults to host — pass "domain" to scope the
     politeness unit at the registrable domain, the CDN-subdomain case).
     Phase 1 ranks within (key, salt) and keeps only rows that could still
     win; phase 2 ranks survivors per key. Output: rank ≤ budget, in the
-    total priority order."""
-    order = (F.col("depth").asc(), F.col("score").desc(), F.col("url").asc())
+    total priority order. ``score_col`` is the priority's middle term —
+    the raw score by default, or an aged score (run_round age_boost)."""
+    order = (
+        F.col("depth").asc(),
+        F.col(score_col).desc(),
+        F.col("url").asc(),
+    )
     max_budget = 4  # static upper bound of ledger budgets (1 + site_id % 4)
     w1 = Window.partitionBy(key_col, "salt").orderBy(*order)
     w2 = Window.partitionBy(key_col).orderBy(*order)
@@ -512,6 +518,7 @@ def run_round(
     timings: dict | None = None,
     expand_fn=None,
     prefilter: str = "bloom",
+    age_boost: int = 0,
 ) -> dict:
     """Execute the next scheduling round from the latest committed snapshot
     and commit round+1. Returns the round metrics (computed from the
@@ -536,7 +543,16 @@ def run_round(
     ``expand_links`` model). Pass ``html_discovery(spark, sf_dir)`` to
     discover by PARSING the scheduled pages' html bytes — same signature
     ``(sched_materialized, universe, n_docs) -> DataFrame`` with
-    seed_frontier's schema."""
+    seed_frontier's schema.
+
+    ``age_boost`` > 0 enables starvation-free priority aging: the
+    ordering's middle term becomes score + age_boost × rounds-waiting
+    (discovery round recovered from the row's snapshot path — no schema
+    change; a frontier compaction rewrite floors ages to the base round).
+    Any pending URL's effective score grows without bound, so it
+    eventually outranks every fixed-score newcomer on its host —
+    model-parity pinned in tests/test_frontier.py. 0 (default) is the
+    legacy static ordering, bit-identical to prior rounds."""
     latest = store.latest_round()
     if latest is None:
         if pages is None:
@@ -584,7 +600,9 @@ def run_round(
             timings[label] = round(_time.time() - t0, 3)
         return out
 
-    frontier = store.read_frontier(spark, latest)
+    frontier = store.read_frontier(
+        spark, latest, keep_src_rnd=age_boost > 0
+    )
     seen = store.read_seen(spark, latest)
     # the ledger is corpus-derived dimension state: like the universe it is
     # written once at seed time and read from round 0 (a real deployment
@@ -660,7 +678,17 @@ def run_round(
     # join + eager localCheckpoint this replaces were the round's largest
     # per-level-invariant cost — a broadcast-build serial tail scaling
     # 1.4–1.9× across a 4× core span while every corpus scan scaled ≥2.8×.
-    sched = host_bucketed_topk(eligible, n_salts=n_salts).select(
+    score_col = "score"
+    if age_boost > 0:
+        eligible = eligible.withColumn(
+            "_aged",
+            F.col("score")
+            + F.lit(age_boost) * (F.lit(rnd) - F.col("_src_rnd")),
+        )
+        score_col = "_aged"
+    sched = host_bucketed_topk(
+        eligible, n_salts=n_salts, score_col=score_col
+    ).select(
         F.lit(rnd).alias("round"),
         "url",
         "surt_key",

@@ -206,7 +206,12 @@ class SnapshotStore:
                 return r
         return None
 
-    def read_frontier(self, spark: SparkSession, upto_rnd: int) -> DataFrame:
+    def read_frontier(
+        self,
+        spark: SparkSession,
+        upto_rnd: int,
+        keep_src_rnd: bool = False,
+    ) -> DataFrame:
         """The pending frontier as of a round — same append-only +
         periodic-rewrite pattern as read_seen, because at 10¹⁰ URLs the
         frontier must not be rewritten per round any more than the seen
@@ -278,7 +283,11 @@ class SnapshotStore:
                 & (F.col("r._ret_rnd") > F.col("f._src_rnd")),
                 "left_anti",
             )
-        return cur.drop("_src_rnd")
+        # _src_rnd = the round each pending row was discovered (recovered
+        # from its snapshot path; floored to the base round after a
+        # frontier compaction rewrite). keep_src_rnd exposes it for
+        # priority aging (scheduler.run_round age_boost).
+        return cur if keep_src_rnd else cur.drop("_src_rnd")
 
     def compact_frontier(
         self, spark: SparkSession, upto_rnd: int, n_partitions: int = 4

@@ -621,3 +621,56 @@ def test_stats_merge_is_lossless_and_associative(spark):
     # the distinct estimate is genuinely per-key: the global row's
     # distinct urls exceed any single host's
     assert merged[g][2] == max(v[2] for v in merged.values())
+
+
+def test_priority_aging_bit_for_bit(spark, tmp_path):
+    """Starvation-free aging (age_boost): under a flat-depth expansion
+    and a budget-1 ledger — the contention shape where same-depth
+    competitors carry different discovery rounds — the Spark engine
+    matches the model bit-for-bit over 6 rounds with aging ON, and the
+    aged schedule provably diverges from the static one (so the
+    _src_rnd age wiring is load-bearing, not vacuous)."""
+    import os
+    import shutil
+
+    from cc_crawl_statistics_spark.frontier.scheduler import expand_links
+
+    def flat_expand(sched_m, universe, n_docs):
+        out = expand_links(sched_m, universe, n_docs)
+        t = dict(out.dtypes)["depth"]
+        return out.withColumn("depth", F.lit(1).cast(t))
+
+    def cap_ledger(st_store):
+        """Rewrite the seeded store's ledger to budget 1 everywhere,
+        preserving the original column types."""
+        path = os.path.join(st_store.root, "round=0000", "host_ledger")
+        df = spark.read.parquet(path)
+        t = dict(df.dtypes)["max_per_round"]
+        tmp = path + ".tmp"
+        df.withColumn("max_per_round", F.lit(1).cast(t)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def run(boost, root):
+        sp_store = SnapshotStore(str(tmp_path / root))
+        st = model.seed(N_DOCS, age_boost=boost, flat_depth=True)
+        out = []
+        for rnd in range(1, 7):
+            scheduler.run_round(
+                spark, sp_store, SF_SMOKE,
+                age_boost=boost, expand_fn=flat_expand,
+            )
+            msched = model.run_round(st)
+            got = schedule_rows(spark, sp_store, rnd)
+            assert got == model_rows(msched), (boost, rnd)
+            out.append(got)
+            if rnd == 1:  # cap budgets from round 2 on, both engines
+                cap_ledger(sp_store)
+                st.budget_cap = 1
+        return out
+
+    aged = run(40, "aged")
+    static = run(0, "static")
+    assert aged != static  # aging visibly reorders under contention

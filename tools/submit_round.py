@@ -29,6 +29,11 @@ def main() -> None:
         help="run the fetch+extract stage each round (byte-identity metrics)",
     )
     ap.add_argument(
+        "--age-boost", type=int, default=0,
+        help="starvation-free priority aging: effective score = score + "
+        "age_boost x rounds-waiting (0 = static ordering)",
+    )
+    ap.add_argument(
         "--expire", action="store_true",
         help="after each round, drop state tables unreachable past the "
         "newest compaction bases (SnapshotStore.expire_rounds — the "
@@ -57,6 +62,7 @@ def main() -> None:
             args.sf,
             n_partitions=args.partitions,
             docs=docs,
+            age_boost=args.age_boost,
         )
         if args.expire:
             removed = store.expire_rounds(metrics["round"])
