@@ -1022,3 +1022,49 @@ def vocab_coverage(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def compression_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document — the classic redundancy
+    quality signal (template/boilerplate/spam text compresses far better
+    than natural prose; used alongside Gopher-style repetition filters).
+    ratio_permille = 1000 * compressed_len / raw_len (lower = more
+    redundant), 0-length docs excluded.
+
+    This is the documented boundary case for the no-UDF rule: DEFLATE is
+    not expressible in built-in SQL functions, so it runs as an
+    Arrow-batched pandas UDF (zlib releases the GIL; one C call per doc,
+    no per-row Python logic beyond the loop). Deterministic: zlib level 6
+    output length is stable for a given input across platforms/runs, so
+    the output is exact-comparable (rows-only for the driver — DuckDB has
+    no zlib — with exactness pinned against direct zlib in pytest)."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    def _zlib_len(s):
+        import zlib  # noqa: PLC0415
+
+        return pd.Series(
+            [len(zlib.compress(t.encode("utf-8"), 6)) if t else 0 for t in s]
+        )
+
+    _clen = pandas_udf(_zlib_len, "long")
+
+    raw_len = F.length(F.encode(F.col(text_col), "utf-8"))
+    return (
+        docs.select(
+            "doc_id",
+            raw_len.cast("long").alias("raw_bytes"),
+            _clen(F.col(text_col)).alias("zlib_bytes"),
+        )
+        .filter(F.col("raw_bytes") > 0)
+        .select(
+            "doc_id",
+            "raw_bytes",
+            "zlib_bytes",
+            F.expr("CAST(zlib_bytes * 1000 DIV raw_bytes AS BIGINT)").alias(
+                "ratio_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1073,6 +1073,16 @@ def q_bitext_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return language_variant_pairs(variants)
 
 
+def q_compression_ratios(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib redundancy signal (textstats.compression_ratios) over the
+    duplicate-injected corpus. Rows-only: DuckDB has no zlib; exactness
+    vs direct zlib and the repetitive-vs-prose ordering are pinned in
+    tests/test_vocabulary.py."""
+    from ..operators.textstats import compression_ratios
+
+    return compression_ratios(corpus_df(spark, sf))
+
+
 def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Good–Turing coverage per language (textstats.vocab_coverage) over
     the documents table: missing mass N1/N, hapax/doubleton counts,
@@ -1422,6 +1432,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_outliers": q_host_outliers,
     "vocab_coverage": q_vocab_coverage,
     "bitext_pairs": q_bitext_pairs,
+    "compression_ratios": q_compression_ratios,
     "host_fetch_gaps": q_host_fetch_gaps,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,

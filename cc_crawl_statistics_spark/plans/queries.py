@@ -2262,6 +2262,7 @@ _PRIORITY_NEXT = [
     "vocab_coverage",       # Good-Turing missing mass per language
     "bitext_pairs",         # URL language-variant alignment (WMT16)
     "ann_pq_topk",          # product-quantization ADC scan (rows-only)
+    "compression_ratios",   # zlib redundancy signal (rows-only)
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

@@ -170,3 +170,29 @@ def test_vocab_coverage_hand_computed(spark):
     assert en.type_token_permille == 4 * 1000 // 8
     de = got["de"]
     assert (de.n_tokens, de.n_hapax, de.missing_mass_permille) == (2, 2, 1000)
+
+
+def test_compression_ratio_semantics(spark):
+    """zlib ratio: exact vs direct zlib, and the redundancy ordering —
+    a highly repetitive doc compresses far below natural-ish prose,
+    empty docs are excluded."""
+    import zlib
+
+    from cc_crawl_statistics_spark.operators.textstats import (
+        compression_ratios,
+    )
+
+    rep = "spam " * 200
+    prose = " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(0, rep), (1, prose), (2, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in compression_ratios(docs).collect()}
+    assert set(got) == {0, 1}  # empty excluded
+    for d, t in ((0, rep), (1, prose)):
+        assert got[d].raw_bytes == len(t.encode())
+        assert got[d].zlib_bytes == len(zlib.compress(t.encode(), 6))
+        assert got[d].ratio_permille == (
+            got[d].zlib_bytes * 1000 // got[d].raw_bytes
+        )
+    assert got[0].ratio_permille < got[1].ratio_permille // 4
