@@ -196,3 +196,42 @@ def failure_backoff(
         "consecutive_failures",
         delay.cast("long").alias("retry_delay_s"),
     ).orderBy("url")
+
+
+def stale_captures(
+    entries: DataFrame, captures: DataFrame, min_lag_s: int = 1
+) -> DataFrame:
+    """Sitemap-driven refresh detection: join the ADVERTISED state of a
+    site (its sitemap's <lastmod> per URL) against the crawl's latest
+    capture; a URL is stale when the site advertises an edit at least
+    ``min_lag_s`` newer than our capture — or was never captured at all.
+    This is the third refresh signal next to the digest-history recrawl
+    tiers and the observed-gap politeness: the site TELLS us what
+    changed, so the scheduler re-enqueues exactly those URLs first.
+
+    entries: (host, url, lastmod) — parse_sitemaps output.
+    captures: any frame with (url, fetch_ts).
+    Output per advertised URL: (host, url, advertised_ts, last_fetch_ts,
+    lag_s, stale). Never-captured URLs carry last_fetch_ts NULL, lag NULL,
+    stale true.
+
+    Scale shape: one url-keyed max aggregation over the capture log, one
+    equi-join keyed on url — both hash-partition evenly (url is unique
+    high-cardinality); the sitemap side is politeness-bounded per host."""
+    cap = captures.groupBy("url").agg(
+        F.max("fetch_ts").cast("long").alias("last_fetch_ts")
+    )
+    j = entries.select(
+        "host", "url", F.col("lastmod").cast("long").alias("advertised_ts")
+    ).join(cap, "url", "left")
+    lag = F.col("advertised_ts") - F.col("last_fetch_ts")
+    return j.select(
+        "host",
+        "url",
+        "advertised_ts",
+        "last_fetch_ts",
+        lag.cast("long").alias("lag_s"),
+        (
+            F.col("last_fetch_ts").isNull() | (lag >= min_lag_s)
+        ).alias("stale"),
+    )

@@ -948,6 +948,32 @@ def q_sitemap_sharded(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sitemap_stale(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap-driven refresh end-to-end (operators/recrawl.py:
+    stale_captures): pages with doc_id%3==1 get their fetch timestamps
+    advertised 3600 s newer, the perturbed state flows through the REAL
+    XML render/parse chain (sources/sitemap.py), and the staleness join
+    against the unperturbed capture log must flag exactly that cohort.
+    Oracle recomputes advertised/captured arithmetically — render or
+    parse drift breaks value parity (same design as sitemap_sharded)."""
+    from ..operators.recrawl import stale_captures
+    from ..sources.sitemap import parse_sitemaps, render_sitemaps
+
+    pages = pages_df(spark, sf)
+    future = pages.withColumn(
+        "fetch_ts",
+        F.col("fetch_ts")
+        + F.when(F.col("doc_id") % 3 == 1, 3600).otherwise(0),
+    )
+    entries = parse_sitemaps(render_sitemaps(future))
+    per_url = stale_captures(entries, pages)
+    return per_url.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_advertised"),
+        F.sum(F.col("stale").cast("long")).cast("long").alias("n_stale"),
+        F.max("lag_s").cast("long").alias("max_lag_s"),
+    )
+
+
 def q_host_fetch_gaps(spark: SparkSession, sf: str) -> DataFrame:
     """Adaptive politeness: per-host observed inter-fetch gap stats and
     the suggested crawl delay (operators/recrawl.py:observed_host_gaps)
@@ -1434,6 +1460,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_pairs": q_bitext_pairs,
     "compression_ratios": q_compression_ratios,
     "host_fetch_gaps": q_host_fetch_gaps,
+    "sitemap_stale": q_sitemap_stale,
     "concurrent_sessions": q_concurrent_sessions,
     "sitemap_sharded": q_sitemap_sharded,
     "warc_gzip_index": q_warc_gzip_index,
@@ -1856,6 +1883,26 @@ SELECT host,
 FROM walk GROUP BY host
 """
     ).replace("WITH pages", "WITH RECURSIVE pages", 1),
+    # sitemap staleness: advertised/captured recomputed arithmetically
+    "sitemap_stale": oracle_cte(
+        """
+, cap AS (
+  SELECT host, url, MAX(fetch_ts) AS last_fetch, MAX(doc_id) AS d
+  FROM pages GROUP BY host, url
+),
+adv AS (
+  SELECT host, url, last_fetch,
+         last_fetch + CASE WHEN d % 3 = 1 THEN 3600 ELSE 0 END AS advertised
+  FROM cap
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_advertised,
+       CAST(SUM(CASE WHEN advertised - last_fetch >= 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stale,
+       CAST(MAX(advertised - last_fetch) AS BIGINT) AS max_lag_s
+FROM adv GROUP BY host
+"""
+    ),
     # mergeable stats: direct melt over ALL pages — equality with the
     # per-crawl merge path proves the fold is lossless
     "stats_accumulate": oracle_cte(

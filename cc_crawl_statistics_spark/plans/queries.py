@@ -2263,6 +2263,7 @@ _PRIORITY_NEXT = [
     "bitext_pairs",         # URL language-variant alignment (WMT16)
     "ann_pq_topk",          # product-quantization ADC scan (rows-only)
     "compression_ratios",   # zlib redundancy signal (rows-only)
+    "sitemap_stale",        # advertised-vs-captured refresh signal
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
     "shard_summary",        # training-shard balance

@@ -148,3 +148,50 @@ def test_sitemap_shards_and_index(spark):
     assert sorted(
         (r.host, r.shard_id, r.sitemap_xml) for r in shards2.collect()
     ) == sorted((r.host, r.shard_id, r.sitemap_xml) for r in shards.collect())
+
+
+def test_stale_captures_semantics(spark):
+    """Advertised-vs-captured refresh: newer advertisement flags, equal
+    timestamps don't, never-captured advertised URLs flag with NULL
+    capture."""
+    from cc_crawl_statistics_spark.operators.recrawl import stale_captures
+
+    entries = spark.createDataFrame(
+        [
+            ("h", "http://h/fresh", 1000),
+            ("h", "http://h/edited", 2000),
+            ("h", "http://h/new", 500),
+        ],
+        "host string, url string, lastmod long",
+    )
+    caps = spark.createDataFrame(
+        [
+            ("http://h/fresh", 1000),
+            ("http://h/edited", 1500),
+            ("http://h/edited", 900),  # older capture must not win
+            ("http://h/other", 1),     # captured but not advertised: absent
+        ],
+        "url string, fetch_ts long",
+    )
+    got = {r.url: r for r in stale_captures(entries, caps).collect()}
+    assert set(got) == {"http://h/fresh", "http://h/edited", "http://h/new"}
+    assert not got["http://h/fresh"].stale
+    e = got["http://h/edited"]
+    assert (e.stale, e.last_fetch_ts, e.lag_s) == (True, 1500, 500)
+    n = got["http://h/new"]
+    assert n.stale and n.last_fetch_ts is None and n.lag_s is None
+
+
+def test_sitemap_stale_flags_exact_cohort(spark):
+    """The end-to-end chain flags exactly the doc_id%3==1 cohort with a
+    3600 s lag, through real XML."""
+    from cc_crawl_statistics_spark.plans.pipeline_queries import (
+        q_sitemap_stale,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_sitemap_stale(spark, SF_SMOKE).collect()
+    assert sum(r.n_stale for r in rows) > 0
+    for r in rows:
+        assert r.max_lag_s in (0, 3600)
+        assert (r.n_stale > 0) == (r.max_lag_s == 3600)
