@@ -122,7 +122,45 @@ HEADLINE = {
     # fetch-time dedup: row_number/first over the high-cardinality
     # (crawl, digest) key — the sort-window class
     "warc_revisit": lambda p: _warc_revisit(p),
+    # politeness fold class: per-host sorted-array aggregate fold over
+    # the full fetch log (~1.45M events at factor 200), host-parallel
+    "token_bucket": lambda p: _token_bucket_bench(p),
+    # DSIR importance weights: two hashed-feature corpus passes + the
+    # broadcast 1024-bucket weight join over the scaled documents view
+    "dsir_weights": lambda p: _dsir_bench(p),
+    # per-group boilerplate strip: unit explode -> (group, unit) frequency
+    # -> anti-join -> per-doc reassembly over the scaled corpus
+    "boilerplate_strip": lambda p: _boilerplate_bench(p),
 }
+
+
+def _token_bucket_bench(pages):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.frontier.politeness import (
+        token_bucket_gate,
+    )
+
+    return token_bucket_gate(pages).groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("admitted").cast("long")).alias("adm"),
+    )
+
+
+def _dsir_bench(pages):
+    from cc_crawl_statistics_spark.operators.dsir import dsir_weights
+
+    d = pages.sparkSession.table("documents")
+    return dsir_weights(d, d.filter("lang = 'en' AND doc_id % 5 = 0"))
+
+
+def _boilerplate_bench(pages):
+    from cc_crawl_statistics_spark.operators.dedup import boilerplate_strip
+
+    return boilerplate_strip(
+        pages.sparkSession.table("documents"), group_col="source",
+        unit_words=8,
+    )
 
 
 def _asof_bench(pages):
