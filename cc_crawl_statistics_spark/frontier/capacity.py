@@ -1,0 +1,168 @@
+"""Fetcher-fleet capacity planning: consistent-hash host sharding and
+round-makespan estimation for the frontier scheduler.
+
+A distributed crawl runs many fetcher processes, but politeness is a
+per-host contract (robots.txt Crawl-delay — frontier/robots.py), so every
+scheduled URL of a host must land on the SAME fetcher: the delay is then
+enforced with node-local state, no cross-node coordination. The classic
+assignments are a plain host-hash modulo (Nutch's partition.url.by.host —
+resizing the fleet remaps almost every host, invalidating every fetcher's
+local robots/DNS cache) or a static ring (Heritrix). Here the shard map is
+CONSISTENT HASHING with virtual nodes: growing the fleet from N to N+1
+fetchers moves only the hosts whose ring successor became one of the new
+fetcher's points (expected |hosts|/(N+1)); every moved host moves TO the
+new fetcher, never between survivors — pinned exactly by
+tests/test_capacity.py::test_fleet_resize_moves_hosts_only_to_new_fetcher.
+
+Reference tie: the scheduled rows being sharded are the output of the
+host-bucketed priority queue (scheduler.host_bucketed_topk, reference
+semantics cited there); the per-host politeness budget comes from the
+parsed robots ledger (scheduler.host_ledger).
+
+Cross-engine hash (same construct both engines, so the DuckDB oracle
+replays the exact ring): ``point(s)`` = first 8 hex chars of md5(s) as an
+integer — Spark ``conv(substr(md5(s),1,8),16,10)``, DuckDB
+``CAST('0x' || substr(md5(s),1,8) AS BIGINT)``, Python
+``int(md5(s).hexdigest()[:8], 16)``.
+
+Scale shape: the ring is CONFIG-derived (n_fetchers × vnodes entries from
+two integers — not data), so it is built driver-side and embedded as a
+sorted literal array; successor lookup is one O(|ring|) higher-order-
+function scan per HOST (dimension cardinality, never per URL). URL-level
+rows get their fetcher through a broadcast hash join against the
+host→fetcher map. Nothing here shuffles on anything wider than host.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def point32(col: F.Column) -> F.Column:
+    """32-bit ring point of a string column (md5-prefix hash, cross-engine:
+    see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _py_point32(s: str) -> int:
+    return int(hashlib.md5(s.encode("ascii")).hexdigest()[:8], 16)
+
+
+def ring_points(n_fetchers: int, vnodes: int) -> list[tuple[int, int]]:
+    """The ring as a sorted [(point, fetcher)] list. Entry i of the raw
+    sequence is fetcher ``i % n_fetchers``, vnode ``i // n_fetchers``,
+    keyed ``vn:<fetcher>:<vnode>``; 32-bit point collisions (≈|ring|²/2³³)
+    resolve deterministically to the smallest fetcher id."""
+    best: dict[int, int] = {}
+    for i in range(n_fetchers * vnodes):
+        f, v = i % n_fetchers, i // n_fetchers
+        p = _py_point32(f"vn:{f}:{v}")
+        if p not in best or f < best[p]:
+            best[p] = f
+    return sorted(best.items())
+
+
+def assign_fetchers(
+    hosts: DataFrame,
+    n_fetchers: int = 4,
+    vnodes: int = 16,
+    key_col: str = "host",
+) -> DataFrame:
+    """Map each row's ``key_col`` to its fetcher: the fetcher owning the
+    smallest ring point ≥ point(key), wrapping to the ring's first point.
+    Adds a ``fetcher`` int column; input should be host-cardinality (join
+    the result back to URL-level rows, broadcast)."""
+    ring = ring_points(n_fetchers, vnodes)
+    pts = F.array(*[F.lit(p) for p, _ in ring])
+    fts = [f for _, f in ring]
+    hp = point32(F.col(key_col))
+    # count of ring points strictly below the key's point == 0-based index
+    # of the successor in the sorted ring; == |ring| means wrap to entry 0.
+    below = F.size(F.filter(pts, lambda p: p < hp))
+    fetcher = F.element_at(
+        F.array(*[F.lit(f) for f in fts + [fts[0]]]), below + 1
+    )
+    return hosts.withColumn("fetcher", fetcher.cast("int"))
+
+
+def fetcher_load(
+    schedule: DataFrame, n_fetchers: int = 4, vnodes: int = 16
+) -> DataFrame:
+    """Per-fetcher load rollup of a round schedule (host, url rows):
+    distinct hosts, scheduled URLs, and the fetcher's integer-permille
+    share of the round — the balance table an operator watches when sizing
+    the fleet. Aggregates at host grain first (one shuffle on host — the
+    schedule is already budget-bounded), then rolls the host-cardinality
+    table up per fetcher."""
+    per_host = schedule.groupBy("host").agg(F.count("*").alias("n_urls"))
+    asg = assign_fetchers(per_host, n_fetchers, vnodes)
+    per_fetcher = asg.groupBy("fetcher").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("n_urls").cast("long").alias("n_urls"),
+    )
+    total = per_fetcher.agg(F.sum("n_urls").alias("_tot"))
+    return (
+        per_fetcher.crossJoin(F.broadcast(total))
+        .select(
+            F.col("fetcher").cast("long").alias("fetcher"),
+            "n_hosts",
+            "n_urls",
+            F.floor(F.col("n_urls") * 1000 / F.col("_tot")).alias(
+                "load_permille"
+            ),
+        )
+        .orderBy("fetcher")
+    )
+
+
+def round_makespan(
+    schedule: DataFrame,
+    ledger: DataFrame,
+    n_fetchers: int = 4,
+    vnodes: int = 16,
+    round_ms: int = 60_000,
+) -> DataFrame:
+    """Capacity estimate for one scheduling round under the single-
+    connection fetcher model: a host's URLs form a serial chain spaced by
+    its Crawl-delay (ledger budget ``max_per_round`` = round_ms/delay, so
+    delay_ms = floor(round_ms / budget)); a fetcher's busy time is the sum
+    of its hosts' chains (politeness waits on one host overlap fetches on
+    another, so the sum is the single-connection upper bound and the
+    per-host max the concurrency-∞ lower bound). Emits one row per
+    fetcher: busy_ms, its longest single-host chain, and ``critical`` on
+    the fleet's makespan-defining straggler — the number that answers
+    "does this round fit in the round budget, and which shard is the
+    bottleneck". Shuffles on host then fetcher only."""
+    per_host = (
+        schedule.groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+        .join(F.broadcast(ledger.select("host", "max_per_round")), "host")
+        .withColumn(
+            "chain_ms",
+            F.col("n_urls")
+            * F.floor(F.lit(round_ms) / F.col("max_per_round")),
+        )
+    )
+    asg = assign_fetchers(per_host, n_fetchers, vnodes)
+    per_fetcher = asg.groupBy("fetcher").agg(
+        F.count("*").cast("long").alias("n_hosts"),
+        F.sum("n_urls").cast("long").alias("n_urls"),
+        F.sum("chain_ms").cast("long").alias("busy_ms"),
+        F.max("chain_ms").cast("long").alias("max_chain_ms"),
+    )
+    fleet_max = per_fetcher.agg(F.max("busy_ms").alias("_mb"))
+    return (
+        per_fetcher.crossJoin(F.broadcast(fleet_max))
+        .select(
+            F.col("fetcher").cast("long").alias("fetcher"),
+            "n_hosts",
+            "n_urls",
+            "busy_ms",
+            "max_chain_ms",
+            (F.col("busy_ms") == F.col("_mb")).alias("critical"),
+        )
+        .orderBy("fetcher")
+    )

@@ -307,3 +307,84 @@ def weighted_sample(
         .limit(k)
         .drop("_aes")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    unit_col: str = "domain",
+    train_permille: int = 800,
+    valid_permille: int = 100,
+) -> DataFrame:
+    """Train/valid/test assignment that can never leak near-duplicates
+    across splits: the split is a pure function of the GROUP unit (the
+    registrable domain by default), not of the document, so boilerplate,
+    templated pages and same-site near-copies — which concentrate within a
+    site — all land on the same side. Splitting web corpora at document
+    grain is the classic eval-contamination bug; domain-grain hashing is
+    the standard fix (C4/mC4 and The Pile hold out by URL/domain hash for
+    exactly this reason).
+
+    The bucket is the cross-engine md5-prefix hash mod 1000
+    (frontier/capacity.py:point32): deterministic across engines, runs,
+    partitionings and cluster sizes, so re-running curation never shuffles
+    a domain between splits. Buckets < train_permille → 'train', next
+    valid_permille → 'valid', rest → 'test'. Adds ``split`` (string) and
+    ``unit_bucket`` (long); one codegen projection, no shuffle, no UDF."""
+    from ..frontier.capacity import point32
+
+    bucket = F.pmod(point32(F.col(unit_col)), F.lit(1000))
+    split = (
+        F.when(bucket < train_permille, F.lit("train"))
+        .when(bucket < train_permille + valid_permille, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("unit_bucket", bucket).withColumn("split", split)
+
+
+def split_summary(
+    df: DataFrame,
+    unit_col: str = "domain",
+    train_permille: int = 800,
+    valid_permille: int = 100,
+) -> DataFrame:
+    """Split rollup + the leakage invariant, as one driver-checkable
+    table: per split, its distinct units, rows, integer-permille row
+    share, and ``max_splits_per_unit`` — the count of splits touched by
+    the worst unit, which the construction forces to 1 (a unit's split is
+    a function of the unit alone). The invariant is COMPUTED from the
+    assigned rows, not assumed, so any regression in the hash or the
+    bucketing (e.g. a non-deterministic rewrite) flips it to 2 and
+    hash-mismatches the oracle. Shuffles at unit grain, then fleet-sized
+    rollups."""
+    assigned = leakage_safe_split(
+        df, unit_col, train_permille, valid_permille
+    )
+    per_unit = assigned.groupBy(unit_col).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("split").alias("n_splits"),
+        F.min("split").alias("split"),
+    )
+    # per_unit feeds the per-split rollup and the global invariant/total —
+    # cut lineage so the corpus-scale scan runs once (unit cardinality)
+    per_unit = per_unit.localCheckpoint(eager=False)
+    per_split = per_unit.groupBy("split").agg(
+        F.count("*").cast("long").alias("n_units"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+    )
+    glob = per_unit.agg(
+        F.sum("n_rows").alias("_tot"),
+        F.max("n_splits").cast("long").alias("max_splits_per_unit"),
+    )
+    return (
+        per_split.crossJoin(broadcast(glob))
+        .select(
+            "split",
+            "n_units",
+            "n_rows",
+            F.floor(F.col("n_rows") * 1000 / F.col("_tot")).alias(
+                "share_permille"
+            ),
+            "max_splits_per_unit",
+        )
+        .orderBy("split")
+    )

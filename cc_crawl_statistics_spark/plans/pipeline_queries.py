@@ -440,6 +440,49 @@ def q_schedule_politeness(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fetcher_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Fetcher-fleet shard balance of the round-1 schedule: hosts map to
+    fetchers on a consistent-hash ring with virtual nodes
+    (frontier/capacity.py — politeness stays fetcher-local, fleet resizes
+    move only ~1/(N+1) of hosts), then per-fetcher hosts/URLs/permille
+    share. The oracle replays the EXACT ring: the md5-prefix point hash is
+    computed identically in both engines, so any drift in ring
+    construction, successor lookup, or wrap-around hash-mismatches."""
+    from ..frontier.capacity import fetcher_load
+
+    return fetcher_load(
+        first_round_schedule(pages_df(spark, sf)), n_fetchers=4, vnodes=16
+    )
+
+
+def q_round_makespan(spark: SparkSession, sf: str) -> DataFrame:
+    """Round capacity estimate: per-fetcher busy time under the
+    single-connection politeness model (host chain = scheduled URLs ×
+    Crawl-delay, fetcher busy = Σ chains over its consistent-hash shard)
+    with the makespan-critical straggler flagged
+    (frontier/capacity.py:round_makespan)."""
+    from ..frontier.capacity import round_makespan
+    from ..frontier.scheduler import host_ledger, url_universe
+
+    pages = pages_df(spark, sf)
+    return round_makespan(
+        first_round_schedule(pages),
+        host_ledger(url_universe(pages)),
+        n_fetchers=4,
+        vnodes=16,
+    )
+
+
+def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/valid/test split of the page corpus at
+    registrable-domain grain (operators/sampling.py:leakage_safe_split):
+    per-split units/rows/share plus the computed ``max_splits_per_unit``
+    invariant (must be 1 — no domain straddles splits)."""
+    from ..operators.sampling import split_summary
+
+    return split_summary(pages_df(spark, sf), unit_col="domain")
+
+
 def q_robots_decisions(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end robots.txt politeness pipeline (frontier/robots.py): parse
     each host's synthetic robots body with the vectorized RFC 9309 parser,
@@ -1442,6 +1485,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frontier_schedule": q_frontier_schedule,
     "schedule_politeness": q_schedule_politeness,
     "schedule_domain_politeness": q_schedule_domain_politeness,
+    "fetcher_assignment": q_fetcher_assignment,
+    "round_makespan": q_round_makespan,
+    "leakage_split": q_leakage_split,
     "retry_backoff": q_retry_backoff,
     "dedup_kept": q_dedup_kept,
     "surt_hll": q_surt_hll,
@@ -3397,5 +3443,147 @@ SELECT url, host,
          AS score,
        'pending' AS state
 FROM per ORDER BY url
+"""
+)
+
+# Consistent-hash ring shared by the fetcher_assignment / round_makespan
+# oracles: 4 fetchers × 16 vnodes, point = md5-prefix hash — the identical
+# construct capacity.point32 computes in Spark, so the oracle replays the
+# exact ring including 32-bit collision resolution (MIN fetcher per point)
+# and wrap-around.
+_RING_SQL = """
+ring_raw AS (
+  SELECT i % 4 AS fetcher,
+         CAST('0x' || substr(md5('vn:' || CAST(i % 4 AS VARCHAR) || ':'
+                                 || CAST(i // 4 AS VARCHAR)), 1, 8)
+              AS BIGINT) AS point
+  FROM range(64) t(i)
+),
+ring AS (SELECT point, MIN(fetcher) AS fetcher FROM ring_raw GROUP BY point),
+wrap AS (SELECT MIN(point) AS wp FROM ring),
+hostpt AS (
+  SELECT host, CAST('0x' || substr(md5(host), 1, 8) AS BIGINT) AS hp
+  FROM (SELECT DISTINCT host FROM schedrows)
+),
+succ AS (
+  SELECT h.host, MIN(r.point) AS ap
+  FROM hostpt h JOIN ring r ON r.point >= h.hp GROUP BY h.host
+),
+asg AS (
+  SELECT h.host, r.fetcher
+  FROM hostpt h LEFT JOIN succ s ON h.host = s.host
+  CROSS JOIN wrap
+  JOIN ring r ON r.point = COALESCE(s.ap, wrap.wp)
+)
+"""
+
+# The round-1 schedule exactly as the frontier_schedule oracle derives it
+# (seeds = every 7th distinct url, score (doc_id*37)%100, ledger closed
+# form, per-host rank ≤ Crawl-delay budget).
+_SCHEDROWS_SQL = """
+uni AS (
+  SELECT url, MIN(host) AS host, MIN(doc_id) AS doc_id
+  FROM pages GROUP BY url
+),
+seeds AS (
+  SELECT url, host, 0 AS depth, (doc_id * 37) % 100 AS score
+  FROM uni WHERE doc_id % 7 = 0
+),
+led AS (
+  SELECT host,
+    CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
+         THEN 403 ELSE 200 END AS robots,
+    CASE WHEN CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 12 = 7
+         THEN 1
+         ELSE 1 + CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) % 4
+    END AS budget
+  FROM (SELECT DISTINCT host FROM uni)
+),
+ranked AS (
+  SELECT s.url, s.host, l.budget,
+         row_number() OVER (PARTITION BY s.host
+                            ORDER BY s.depth, s.score DESC, s.url) AS rank
+  FROM seeds s JOIN led l ON s.host = l.host
+  WHERE l.robots <> 403
+),
+schedrows AS (SELECT url, host FROM ranked WHERE rank <= budget)
+"""
+
+PIPELINE_ORACLES["fetcher_assignment"] = oracle_cte(
+    f"""
+, {_SCHEDROWS_SQL.strip()},
+{_RING_SQL.strip()},
+perhost AS (SELECT host, COUNT(*) AS n_urls FROM schedrows GROUP BY host),
+perf AS (
+  SELECT a.fetcher, COUNT(*) AS n_hosts, SUM(p.n_urls) AS n_urls
+  FROM perhost p JOIN asg a ON p.host = a.host GROUP BY a.fetcher
+),
+tot AS (SELECT SUM(n_urls) AS t FROM perf)
+SELECT CAST(fetcher AS BIGINT) AS fetcher,
+       CAST(n_hosts AS BIGINT) AS n_hosts,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(floor(n_urls * 1000 / t) AS BIGINT) AS load_permille
+FROM perf CROSS JOIN tot ORDER BY fetcher
+"""
+)
+
+PIPELINE_ORACLES["round_makespan"] = oracle_cte(
+    f"""
+, {_SCHEDROWS_SQL.strip()},
+{_RING_SQL.strip()},
+perhost AS (
+  SELECT s.host, COUNT(*) AS n_urls,
+         COUNT(*) * CAST(floor(60000 / l.budget) AS BIGINT) AS chain_ms
+  FROM schedrows s JOIN led l ON s.host = l.host
+  GROUP BY s.host, l.budget
+),
+perf AS (
+  SELECT a.fetcher, COUNT(*) AS n_hosts, SUM(p.n_urls) AS n_urls,
+         SUM(p.chain_ms) AS busy_ms, MAX(p.chain_ms) AS max_chain_ms
+  FROM perhost p JOIN asg a ON p.host = a.host GROUP BY a.fetcher
+),
+mb AS (SELECT MAX(busy_ms) AS m FROM perf)
+SELECT CAST(fetcher AS BIGINT) AS fetcher,
+       CAST(n_hosts AS BIGINT) AS n_hosts,
+       CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(busy_ms AS BIGINT) AS busy_ms,
+       CAST(max_chain_ms AS BIGINT) AS max_chain_ms,
+       (busy_ms = m) AS critical
+FROM perf CROSS JOIN mb ORDER BY fetcher
+"""
+)
+
+PIPELINE_ORACLES["leakage_split"] = oracle_cte(
+    """
+, asg AS (
+  SELECT domain,
+         CAST('0x' || substr(md5(domain), 1, 8) AS BIGINT) % 1000 AS b
+  FROM pages
+),
+rows_assigned AS (
+  SELECT domain,
+         CASE WHEN b < 800 THEN 'train'
+              WHEN b < 900 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM asg
+),
+per_unit AS (
+  SELECT domain, COUNT(*) AS n_rows,
+         COUNT(DISTINCT split) AS n_splits, MIN(split) AS split
+  FROM rows_assigned GROUP BY domain
+),
+per_split AS (
+  SELECT split, COUNT(*) AS n_units, SUM(n_rows) AS n_rows
+  FROM per_unit GROUP BY split
+),
+corpus_totals AS (
+  SELECT SUM(n_rows) AS tot, MAX(n_splits) AS max_splits FROM per_unit
+)
+SELECT split,
+       CAST(n_units AS BIGINT) AS n_units,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(floor(n_rows * 1000 / tot) AS BIGINT) AS share_permille,
+       CAST(max_splits AS BIGINT) AS max_splits_per_unit
+FROM per_split CROSS JOIN corpus_totals ORDER BY split
 """
 )

@@ -1,0 +1,160 @@
+"""Fetcher-fleet capacity planning (frontier/capacity.py) and the
+leakage-safe split (operators/sampling.py): ring determinism, the
+consistent-hashing resize invariant, makespan semantics, and the
+no-domain-straddles-splits invariant."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from cc_crawl_statistics_spark.frontier import capacity as C
+from cc_crawl_statistics_spark.frontier.scheduler import (
+    first_round_schedule,
+    host_ledger,
+    url_universe,
+)
+from cc_crawl_statistics_spark.operators.sampling import (
+    leakage_safe_split,
+    split_summary,
+)
+from cc_crawl_statistics_spark.sources.tables import pages_df
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_df(spark, SF_SMOKE)
+
+
+def test_point32_matches_python_md5(spark):
+    vals = ["example.com", "www.site3.de", "vn:0:0", "a"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"]).select(
+        "s", C.point32(F.col("s")).alias("p")
+    )
+    got = {r.s: r.p for r in df.collect()}
+    for v in vals:
+        exp = int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+        assert got[v] == exp
+
+
+def test_ring_sorted_distinct_and_deterministic():
+    ring = C.ring_points(4, 16)
+    assert ring == C.ring_points(4, 16)
+    pts = [p for p, _ in ring]
+    assert pts == sorted(pts)
+    assert len(set(pts)) == len(pts)
+    assert {f for _, f in ring} == {0, 1, 2, 3}
+
+
+def test_assignment_is_ring_successor(spark):
+    """Spark assignment == independent Python successor-on-ring model."""
+    hosts = [f"h{i}.example" for i in range(200)]
+    ring = C.ring_points(4, 16)
+    pts = [p for p, _ in ring]
+
+    def model(h: str) -> int:
+        hp = int(hashlib.md5(h.encode()).hexdigest()[:8], 16)
+        for p, f in ring:
+            if p >= hp:
+                return f
+        return ring[0][1]
+
+    df = C.assign_fetchers(
+        spark.createDataFrame([(h,) for h in hosts], ["host"]), 4, 16
+    )
+    got = {r.host: r.fetcher for r in df.collect()}
+    assert got == {h: model(h) for h in hosts}
+    # ring points span well below/above some host points so both the
+    # successor and the wrap branch are exercised
+    hps = [int(hashlib.md5(h.encode()).hexdigest()[:8], 16) for h in hosts]
+    assert min(hps) < min(pts) or max(hps) > max(pts)
+
+
+def test_fleet_resize_moves_hosts_only_to_new_fetcher(spark):
+    """THE consistent-hashing contract: growing the fleet N -> N+1 may
+    reassign a host only to the NEW fetcher — never between survivors —
+    and most hosts do not move at all."""
+    hosts_df = spark.createDataFrame(
+        [(f"h{i}.example",) for i in range(500)], ["host"]
+    )
+    a4 = {
+        r.host: r.fetcher
+        for r in C.assign_fetchers(hosts_df, 4, 16).collect()
+    }
+    a5 = {
+        r.host: r.fetcher
+        for r in C.assign_fetchers(hosts_df, 5, 16).collect()
+    }
+    moved = [h for h in a4 if a4[h] != a5[h]]
+    assert all(a5[h] == 4 for h in moved)
+    # expected ~1/5 of hosts move; allow generous slack either way
+    assert 0 < len(moved) < 250
+
+
+def test_fetcher_load_conserves_schedule(spark, pages):
+    sched = first_round_schedule(pages)
+    load = C.fetcher_load(sched, 4, 16).collect()
+    assert sum(r.n_urls for r in load) == sched.count()
+    assert sum(r.n_hosts for r in load) == sched.select(
+        "host"
+    ).distinct().count()
+    assert 900 <= sum(r.load_permille for r in load) <= 1000
+
+
+def test_round_makespan_semantics(spark, pages):
+    sched = first_round_schedule(pages)
+    ledger = host_ledger(url_universe(pages))
+    ms = C.round_makespan(sched, ledger, 4, 16).collect()
+    # critical flags exactly the max-busy fetchers
+    busiest = max(r.busy_ms for r in ms)
+    assert all(r.critical == (r.busy_ms == busiest) for r in ms)
+    # busy = sum of per-host chains, recomputed independently
+    led = {r.host: r.max_per_round for r in ledger.collect()}
+    per_host: dict[str, int] = {}
+    for r in sched.collect():
+        per_host[r.host] = per_host.get(r.host, 0) + 1
+    ring = C.ring_points(4, 16)
+
+    def fetcher_of(h: str) -> int:
+        hp = int(hashlib.md5(h.encode()).hexdigest()[:8], 16)
+        for p, f in ring:
+            if p >= hp:
+                return f
+        return ring[0][1]
+
+    busy: dict[int, int] = {}
+    for h, n in per_host.items():
+        busy.setdefault(fetcher_of(h), 0)
+        busy[fetcher_of(h)] += n * (60_000 // led[h])
+    assert {r.fetcher: r.busy_ms for r in ms} == busy
+
+
+def test_leakage_split_invariant_and_buckets(spark, pages):
+    assigned = leakage_safe_split(pages, "domain")
+    # no domain in two splits
+    worst = (
+        assigned.groupBy("domain")
+        .agg(F.countDistinct("split").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert worst == 1
+    # bucket and split match an independent Python recomputation
+    for r in assigned.select("domain", "unit_bucket", "split").distinct().collect():
+        b = int(hashlib.md5(r.domain.encode()).hexdigest()[:8], 16) % 1000
+        assert r.unit_bucket == b
+        assert r.split == (
+            "train" if b < 800 else "valid" if b < 900 else "test"
+        )
+
+
+def test_split_summary_rollup(spark, pages):
+    rows = split_summary(pages, "domain").collect()
+    assert {r.split for r in rows} <= {"train", "valid", "test"}
+    assert all(r.max_splits_per_unit == 1 for r in rows)
+    assert sum(r.n_rows for r in rows) == pages.count()
+    assert 900 <= sum(r.share_permille for r in rows) <= 1000
