@@ -19,12 +19,19 @@ are integer sums of those. Bucket hashing is the portable md5 arithmetic
 (first 3 hex chars → 0..4095 → mod B), reproducible in both engines
 without engine-specific hash functions.
 
-Scale shape: features are bucket-aggregated per document BEFORE any
-join (each doc crosses the wire as ≤ B rows, not its token count); the
-two distributions are B-row tables (B = 1024 default — kilobytes), so
-the weight table broadcasts and scoring is one broadcast-hash join plus
-one doc_id aggregation. The raw-corpus feature pass is materialized once
-and reused for q and for scoring.
+Scale shape: feature strings are hashed to int buckets INSIDE the
+per-row array transform, so only (doc_id, bucket-int) pairs ever cross
+an exchange; the two distributions are B-row tables (B = 1024 default —
+kilobytes), so the weight table broadcasts and scoring is one
+broadcast-hash join plus a doc_id aggregation. There is deliberately NO
+per-(doc, bucket) pre-aggregation: the weight join is broadcast (no
+shuffle to shrink), and the doc×bucket hash-aggregate it would insert
+keeps ~|docs in partition|×|buckets touched| live keys per task — the
+one memory shape here that does NOT scale (measured: 1.14M-doc bench
+OOMs the execution pool through it, while the per-feature form's maps
+are bounded at B keys for q and |docs per partition| keys for scoring).
+The raw corpus's bucket arrays are materialized once (lazy
+localCheckpoint) and reused by the q pass and the scoring pass.
 """
 
 from __future__ import annotations
@@ -52,13 +59,14 @@ def feature_bucket(feat: Column, n_buckets: int = 1024) -> Column:
     return F.pmod(raw, F.lit(n_buckets))
 
 
-def hashed_features(
+def bucket_arrays(
     docs: DataFrame, text_col: str = "text", n_buckets: int = 1024
 ) -> DataFrame:
-    """(doc_id, bucket, cnt): unigram + bigram features of each document
-    hashed into the bucket space. The bigram pairing is the same codegen
-    zip_with as lm.bigrams; one explode, then the per-doc bucket
-    aggregation that bounds downstream row counts at B per doc."""
+    """(doc_id, buckets: array<int>): each document's unigram + bigram
+    features hashed in place — the md5 runs inside the array transform,
+    one row per document, so no feature STRING is ever exploded or
+    shuffled. The bigram pairing is the same codegen zip_with as
+    lm.bigrams."""
     w = _words(text_col)
     n = F.size(w)
     bg = F.when(
@@ -69,11 +77,25 @@ def hashed_features(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.transform(
+            F.concat(w, bg),
+            lambda f: feature_bucket(f, n_buckets).cast("int"),
+        ).alias("buckets"),
+    )
+
+
+def hashed_features(
+    docs: DataFrame, text_col: str = "text", n_buckets: int = 1024
+) -> DataFrame:
+    """(doc_id, bucket, cnt) per-document bucket counts — the bag-of-
+    hashed-n-grams view. Kept for callers that want the doc×bucket matrix
+    at dimension scale; dsir_weights itself stays on the per-feature form
+    (see module docstring for the memory-shape rationale)."""
     return (
-        docs.select("doc_id", F.explode(F.concat(w, bg)).alias("feat"))
-        .select(
-            "doc_id", feature_bucket(F.col("feat"), n_buckets).alias("bucket")
-        )
+        bucket_arrays(docs, text_col, n_buckets)
+        .select("doc_id", F.explode("buckets").alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -95,14 +117,16 @@ def dsir_weights(
     selects by RANK (top fraction, or Gumbel-perturbed sampling). Compose
     with sampling.weighted_sample / stratified top-k for the selection
     step."""
-    f_all = hashed_features(docs, text_col, n_buckets).localCheckpoint(
+    fa = bucket_arrays(docs, text_col, n_buckets).localCheckpoint(
         eager=False
     )
-    q = f_all.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cq"))
+    fx = fa.select("doc_id", F.explode("buckets").alias("bucket"))
+    q = fx.groupBy("bucket").agg(F.count("*").cast("long").alias("cq"))
     p = (
-        hashed_features(target, text_col, n_buckets)
+        bucket_arrays(target, text_col, n_buckets)
+        .select(F.explode("buckets").alias("bucket"))
         .groupBy("bucket")
-        .agg(F.sum("cnt").cast("long").alias("cp"))
+        .agg(F.count("*").cast("long").alias("cp"))
     )
     zero = F.lit(0).cast("long")
     dist = q.join(p, "bucket", "full").select(
@@ -134,13 +158,11 @@ def dsir_weights(
         .alias("lw_x1m"),
     )
     per = (
-        f_all.join(F.broadcast(lw), "bucket")
+        fx.join(F.broadcast(lw), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").cast("long").alias("n_feats"),
-            F.sum(F.col("cnt") * F.col("lw_x1m"))
-            .cast("long")
-            .alias("logw_x1m"),
+            F.count("*").cast("long").alias("n_feats"),
+            F.sum("lw_x1m").cast("long").alias("logw_x1m"),
         )
     )
     return per.select("doc_id", "n_feats", "logw_x1m").orderBy("doc_id")

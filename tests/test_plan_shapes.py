@@ -107,6 +107,9 @@ _BOUNDED_BNLJ_OK = {
     "semdedup",  # broadcast k-centroid assignment join
     "shard_summary",  # per-shard deviation vs 1-row token-total aggregate
     "asof_capture",  # probe build: urls x broadcast 2-row instant frame
+    "fetcher_assignment",  # fleet rollup vs 1-row schedule total
+    "round_makespan",  # fleet rollup vs 1-row fleet-max aggregate
+    "leakage_split",  # split shares vs 1-row corpus total/invariant
 }
 
 
