@@ -416,6 +416,31 @@ def pii_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Typed-placeholder redaction — the rewrite step after the
+    pii_counts inventory: emails → ``<EMAIL>``, then URLs → ``<URL>``,
+    then 7+-digit runs → ``<NUM>``, each pass applied to the PREVIOUS
+    pass's output in that fixed order (placeholders contain none of the
+    later patterns' alphabets, so the sequence is confluent and the
+    DuckDB oracle replays it with 'g'-flag regexp_replace).
+    ``n_redacted`` counts actual replacements — each pattern is counted
+    on the text the pass really sees, so an email's digit run is not
+    double-counted the way counting everything on the original would.
+    One codegen projection per row: no shuffle, no UDF, no explode."""
+    t0 = F.col(text_col)
+    n1 = F.regexp_count(t0, F.lit(EMAIL_RE)).cast("long")
+    t1 = F.regexp_replace(t0, EMAIL_RE, "<EMAIL>")
+    n2 = F.regexp_count(t1, F.lit(URL_RE)).cast("long")
+    t2 = F.regexp_replace(t1, URL_RE, "<URL>")
+    n3 = F.regexp_count(t2, F.lit(LONG_DIGITS_RE)).cast("long")
+    t3 = F.regexp_replace(t2, LONG_DIGITS_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        (n1 + n2 + n3).alias("n_redacted"),
+        t3.alias("clean_text"),
+    ).orderBy("doc_id")
+
+
 def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters, integer permille: the share of the
     document's word bigrams taken by its single most frequent bigram, and
@@ -720,20 +745,12 @@ def nb_train(
     return dense.unionByName(priors).orderBy("token", "label")
 
 
-def nb_classify(
-    docs: DataFrame,
-    weights: DataFrame,
-    text_col: str = "text",
+def _nb_scored(
+    docs: DataFrame, weights: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Score every document against an `nb_train` model and emit the argmax
-    label: (doc_id, label_pred, score_x1m). Deterministic tie-break on the
-    ascending label code; docs with zero vocab tokens fall back to priors.
-
-    Scale shape: the model is broadcast (K*C + C rows by construction);
-    per-doc token counts pre-aggregate before the join so each (doc,
-    vocab-token) pair crosses the wire once; the per-(doc,label) score sum
-    is map-side combinable integers; argmax is a window over the
-    high-cardinality doc_id partition (C rows per partition)."""
+    """(doc_id, label, score) for every (document, class): prior +
+    Σ count·weight over the broadcast model — the shared scoring subplan
+    of nb_classify and nb_calibration (shape documented on nb_classify)."""
     mat = weights.filter(F.col("token") != NB_PRIOR_TOKEN)
     priors = weights.filter(F.col("token") == NB_PRIOR_TOKEN).select(
         "label", F.col("weight_x1m").alias("prior_x1m")
@@ -753,13 +770,30 @@ def nb_classify(
         .agg(F.sum(F.col("cnt") * F.col("weight_x1m")).alias("s"))
     )
     base = docs.select("doc_id").crossJoin(F.broadcast(priors))
-    scored = base.join(sc, ["doc_id", "label"], "left").select(
+    return base.join(sc, ["doc_id", "label"], "left").select(
         "doc_id",
         "label",
         (F.col("prior_x1m") + F.coalesce(F.col("s"), F.lit(0))).alias(
             "score"
         ),
     )
+
+
+def nb_classify(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document against an `nb_train` model and emit the argmax
+    label: (doc_id, label_pred, score_x1m). Deterministic tie-break on the
+    ascending label code; docs with zero vocab tokens fall back to priors.
+
+    Scale shape: the model is broadcast (K*C + C rows by construction);
+    per-doc token counts pre-aggregate before the join so each (doc,
+    vocab-token) pair crosses the wire once; the per-(doc,label) score sum
+    is map-side combinable integers; argmax is a window over the
+    high-cardinality doc_id partition (C rows per partition)."""
+    scored = _nb_scored(docs, weights, text_col)
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("label")
     )
@@ -772,6 +806,78 @@ def nb_classify(
             F.col("score").cast("long").alias("score_x1m"),
         )
         .orderBy("doc_id")
+    )
+
+
+def nb_calibration(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Reliability table for the NB classifier: per confidence bin, how
+    often the argmax label matches the declared one. Confidence is the
+    integer score MARGIN (argmax minus runner-up, x1m log units) — the
+    scale-free confidence proxy for an unnormalized log-joint model —
+    binned on the reference's integer-exact pseudo-log edges (1, 2, 5 per
+    decade, timeseries.pseudo_log_histogram; margin 0 = tie keeps bin 0).
+    The curation question this answers: above which margin can the
+    cheap classifier's call be trusted, below which should a document
+    fall through to the expensive path.
+
+    Deliberately FIXED bins, not ntile deciles: a decile window is an
+    unpartitioned global sort at corpus scale, while data-independent
+    edges keep the whole table one doc_id window + one bin aggregation.
+    Returns (margin_bin, n_docs, n_correct, acc_permille)."""
+    scored = _nb_scored(docs, weights, text_col)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("label")
+    )
+    rn = F.col("_rn")
+    per_doc = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(rn <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(rn == 1, F.col("label"))).alias("label_pred"),
+            F.max(F.when(rn == 1, F.col("score"))).alias("_s1"),
+            F.max(F.when(rn == 2, F.col("score"))).alias("_s2"),
+        )
+        .withColumn(
+            "_margin", (F.col("_s1") - F.coalesce("_s2", "_s1")).cast("long")
+        )
+    )
+    m = F.col("_margin")
+    p10 = F.expr(
+        "CAST(power(10, length(CAST(_margin AS STRING)) - 1) AS BIGINT)"
+    )
+    mant = F.floor(m / p10).cast("long")
+    edge = (
+        F.when(mant >= 5, 5).when(mant >= 2, 2).otherwise(1) * p10
+    ).cast("long")
+    binned = per_doc.join(
+        docs.select("doc_id", F.col(label_col).alias("_truth")), "doc_id"
+    ).select(
+        F.when(m <= 0, F.lit(0).cast("long")).otherwise(edge).alias(
+            "margin_bin"
+        ),
+        (F.col("label_pred") == F.col("_truth")).cast("long").alias("_ok"),
+    )
+    return (
+        binned.groupBy("margin_bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_ok").cast("long").alias("n_correct"),
+        )
+        .select(
+            "margin_bin",
+            "n_docs",
+            "n_correct",
+            F.floor(F.col("n_correct") * 1000 / F.col("n_docs")).alias(
+                "acc_permille"
+            ),
+        )
+        .orderBy("margin_bin")
     )
 
 

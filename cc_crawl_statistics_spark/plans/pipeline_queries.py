@@ -281,6 +281,14 @@ def q_nb_agreement(spark: SparkSession, sf: str) -> DataFrame:
     return TX.nb_self_agreement(corpus_df(spark, sf), vocab_size=50)
 
 
+def q_nb_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability table of the NB classifier (textstats.nb_calibration):
+    argmax-vs-runner-up margin binned on the reference's pseudo-log edges
+    with per-bin accuracy against the declared language."""
+    docs = corpus_df(spark, sf)
+    return TX.nb_calibration(docs, TX.nb_train(docs, vocab_size=50))
+
+
 def q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document top-3 keywords by integer TF-IDF
     (textstats.tfidf_keywords)."""
@@ -786,6 +794,21 @@ def q_pii_counts(spark: SparkSession, sf: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return TX.pii_counts(corpus)
+
+
+def q_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """Placeholder redaction rewrite (textstats.py:pii_redact) over the
+    same planted-PII corpus as pii_counts; the oracle replays the three
+    ordered 'g'-flag regexp_replace passes, so the full rewritten text is
+    value-hashed end to end."""
+    corpus = corpus_df(spark, sf).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(F.col("text"), F.lit(_PII_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+    return TX.pii_redact(corpus)
 
 
 def q_robots_sitemap_seeds(spark: SparkSession, sf: str) -> DataFrame:
@@ -1446,6 +1469,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_diversity": q_language_diversity,
     "decontaminate": q_decontaminate,
     "pii_counts": q_pii_counts,
+    "pii_redact": q_pii_redact,
     "repetition_scores": q_repetition_scores,
     "dedup_exact": q_dedup_exact,
     "unit_dedup": q_unit_dedup,
@@ -1475,6 +1499,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_weights": q_nb_weights,
     "nb_classify": q_nb_classify,
     "nb_agreement": q_nb_agreement,
+    "nb_calibration": q_nb_calibration,
     "tfidf_keywords": q_tfidf_keywords,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
@@ -2689,6 +2714,41 @@ SELECT doc_id, n_emails, n_urls, n_long_digit_runs,
 FROM m ORDER BY doc_id
 """
     ),
+    "pii_redact": _corpus_oracle(
+        """
+, aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 0 THEN text ||
+           ' contact bob@example.com via https://example.com/x id 12345678'
+         ELSE text END AS text
+  FROM corpus
+),
+s1 AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT)
+      AS n1,
+    regexp_replace(text,
+      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g')
+      AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n1,
+    CAST(len(regexp_extract_all(t1, 'https?://[^\\s]+')) AS BIGINT) AS n2,
+    regexp_replace(t1, 'https?://[^\\s]+', '<URL>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n1, n2,
+    CAST(len(regexp_extract_all(t2, '[0-9]{7,}')) AS BIGINT) AS n3,
+    regexp_replace(t2, '[0-9]{7,}', '<NUM>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, n1 + n2 + n3 AS n_redacted, t3 AS clean_text
+FROM s3 ORDER BY doc_id
+"""
+    ),
     "repetition_scores": _corpus_oracle(
         """
 , w AS (
@@ -2952,6 +3012,38 @@ ORDER BY token, label
         + """
 SELECT doc_id, label AS label_pred, CAST(score AS BIGINT) AS score_x1m
 FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+    ),
+    "nb_calibration": _corpus_oracle(
+        _NB_CTE
+        + _NB_BEST_CTE
+        + """
+, top2 AS (
+  SELECT doc_id,
+         MAX(CASE WHEN rn = 1 THEN label END) AS pred,
+         MAX(CASE WHEN rn = 1 THEN score END) AS s1,
+         MAX(CASE WHEN rn = 2 THEN score END) AS s2
+  FROM best WHERE rn <= 2 GROUP BY doc_id
+),
+md AS (
+  SELECT t.doc_id, t.pred, c.lang,
+         CAST(t.s1 - COALESCE(t.s2, t.s1) AS BIGINT) AS m
+  FROM top2 t JOIN corpus c ON c.doc_id = t.doc_id
+),
+withbin AS (
+  SELECT CASE WHEN m <= 0 THEN 0 ELSE
+    CAST((CASE WHEN CAST(FLOOR(m / p10) AS BIGINT) >= 5 THEN 5
+          WHEN CAST(FLOOR(m / p10) AS BIGINT) >= 2 THEN 2
+          ELSE 1 END) * p10 AS BIGINT) END AS margin_bin,
+    CASE WHEN pred = lang THEN 1 ELSE 0 END AS ok
+  FROM (SELECT *, CAST(power(10, length(CAST(m AS STRING)) - 1) AS BIGINT)
+          AS p10 FROM md)
+)
+SELECT margin_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       CAST(floor(SUM(ok) * 1000 / COUNT(*)) AS BIGINT) AS acc_permille
+FROM withbin GROUP BY margin_bin ORDER BY margin_bin
 """
     ),
     "nb_agreement": _corpus_oracle(

@@ -438,6 +438,30 @@ def test_pii_counts_planted_targets(spark):
     assert (clean.needs_scrub == 0).all()
 
 
+def test_pii_redact_semantics(spark):
+    """Hand-pinned rewrites: placeholder substitution, pass ordering
+    (an email's digit run is consumed by the email pass, not counted
+    again), and untouched text passes through byte-identical."""
+    from cc_crawl_statistics_spark.operators.textstats import pii_redact
+
+    rows = [
+        (0, "mail 1234567@x.com now"),
+        (1, "see https://a.b/c?id=9999999 ok"),
+        (2, "plain text, digits 123456 only"),
+        (3, "a@b.io b@c.io 12345678"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert out[0].clean_text == "mail <EMAIL> now"
+    assert out[0].n_redacted == 1  # digit run consumed by the email pass
+    assert out[1].clean_text == "see <URL> ok"
+    assert out[1].n_redacted == 1
+    assert out[2].clean_text == rows[2][1]
+    assert out[2].n_redacted == 0
+    assert out[3].clean_text == "<EMAIL> <EMAIL> <NUM>"
+    assert out[3].n_redacted == 3
+
+
 def test_decontaminate_plan_broadcasts_eval_shingles(spark):
     """The eval-shingle join must be a broadcast hash join (the corpus
     never shuffles on shingles) and the plan must contain no sort-merge

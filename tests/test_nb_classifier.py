@@ -145,3 +145,50 @@ def test_tfidf_keywords_hand_computed(spark):
     # ubiquitous token scores 0 and still ranks (tie broken by token asc)
     assert got[(1, 1)] == ("banana", idf["banana"])
     assert got[(1, 2)] == ("cherry", idf["cherry"])
+
+
+def test_nb_calibration_bins_and_accuracy(spark):
+    """Per-bin accuracy recomputed independently: run nb_classify for the
+    predictions, _nb_scored for the margins, bin with the pure-Python
+    pseudo-log rule, and compare the whole table."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa aa bb", "x"),
+            (1, "aa aa cc cc", "x"),
+            (2, "bb bb bb aa", "y"),
+            (3, "cc cc bb bb", "y"),
+            (4, "aa bb cc dd", "x"),
+            (5, "dd dd dd dd", "y"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    w = TX.nb_train(docs, vocab_size=10)
+    got = {
+        r.margin_bin: (r.n_docs, r.n_correct, r.acc_permille)
+        for r in TX.nb_calibration(docs, w).collect()
+    }
+    pred = {r.doc_id: r.label_pred for r in TX.nb_classify(docs, w).collect()}
+    scores: dict[int, list[int]] = {}
+    for r in TX._nb_scored(docs, w).collect():
+        scores.setdefault(r.doc_id, []).append(r.score)
+    truth = {r.doc_id: r.lang for r in docs.collect()}
+
+    def plog_bin(m: int) -> int:
+        if m <= 0:
+            return 0
+        p10 = 10 ** (len(str(m)) - 1)
+        mant = m // p10
+        return (5 if mant >= 5 else 2 if mant >= 2 else 1) * p10
+
+    exp: dict[int, list[int]] = {}
+    for d, ss in scores.items():
+        ss.sort(reverse=True)
+        b = plog_bin(ss[0] - (ss[1] if len(ss) > 1 else ss[0]))
+        row = exp.setdefault(b, [0, 0])
+        row[0] += 1
+        row[1] += int(pred[d] == truth[d])
+    assert got == {
+        b: (n, c, (c * 1000) // n) for b, (n, c) in exp.items()
+    }
