@@ -314,10 +314,20 @@ def robots_ledger(
 # ---------------------------------------------------------------------------
 
 
-def synth_robots(hosts: DataFrame) -> DataFrame:
-    """(host) → (host, fetch_status, robots_txt), deterministic."""
+def synth_robots(hosts: DataFrame, epoch: int | None = None) -> DataFrame:
+    """(host) → (host, fetch_status, robots_txt), deterministic.
+
+    ``epoch=None`` (default) is the pinned legacy body every frontier
+    bit-for-bit test depends on. An integer epoch generates the
+    POLICY-DRIFT variant for robots_policy_churn: the Crawl-delay divisor
+    becomes ``1 + (site_id + epoch) % 4`` and the base (*) group gains one
+    epoch-rotating rule ``Disallow: /page/<(site_id + epoch) % 10>`` —
+    which only governs hosts whose SELECTED group is ``*`` (site_id % 3 ==
+    1; the CCBot / ccbot groups win selection elsewhere), keeping the
+    closed form the churn oracle replays simple."""
     site_id = F.regexp_extract(F.col("host"), "site([0-9]+)", 1).cast("int")
-    delay = (F.lit(60) / (1 + site_id % 4)).cast("int").cast("string")
+    shift = site_id if epoch is None else site_id + epoch
+    delay = (F.lit(60) / (1 + shift % 4)).cast("int").cast("string")
     # Sitemap directive BEFORE any group (position-independence is part of
     # the spec, sitemap_directives must find it); even sites advertise one
     sitemap_line = F.when(
@@ -326,6 +336,15 @@ def synth_robots(hosts: DataFrame) -> DataFrame:
             F.lit("Sitemap: https://"), F.col("host"), F.lit("/sitemap.xml\n")
         ),
     ).otherwise(F.lit(""))
+    epoch_rule = (
+        F.lit("")
+        if epoch is None
+        else F.concat(
+            F.lit("Disallow: /page/"),
+            (shift % 10).cast("string"),
+            F.lit("\n"),
+        )
+    )
     base = F.concat(
         F.lit("# synthetic robots for "),
         F.col("host"),
@@ -334,6 +353,7 @@ def synth_robots(hosts: DataFrame) -> DataFrame:
         F.lit("User-agent: *\nDisallow: /private/\nCrawl-delay: "),
         delay,
         F.lit("\n"),
+        epoch_rule,
     )
     ccbot_group = F.concat(
         F.lit("\nUser-agent: CCBot\nDisallow: /page/\nAllow: /page/1\nCrawl-delay: "),
@@ -358,4 +378,102 @@ def synth_robots(hosts: DataFrame) -> DataFrame:
         "host",
         F.when(site_id % 12 == 7, 403).otherwise(200).alias("fetch_status"),
         body.alias("robots_txt"),
+    )
+
+
+def robots_policy_churn(
+    pages: DataFrame, epoch_a: int = 0, epoch_b: int = 1
+) -> DataFrame:
+    """Cross-crawl robots.txt policy drift — the signal that tells a
+    crawler its cached politeness state has gone stale: between two
+    robots epochs, which hosts changed their Crawl-delay budget, and how
+    many known URLs flipped allowed→disallowed (must stop fetching /
+    purge) or disallowed→allowed (newly crawlable). Both epochs' bodies
+    run through the REAL RFC 9309 chain (parse → group selection →
+    longest-match decision → ledger budget); the oracle replays the
+    generative closed form without parsing, so any drift in the parser
+    surfaces here too.
+
+    Returns one row per host: (host, robots_status, budget_a, budget_b,
+    budget_changed, n_paths, n_newly_blocked, n_unblocked); blocked (403)
+    hosts report zero flips — their URLs are gated upstream of per-path
+    rules.
+
+    Scale shape: rules and ledgers are host-dimension (broadcast); the
+    distinct (host, path) relation is corpus-sized and is materialized
+    once (lazy localCheckpoint) then classified twice and self-joined on
+    its own key — one exchange on (host, path), aggregation back to host
+    grain. Nothing wider than the distinct-URL relation shuffles."""
+    hosts = pages.select("host").distinct().localCheckpoint(eager=False)
+    urls = (
+        pages.select(
+            "host",
+            F.regexp_extract("url", "^[a-z]+://[^/]+(/.*)$", 1).alias(
+                "path"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def epoch_side(epoch: int, tag: str):
+        rb = synth_robots(hosts, epoch=epoch)
+        ledger = robots_ledger(rb, round_seconds=60, default_budget=1).select(
+            "host",
+            F.col("robots_status").alias(f"robots_status_{tag}"),
+            F.col("max_per_round").cast("long").alias(f"budget_{tag}"),
+        )
+        rules = robots_rules(parse_robots(parsable_bodies(rb)))
+        dec = robots_decision(urls, rules).select(
+            "host", "path", F.col("decision").alias(f"dec_{tag}")
+        )
+        return ledger, dec
+
+    ledger_a, dec_a = epoch_side(epoch_a, "a")
+    ledger_b, dec_b = epoch_side(epoch_b, "b")
+    flips = (
+        dec_a.join(dec_b, ["host", "path"])
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_paths"),
+            F.sum(
+                (
+                    (F.col("dec_a") == "allow")
+                    & (F.col("dec_b") == "disallow")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("_nb"),
+            F.sum(
+                (
+                    (F.col("dec_a") == "disallow")
+                    & (F.col("dec_b") == "allow")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("_ub"),
+        )
+    )
+    blocked = F.col("robots_status_a") == 403
+    zero = F.lit(0).cast("long")
+    return (
+        flips.join(ledger_a, "host")
+        .join(ledger_b.drop("robots_status_b"), "host")
+        .select(
+            "host",
+            F.col("robots_status_a").cast("long").alias("robots_status"),
+            "budget_a",
+            "budget_b",
+            (F.col("budget_a") != F.col("budget_b")).alias(
+                "budget_changed"
+            ),
+            "n_paths",
+            F.when(blocked, zero).otherwise(F.col("_nb")).alias(
+                "n_newly_blocked"
+            ),
+            F.when(blocked, zero).otherwise(F.col("_ub")).alias(
+                "n_unblocked"
+            ),
+        )
+        .orderBy("host")
     )

@@ -559,6 +559,14 @@ def q_dup_spans_cdc(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_robots_churn(spark: SparkSession, sf: str) -> DataFrame:
+    """Robots policy drift between two synthetic epochs
+    (frontier/robots.py:robots_policy_churn): per host, budget change and
+    allowed/disallowed flips over every known path, both sides through
+    the real RFC 9309 parse chain."""
+    return RB.robots_policy_churn(pages_df(spark, sf), 0, 1)
+
+
 def q_pagerank_priority(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-priority PageRank over the frontier's deterministic link graph
     (doc d links to (2d+1)%N and (3d+7)%N — the same graph expand_links
@@ -1458,6 +1466,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_perplexity": q_lm_perplexity,
     "lm_quality_filter": q_lm_quality_filter,
     "robots_decisions": q_robots_decisions,
+    "robots_churn": q_robots_churn,
     "pagerank_priority": q_pagerank_priority,
     "recrawl_tiers": q_recrawl_tiers,
     "sitemap_roundtrip": q_sitemap_roundtrip,
@@ -3306,6 +3315,57 @@ SELECT h.host,
   CAST(COUNT(*) AS BIGINT) AS n_paths
 FROM hosts h JOIN paths p ON h.host = p.host
 GROUP BY 1, 2, 3, 4
+"""
+    ),
+    "robots_churn": oracle_cte(
+        """
+, hosts AS (
+  SELECT host, CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) AS k
+  FROM (SELECT DISTINCT host FROM pages)
+),
+paths AS (
+  SELECT DISTINCT host,
+         regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path
+  FROM pages
+),
+d AS (
+  SELECT h.host, h.k, p.path,
+    CASE WHEN k % 12 = 7 THEN 'blocked'
+         WHEN k % 3 = 0 THEN
+           CASE WHEN p.path LIKE '/page/1%' THEN 'allow' ELSE 'disallow' END
+         WHEN k % 3 = 2 THEN
+           CASE WHEN p.path LIKE '%9.html' THEN 'disallow' ELSE 'allow' END
+         ELSE CASE WHEN p.path LIKE
+                '/page/' || CAST((k + 0) % 10 AS VARCHAR) || '%'
+              THEN 'disallow' ELSE 'allow' END
+    END AS da,
+    CASE WHEN k % 12 = 7 THEN 'blocked'
+         WHEN k % 3 = 0 THEN
+           CASE WHEN p.path LIKE '/page/1%' THEN 'allow' ELSE 'disallow' END
+         WHEN k % 3 = 2 THEN
+           CASE WHEN p.path LIKE '%9.html' THEN 'disallow' ELSE 'allow' END
+         ELSE CASE WHEN p.path LIKE
+                '/page/' || CAST((k + 1) % 10 AS VARCHAR) || '%'
+              THEN 'disallow' ELSE 'allow' END
+    END AS db
+  FROM hosts h JOIN paths p ON h.host = p.host
+)
+SELECT host,
+  CAST(CASE WHEN k % 12 = 7 THEN 403 ELSE 200 END AS BIGINT)
+    AS robots_status,
+  CAST(CASE WHEN k % 12 = 7 THEN 1 ELSE 1 + (k + 0) % 4 END AS BIGINT)
+    AS budget_a,
+  CAST(CASE WHEN k % 12 = 7 THEN 1 ELSE 1 + (k + 1) % 4 END AS BIGINT)
+    AS budget_b,
+  (CASE WHEN k % 12 = 7 THEN 1 ELSE 1 + (k + 0) % 4 END <>
+   CASE WHEN k % 12 = 7 THEN 1 ELSE 1 + (k + 1) % 4 END)
+    AS budget_changed,
+  CAST(COUNT(*) AS BIGINT) AS n_paths,
+  CAST(SUM(CASE WHEN da = 'allow' AND db = 'disallow' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_newly_blocked,
+  CAST(SUM(CASE WHEN da = 'disallow' AND db = 'allow' THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_unblocked
+FROM d GROUP BY host, k ORDER BY host
 """
     ),
     "frontier_schedule": oracle_cte(

@@ -251,3 +251,59 @@ def test_decision_join_broadcasts_rules(spark):
     urls = spark.createDataFrame([("h", "/a"), ("h", "/b")], ["host", "path"])
     plan = R.robots_decision(urls, rules)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_robots_policy_churn_hand_checked(spark):
+    """k%3==1 host: the epoch rule rotates from digit k to digit k+1, so
+    exactly the '/page/<k>…' paths unblock and the '/page/<k+1>…' paths
+    become newly blocked; budgets shift by the closed form; specific-group
+    hosts (k%3==0/2) see no per-path churn; 403 hosts report zero flips."""
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.frontier.robots import (
+        robots_policy_churn,
+        synth_robots,
+    )
+
+    rows = []
+    # site1 -> k%3==1 (base group governs), site3 -> CCBot group,
+    # site7 -> 403-blocked, site5 -> wild group
+    for k in (1, 3, 5, 7):
+        for d in (0, 1, 2, 11, 21, 19):
+            rows.append(
+                (f"https://www.site{k}.com/page/{d}.html",
+                 f"www.site{k}.com")
+            )
+    pages = spark.createDataFrame(rows, ["url", "host"])
+    out = {r.host: r for r in robots_policy_churn(pages, 0, 1).collect()}
+
+    h1 = out["www.site1.com"]
+    # epoch 0 digit = 1 (paths 1,11,19? no: prefix '/page/1' matches 1,11,19... careful: 19 starts '/page/1'): {1,11,19}
+    # epoch 1 digit = 2: {2,21}
+    assert h1.n_paths == 6
+    assert h1.n_unblocked == 3      # 1.html, 11.html, 19.html
+    assert h1.n_newly_blocked == 2  # 2.html, 21.html
+    assert h1.budget_a == 1 + (1 + 0) % 4 and h1.budget_b == 1 + (1 + 1) % 4
+    assert bool(h1.budget_changed)
+
+    h3 = out["www.site3.com"]  # CCBot group selected: epoch rule inert
+    assert h3.n_newly_blocked == 0 and h3.n_unblocked == 0
+
+    h5 = out["www.site5.com"]  # wild group selected: epoch rule inert
+    assert h5.n_newly_blocked == 0 and h5.n_unblocked == 0
+
+    h7 = out["www.site7.com"]  # 403: gated upstream, budgets default
+    assert h7.robots_status == 403
+    assert h7.n_newly_blocked == 0 and h7.n_unblocked == 0
+    assert h7.budget_a == 1 and h7.budget_b == 1
+
+    # epoch=None stays the pinned legacy body
+    legacy = synth_robots(pages.select("host").distinct())
+    e0 = synth_robots(pages.select("host").distinct(), epoch=0)
+    n_diff = (
+        legacy.alias("l")
+        .join(e0.alias("e"), "host")
+        .filter(F.col("l.robots_txt") != F.col("e.robots_txt"))
+        .count()
+    )
+    assert n_diff > 0  # epoch 0 adds the rotating rule; legacy untouched
