@@ -381,6 +381,26 @@ def synth_robots(hosts: DataFrame, epoch: int | None = None) -> DataFrame:
     )
 
 
+def _epoch_side(
+    hosts: DataFrame, urls: DataFrame, epoch: int, tag: str
+) -> tuple[DataFrame, DataFrame]:
+    """One robots epoch through the full chain: (ledger with tag-suffixed
+    budget/status columns, per-URL decisions with ``dec_<tag>``). ``urls``
+    may carry any extra columns (e.g. the full url) — robots_decision
+    preserves them."""
+    rb = synth_robots(hosts, epoch=epoch)
+    ledger = robots_ledger(rb, round_seconds=60, default_budget=1).select(
+        "host",
+        F.col("robots_status").alias(f"robots_status_{tag}"),
+        F.col("max_per_round").cast("long").alias(f"budget_{tag}"),
+    )
+    rules = robots_rules(parse_robots(parsable_bodies(rb)))
+    dec = robots_decision(urls, rules).withColumnRenamed(
+        "decision", f"dec_{tag}"
+    )
+    return ledger, dec
+
+
 def robots_policy_churn(
     pages: DataFrame, epoch_a: int = 0, epoch_b: int = 1
 ) -> DataFrame:
@@ -416,21 +436,10 @@ def robots_policy_churn(
         .localCheckpoint(eager=False)
     )
 
-    def epoch_side(epoch: int, tag: str):
-        rb = synth_robots(hosts, epoch=epoch)
-        ledger = robots_ledger(rb, round_seconds=60, default_budget=1).select(
-            "host",
-            F.col("robots_status").alias(f"robots_status_{tag}"),
-            F.col("max_per_round").cast("long").alias(f"budget_{tag}"),
-        )
-        rules = robots_rules(parse_robots(parsable_bodies(rb)))
-        dec = robots_decision(urls, rules).select(
-            "host", "path", F.col("decision").alias(f"dec_{tag}")
-        )
-        return ledger, dec
-
-    ledger_a, dec_a = epoch_side(epoch_a, "a")
-    ledger_b, dec_b = epoch_side(epoch_b, "b")
+    ledger_a, dec_a = _epoch_side(hosts, urls, epoch_a, "a")
+    ledger_b, dec_b = _epoch_side(hosts, urls, epoch_b, "b")
+    dec_a = dec_a.select("host", "path", "dec_a")
+    dec_b = dec_b.select("host", "path", "dec_b")
     flips = (
         dec_a.join(dec_b, ["host", "path"])
         .groupBy("host")
@@ -476,4 +485,46 @@ def robots_policy_churn(
             ),
         )
         .orderBy("host")
+    )
+
+
+def unblocked_urls(
+    pages: DataFrame, epoch_a: int = 0, epoch_b: int = 1
+) -> DataFrame:
+    """Distinct (url, host) whose robots decision flipped
+    disallowed→allowed between the two epochs on a non-403 host — the
+    newly crawlable set robots_policy_churn counts as ``n_unblocked``,
+    materialized at URL grain so the scheduler can re-open them
+    (scheduler.reopen_for_policy_change). Same scale shape as the churn
+    rollup minus the host aggregation."""
+    hosts = pages.select("host").distinct().localCheckpoint(eager=False)
+    urls = (
+        pages.select(
+            "url",
+            "host",
+            F.regexp_extract("url", "^[a-z]+://[^/]+(/.*)$", 1).alias(
+                "path"
+            ),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ledger_a, dec_a = _epoch_side(hosts, urls, epoch_a, "a")
+    _, dec_b = _epoch_side(hosts, urls, epoch_b, "b")
+    return (
+        dec_a.select("url", "host", "dec_a")
+        .join(dec_b.select("url", "dec_b"), "url")
+        .join(
+            F.broadcast(
+                ledger_a.filter(F.col("robots_status_a") != 403).select(
+                    "host"
+                )
+            ),
+            "host",
+            "semi",
+        )
+        .filter(
+            (F.col("dec_a") == "disallow") & (F.col("dec_b") == "allow")
+        )
+        .select("url", "host")
     )

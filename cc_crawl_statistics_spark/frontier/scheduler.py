@@ -864,3 +864,35 @@ def reopen_for_recrawl(
     if n:
         store.reopen_seen(spark, rnd, due)
     return n
+
+
+def reopen_for_policy_change(
+    spark: SparkSession,
+    store: SnapshotStore,
+    rnd: int,
+    pages: DataFrame,
+    epoch_a: int = 0,
+    epoch_b: int = 1,
+) -> int:
+    """Robots-drift glue, the mirror of reopen_for_recrawl: URLs whose
+    per-path decision flipped disallowed→allowed between two robots
+    epochs (robots.unblocked_urls — the churn table's n_unblocked at URL
+    grain) are re-opened in the seen store, so the next round that
+    rediscovers them schedules a fetch under the NEW policy. Returns how
+    many URLs were re-opened. Newly-disallowed URLs need no seen-set
+    edit: enforcement for them belongs at schedule time (the decision
+    gate), and their seen entries correctly record that they were
+    fetched. Volume is bounded by the flip set (≪ frontier size for any
+    sane policy change), keeping the reopen anti-join side
+    broadcastable."""
+    from .robots import unblocked_urls
+
+    due = (
+        unblocked_urls(pages, epoch_a, epoch_b)
+        .select(seen_key(F.col("url")).alias("seen_key"))
+        .distinct()
+    )
+    n = due.count()
+    if n:
+        store.reopen_seen(spark, rnd, due)
+    return n

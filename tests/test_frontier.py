@@ -674,3 +674,36 @@ def test_priority_aging_bit_for_bit(spark, tmp_path):
     aged = run(40, "aged")
     static = run(0, "static")
     assert aged != static  # aging visibly reorders under contention
+
+
+def test_reopen_for_policy_change_glue(spark, tmp_path):
+    """Robots-drift reopen: exactly the disallowed→allowed flip set's
+    canonical seen keys leave the seen set; a host-level no-op epoch pair
+    reopens nothing."""
+    from cc_crawl_statistics_spark.frontier.robots import unblocked_urls
+    from cc_crawl_statistics_spark.frontier.scheduler import (
+        reopen_for_policy_change,
+        seen_key,
+    )
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    scheduler.run_round(spark, store, SF_SMOKE)
+    pages = pages_df(spark, SF_SMOKE)
+    before = {r.seen_key for r in store.read_seen(spark, 1).collect()}
+    n = reopen_for_policy_change(spark, store, 1, pages, 0, 1)
+    after = {r.seen_key for r in store.read_seen(spark, 1).collect()}
+    due_keys = {
+        r.k
+        for r in unblocked_urls(pages, 0, 1)
+        .select(seen_key(F.col("url")).alias("k"))
+        .distinct()
+        .collect()
+    }
+    assert n == len(due_keys) > 0
+    assert after == before - due_keys
+    # identical epochs -> no flips -> no seen-set edit
+    n0 = reopen_for_policy_change(spark, store, 1, pages, 1, 1)
+    assert n0 == 0
+    again = {r.seen_key for r in store.read_seen(spark, 1).collect()}
+    assert again == after
