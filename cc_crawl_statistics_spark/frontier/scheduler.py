@@ -519,6 +519,7 @@ def run_round(
     expand_fn=None,
     prefilter: str = "bloom",
     age_boost: int = 0,
+    n_fetchers: int = 0,
 ) -> dict:
     """Execute the next scheduling round from the latest committed snapshot
     and commit round+1. Returns the round metrics (computed from the
@@ -552,7 +553,15 @@ def run_round(
     Any pending URL's effective score grows without bound, so it
     eventually outranks every fixed-score newcomer on its host —
     model-parity pinned in tests/test_frontier.py. 0 (default) is the
-    legacy static ordering, bit-identical to prior rounds."""
+    legacy static ordering, bit-identical to prior rounds.
+
+    ``n_fetchers`` > 0 stamps each persisted schedule row with its
+    consistent-hash fetcher shard (frontier/capacity.py — host-affine, so
+    a downstream fetch fleet can split the schedule parquet by
+    ``fetcher`` with politeness intact) and records the fleet's load
+    balance (``fetcher_max_load_permille``) in the round metrics.
+    Ordering, retirement and every other table are unchanged — the column
+    is additive."""
     latest = store.latest_round()
     if latest is None:
         if pages is None:
@@ -699,6 +708,11 @@ def run_round(
         "doc_id",
         *ATTR_COLS,
     )
+    if n_fetchers:
+        from .capacity import assign_fetchers
+
+        # budget-bounded rows; O(|ring|) per row, no join, order untouched
+        sched = assign_fetchers(sched, n_fetchers=n_fetchers)
 
     def discover_new_urls(sched_materialized: DataFrame) -> DataFrame:
         """Expand the (parquet-materialized) schedule's links and keep the
@@ -784,6 +798,17 @@ def run_round(
             # needs a full rescan of the 10^10-key seen set
             "n_seen": prev_seen + n_new,
         }
+        if n_fetchers and n_sched:
+            per_f = (
+                read("schedule")
+                .groupBy("fetcher")
+                .agg(F.count("*").alias("n"))
+                .agg(F.max("n").alias("mx"))
+                .first()
+            )
+            m["fetcher_max_load_permille"] = int(
+                per_f.mx * 1000 // n_sched
+            )
         if docs is not None:
             fetched_tbl = read("fetched")
             m["n_extracted"] = store.table_rows(rnd, "fetched")

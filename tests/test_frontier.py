@@ -707,3 +707,35 @@ def test_reopen_for_policy_change_glue(spark, tmp_path):
     assert n0 == 0
     again = {r.seen_key for r in store.read_seen(spark, 1).collect()}
     assert again == after
+
+
+def test_run_round_fetcher_sharding(spark, tmp_path):
+    """n_fetchers stamps a host-affine fetcher column on the schedule
+    (matching the capacity module's ring exactly), leaves everything else
+    bit-identical to the unsharded round, and records the fleet balance
+    metric."""
+    import hashlib
+
+    from cc_crawl_statistics_spark.frontier import capacity as C
+
+    plain = SnapshotStore(str(tmp_path / "plain"))
+    sharded = SnapshotStore(str(tmp_path / "sharded"))
+    scheduler.run_round(spark, plain, SF_SMOKE)
+    m = scheduler.run_round(spark, sharded, SF_SMOKE, n_fetchers=4)
+    assert schedule_rows(spark, plain, 1) == schedule_rows(spark, sharded, 1)
+    rows = sharded.read(spark, 1, "schedule").collect()
+    ring = C.ring_points(4, 16)
+
+    def fetcher_of(h: str) -> int:
+        hp = int(hashlib.md5(h.encode()).hexdigest()[:8], 16)
+        for p, f in ring:
+            if p >= hp:
+                return f
+        return ring[0][1]
+
+    per_host: dict[str, set] = {}
+    for r in rows:
+        per_host.setdefault(r.host, set()).add(r.fetcher)
+        assert r.fetcher == fetcher_of(r.host)
+    assert all(len(s) == 1 for s in per_host.values())
+    assert 0 < m["fetcher_max_load_permille"] <= 1000

@@ -34,6 +34,12 @@ def main() -> None:
         "age_boost x rounds-waiting (0 = static ordering)",
     )
     ap.add_argument(
+        "--n-fetchers", type=int, default=0,
+        help="stamp each schedule row with its consistent-hash fetcher "
+        "shard (host-affine; frontier/capacity.py) and record the fleet "
+        "balance metric (0 = off)",
+    )
+    ap.add_argument(
         "--expire", action="store_true",
         help="after each round, drop state tables unreachable past the "
         "newest compaction bases (SnapshotStore.expire_rounds — the "
@@ -63,6 +69,7 @@ def main() -> None:
             n_partitions=args.partitions,
             docs=docs,
             age_boost=args.age_boost,
+            n_fetchers=args.n_fetchers,
         )
         if args.expire:
             removed = store.expire_rounds(metrics["round"])
