@@ -2233,11 +2233,17 @@ _PRIORITY = [
     # the round-3 CCNet perplexity filter + whole-pipeline funnel
     # (spearman_benchmark, r2-green, yielded its slot to the funnel and
     # stays oracle-tested in pytest)
-    "dedup_exact", "unit_dedup", "ngram_jaccard", "embedding_near_dup",
+    # (r3: unit_dedup and lm_quality_filter — both r2/r3-green and each
+    # compositionally covered in-window (dedup_exact + boilerplate-family,
+    # lm_perplexity + curation_funnel's shared scoring chain) — yield
+    # their slots to the round's two most distinctive additions: robots
+    # policy churn and consistent-hash fetcher sharding; both displaced
+    # queries stay oracle-tested in pytest)
+    "dedup_exact", "robots_churn", "ngram_jaccard", "embedding_near_dup",
     "ann_topk",
     "token_stats", "quality_scores", "language_id", "pagerank_priority",
     "events_windowed", "events_sessionize", "dedup_kept",
-    "lm_perplexity", "lm_quality_filter", "curation_funnel",
+    "lm_perplexity", "fetcher_assignment", "curation_funnel",
     "frontier_schedule",
 ]
 
@@ -2247,6 +2253,12 @@ _PRIORITY = [
 # remaining queries first (one per operator class), not near-duplicates
 # of in-window entries. All oracle-paired except host_hyperball.
 _PRIORITY_NEXT = [
+    "leakage_split",        # domain-grain train/valid/test, leakage invariant
+    "round_makespan",       # fleet busy-time / straggler estimate
+    "pii_redact",           # ordered placeholder rewrite, full-text hash
+    "nb_calibration",       # margin-binned classifier reliability
+    "unit_dedup",           # displaced from the window in r3 (see above)
+    "lm_quality_filter",    # displaced from the window in r3 (see above)
     "asof_capture",         # as-of join vs DuckDB native ASOF oracle
     "concurrent_sessions",  # bucketized range join vs DuckDB IEJoin
     "events_attribution",   # stream-stream time-range join (batch plan)
