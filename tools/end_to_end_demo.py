@@ -117,6 +117,36 @@ def main(spark=None, sf: str = DEFAULT_SF) -> None:
             f"[6] {len(rows)} shards, {total_tokens} tokens total, "
             f"max |dev| {max(abs(r.dev_permille) for r in rows)} permille"
         )
+        # ── frontier: sharded scheduling rounds + robots policy drift ───
+        from cc_crawl_statistics_spark.frontier import scheduler
+        from cc_crawl_statistics_spark.frontier.state import SnapshotStore
+
+        store = SnapshotStore(os.path.join(tmp, "frontier"))
+        m1 = scheduler.run_round(spark, store, sf, n_fetchers=4)
+        sched = store.read(spark, 1, "schedule")
+        per_host_shards = (
+            sched.groupBy("host")
+            .agg(F.countDistinct("fetcher").alias("nf"))
+            .agg(F.max("nf"))
+            .first()[0]
+        )
+        assert per_host_shards == 1  # politeness stays fetcher-local
+        print(
+            f"[7] frontier round 1: {m1['n_scheduled']} URLs over 4 "
+            f"fetcher shards (max load "
+            f"{m1['fetcher_max_load_permille']} permille)"
+        )
+
+        n_reopened = scheduler.reopen_for_policy_change(
+            spark, store, 1, pages, 0, 1
+        )
+        assert n_reopened > 0
+        m2 = scheduler.run_round(spark, store, sf, n_fetchers=4)
+        print(
+            f"[8] robots drift re-opened {n_reopened} newly-allowed URLs; "
+            f"round 2 scheduled {m2['n_scheduled']}"
+        )
+
         print("END-TO-END OK")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
