@@ -99,6 +99,7 @@ _BOUNDED_BNLJ_OK = {
     "nb_weights",  # class priors vs 1-row corpus total
     "nb_classify",  # same training CTE inside
     "nb_agreement",  # same training CTE inside
+    "nb_calibration",  # same scored subplan: docs x broadcast C-row priors
     "lm_bigram_weights",  # smoothing vs 1-row vocab-size aggregate
     "dsir_weights",  # bucket weights vs 1-row distribution totals
     "lm_perplexity",  # same 1-row vocab join in the scoring chain
