@@ -166,3 +166,48 @@ def round_makespan(
         )
         .orderBy("fetcher")
     )
+
+
+def schedule_fairness(
+    schedule: DataFrame, n_fetchers: int = 4, vnodes: int = 16
+) -> DataFrame:
+    """Jain's fairness index (×1000, integer floor) of one round's
+    allocation, at two grains: across HOSTS (is the politeness budget
+    starving some sites?) and across FETCHER shards (is the fleet
+    balanced?). J = (Σx)² / (n·Σx²) ∈ (1/n, 1]; 1000 = perfectly equal,
+    and J·n is the effective number of equally-served parties. One row:
+    (n_hosts, jain_host_x1000, n_fetchers_used, jain_fetcher_x1000).
+
+    Exactness: the quadratic terms are computed in DECIMAL(38,0) (Spark)
+    / HUGEINT (DuckDB) — (Σx)² overflows a 64-bit long once Σx exceeds
+    ~3×10⁹ scheduled URLs, which a production round can reach. Shapes:
+    host-grain aggregation (the schedule is budget-bounded), fleet-grain
+    rollup, two 1-row aggregates broadcast-crossed."""
+    per_host = schedule.groupBy("host").agg(F.count("*").alias("x"))
+    per_fetcher = (
+        assign_fetchers(per_host, n_fetchers, vnodes)
+        .groupBy("fetcher")
+        .agg(F.sum("x").alias("x"))
+    )
+
+    def jain(df: DataFrame, n_col: str, j_col: str) -> DataFrame:
+        dec = "decimal(38,0)"
+        return df.agg(
+            F.count("*").cast("long").alias(n_col),
+            F.floor(
+                F.lit(1000)
+                * F.sum("x").cast(dec)
+                * F.sum("x").cast(dec)
+                / (
+                    F.count("*").cast(dec)
+                    * F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+                )
+            )
+            .cast("long")
+            .alias(j_col),
+        )
+    return jain(per_host, "n_hosts", "jain_host_x1000").crossJoin(
+        F.broadcast(
+            jain(per_fetcher, "n_fetchers_used", "jain_fetcher_x1000")
+        )
+    )

@@ -481,6 +481,17 @@ def q_round_makespan(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_schedule_fairness(spark: SparkSession, sf: str) -> DataFrame:
+    """Jain's fairness of the round-1 schedule at host and fetcher grain
+    (frontier/capacity.py:schedule_fairness) — the allocation-equity
+    scalar pair an operator watches alongside the load table."""
+    from ..frontier.capacity import schedule_fairness
+
+    return schedule_fairness(
+        first_round_schedule(pages_df(spark, sf)), n_fetchers=4, vnodes=16
+    )
+
+
 def q_leakage_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe train/valid/test split of the page corpus at
     registrable-domain grain (operators/sampling.py:leakage_safe_split):
@@ -1521,6 +1532,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schedule_domain_politeness": q_schedule_domain_politeness,
     "fetcher_assignment": q_fetcher_assignment,
     "round_makespan": q_round_makespan,
+    "schedule_fairness": q_schedule_fairness,
     "leakage_split": q_leakage_split,
     "retry_backoff": q_retry_backoff,
     "dedup_kept": q_dedup_kept,
@@ -3676,6 +3688,34 @@ SELECT CAST(fetcher AS BIGINT) AS fetcher,
        CAST(n_urls AS BIGINT) AS n_urls,
        CAST(floor(n_urls * 1000 / t) AS BIGINT) AS load_permille
 FROM perf CROSS JOIN tot ORDER BY fetcher
+"""
+)
+
+PIPELINE_ORACLES["schedule_fairness"] = oracle_cte(
+    f"""
+, {_SCHEDROWS_SQL.strip()},
+{_RING_SQL.strip()},
+perhost AS (SELECT host, COUNT(*) AS x FROM schedrows GROUP BY host),
+perf AS (
+  SELECT a.fetcher, SUM(p.x) AS x
+  FROM perhost p JOIN asg a ON p.host = a.host GROUP BY a.fetcher
+),
+jh AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+         CAST(floor(1000 * CAST(SUM(x) AS HUGEINT) * SUM(x)
+              / (COUNT(*) * SUM(CAST(x AS HUGEINT) * x))) AS BIGINT)
+           AS jain_host_x1000
+  FROM perhost
+),
+jf AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_fetchers_used,
+         CAST(floor(1000 * CAST(SUM(x) AS HUGEINT) * SUM(x)
+              / (COUNT(*) * SUM(CAST(x AS HUGEINT) * x))) AS BIGINT)
+           AS jain_fetcher_x1000
+  FROM perf
+)
+SELECT n_hosts, jain_host_x1000, n_fetchers_used, jain_fetcher_x1000
+FROM jh CROSS JOIN jf
 """
 )
 

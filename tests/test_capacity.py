@@ -158,3 +158,23 @@ def test_split_summary_rollup(spark, pages):
     assert all(r.max_splits_per_unit == 1 for r in rows)
     assert sum(r.n_rows for r in rows) == pages.count()
     assert 900 <= sum(r.share_permille for r in rows) <= 1000
+
+
+def test_schedule_fairness_hand_computed(spark):
+    """Jain's index floor(1000·(Σx)²/(n·Σx²)) recomputed in Python at
+    host grain; an equal allocation reads exactly 1000."""
+    rows = [("h%d.x" % i, "u%d" % j) for i, n in enumerate([1, 2, 3, 6])
+            for j in range(n)]
+    sched = spark.createDataFrame(rows, ["host", "url"])
+    got = C.schedule_fairness(sched, 4, 16).first()
+    xs = [1, 2, 3, 6]
+    assert got.n_hosts == 4
+    assert got.jain_host_x1000 == (1000 * sum(xs) ** 2) // (
+        len(xs) * sum(x * x for x in xs)
+    )
+    equal = spark.createDataFrame(
+        [("h%d.x" % i, "u%d" % j) for i in range(5) for j in range(3)],
+        ["host", "url"],
+    )
+    eq = C.schedule_fairness(equal, 4, 16).first()
+    assert eq.jain_host_x1000 == 1000

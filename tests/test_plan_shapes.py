@@ -110,6 +110,7 @@ _BOUNDED_BNLJ_OK = {
     "asof_capture",  # probe build: urls x broadcast 2-row instant frame
     "fetcher_assignment",  # fleet rollup vs 1-row schedule total
     "round_makespan",  # fleet rollup vs 1-row fleet-max aggregate
+    "schedule_fairness",  # two 1-row Jain aggregates crossed
     "leakage_split",  # split shares vs 1-row corpus total/invariant
 }
 
