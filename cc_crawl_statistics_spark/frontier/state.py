@@ -555,3 +555,45 @@ class SnapshotStore:
             )
         os.replace(tmp, os.path.join(rdir, MANIFEST))
         return metrics
+
+
+def round_trajectory(spark: SparkSession, store: "SnapshotStore") -> DataFrame:
+    """Per-round engine telemetry as a DataFrame, read purely from the
+    committed manifests (driver-side JSON, zero data scans — the Iceberg
+    snapshot-summary pattern): one row per committed round with the
+    scheduling/discovery/seen counters plus the round-over-round discovery
+    ratio (new URLs this round per URL scheduled, permille) — the decay
+    curve an operator watches to decide when a crawl has converged or a
+    compaction/expiration policy should kick in. Dimension-sized by
+    construction (#rounds), so building it driver-side is the right
+    shape; schema is stable across engine versions (absent counters
+    surface as NULL, never KeyError)."""
+    latest = store.latest_round()
+    rows = []
+    for rnd in range(0, (latest or 0) + 1):
+        try:
+            m = dict(store.manifest(rnd).get("metrics", {}))
+        except FileNotFoundError:
+            continue  # expired round: manifest retained normally, but be lenient
+        sched = m.get("n_scheduled")
+        new = m.get("n_discovered_new")
+        rows.append(
+            (
+                rnd,
+                m.get("n_seeded"),
+                sched,
+                m.get("n_blocked"),
+                new,
+                m.get("n_frontier_pending"),
+                m.get("n_seen"),
+                (new * 1000 // sched)
+                if (new is not None and sched)
+                else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "round long, n_seeded long, n_scheduled long, n_blocked long, "
+        "n_discovered_new long, n_frontier_pending long, n_seen long, "
+        "discovery_permille long",
+    )

@@ -739,3 +739,25 @@ def test_run_round_fetcher_sharding(spark, tmp_path):
         assert r.fetcher == fetcher_of(r.host)
     assert all(len(s) == 1 for s in per_host.values())
     assert 0 < m["fetcher_max_load_permille"] <= 1000
+
+
+def test_round_trajectory_matches_manifests(spark, store):
+    """Trajectory rows come straight from the committed manifests; the
+    discovery ratio is the integer permille of new/scheduled."""
+    from cc_crawl_statistics_spark.frontier.state import round_trajectory
+
+    for _ in range(3):
+        scheduler.run_round(spark, store, SF_SMOKE)
+    rows = {r.round: r for r in round_trajectory(spark, store).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert rows[0].n_seeded == rows[0].n_seen > 0
+    for rnd in (1, 2, 3):
+        m = store.manifest(rnd)["metrics"]
+        r = rows[rnd]
+        assert r.n_scheduled == m["n_scheduled"]
+        assert r.n_discovered_new == m["n_discovered_new"]
+        assert r.n_seen == m["n_seen"]
+        assert r.n_frontier_pending == m["n_frontier_pending"]
+        assert r.discovery_permille == (
+            m["n_discovered_new"] * 1000 // m["n_scheduled"]
+        )
