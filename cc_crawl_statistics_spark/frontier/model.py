@@ -36,6 +36,20 @@ def synth_url(doc_id: int) -> dict:
     }
 
 
+def path_allowed(site_id: int, path: str) -> bool:
+    """Closed form of the per-path robots decision for the legacy synth
+    bodies (robots.synth_robots, epoch=None), for the selected group of
+    each host class — must mirror robots.robots_rules + robots_decision:
+    site%3==0 → CCBot group (Disallow /page/, Allow /page/1);
+    site%3==2 → ccbot wildcard group (Disallow /*9.html$);
+    otherwise → base group (only /private/ disallowed)."""
+    if site_id % 3 == 0:
+        return path.startswith("/page/1")
+    if site_id % 3 == 2:
+        return not path.endswith("9.html")
+    return not path.startswith("/private/")
+
+
 def ledger_for(site_id: int) -> tuple[int, int]:
     """(robots_status, max_per_round) — must mirror scheduler.host_ledger.
     Blocked hosts (robots fetch 403) keep the default budget of 1: their
@@ -63,6 +77,10 @@ class ModelState:
     # cap every host's per-round budget (mirrors a rewritten host_ledger)
     # — forces queues to linger so aging has something to reorder
     budget_cap: int | None = None
+    # fetch-time per-path robots gate (scheduler.run_round
+    # enforce_robots_paths): budget rows keep their pre-gate rank, denied
+    # rows retire unfetched (allowed=False) and do not expand
+    enforce_paths: bool = False
 
     def __post_init__(self):
         self.uni = {u["url"]: u for u in (synth_url(d) for d in range(self.n_docs))}
@@ -108,6 +126,10 @@ def run_round(st: ModelState) -> list[dict]:
         for rank, (depth, _negaged, url, _, score) in enumerate(
             rows[:budget], 1
         ):
+            u = st.uni[url]
+            allowed = (not st.enforce_paths) or path_allowed(
+                u["site_id"], "/" + url.split("/", 3)[3]
+            )
             schedule.append(
                 {
                     "round": st.rnd,
@@ -116,12 +138,15 @@ def run_round(st: ModelState) -> list[dict]:
                     "depth": depth,
                     "score": score,
                     "rank": rank,
+                    "allowed": allowed,
                 }
             )
             del st.pending[url]
     # link expansion: min depth per child within the round, then seen gate
     child_depth: dict[int, int] = {}
     for row in schedule:
+        if not row["allowed"]:
+            continue  # denied rows are never fetched, so never expand
         d = st.uni[row["url"]]["doc_id"]
         for c in ((d * 2 + 1) % st.n_docs, (d * 3 + 7) % st.n_docs):
             nd = 1 if st.flat_depth else row["depth"] + 1

@@ -520,6 +520,7 @@ def run_round(
     prefilter: str = "bloom",
     age_boost: int = 0,
     n_fetchers: int = 0,
+    enforce_robots_paths: bool = False,
 ) -> dict:
     """Execute the next scheduling round from the latest committed snapshot
     and commit round+1. Returns the round metrics (computed from the
@@ -561,7 +562,22 @@ def run_round(
     ``fetcher`` with politeness intact) and records the fleet's load
     balance (``fetcher_max_load_permille``) in the round metrics.
     Ordering, retirement and every other table are unchanged — the column
-    is additive."""
+    is additive.
+
+    ``enforce_robots_paths=True`` adds the FETCH-TIME per-path robots
+    gate: the budget-bounded schedule is classified against each host's
+    parsed Allow/Disallow rules (frontier/robots.py — longest match,
+    wildcards, $), rows keep their pre-gate rank, and denied rows are
+    persisted with ``allowed = false``: they retire like any scheduled
+    row (never re-examined) but are not fetched, not expanded, and not
+    counted in round statistics — exactly a production fetcher's robots
+    re-check at claim time, and deliberately NOT a frontier-wide
+    classification (which would touch every pending URL every round
+    instead of hosts × budget rows). A host whose top-ranked rows are
+    denied wastes that part of its budget for the round and surfaces its
+    next-ranked URLs the round after — the real fetch-time-check
+    trade-off. Model-parity pinned (model.enforce_paths); default off is
+    bit-identical to prior rounds (schema unchanged)."""
     latest = store.latest_round()
     if latest is None:
         if pages is None:
@@ -708,6 +724,39 @@ def run_round(
         "doc_id",
         *ATTR_COLS,
     )
+    if enforce_robots_paths:
+        from .robots import (
+            parse_robots,
+            parsable_bodies,
+            robots_decision,
+            robots_rules,
+        )
+
+        # the top-K lineage feeds both the decision probe and the final
+        # rows — one materialization (the schedule write), not two
+        sched = sched.localCheckpoint(eager=False)
+        rules = robots_rules(
+            parse_robots(parsable_bodies(synth_robots(ledger.select("host"))))
+        )
+        dec = robots_decision(
+            sched.select(
+                "url",
+                "host",
+                F.regexp_extract(
+                    "url", "^[a-z]+://[^/]+(/.*)$", 1
+                ).alias("path"),
+            ),
+            rules,
+            path_col="path",
+        )
+        sched = sched.join(
+            F.broadcast(
+                dec.select(
+                    "url", (F.col("decision") == "allow").alias("allowed")
+                )
+            ),
+            "url",
+        )
     if n_fetchers:
         from .capacity import assign_fetchers
 
@@ -798,6 +847,10 @@ def run_round(
             # needs a full rescan of the 10^10-key seen set
             "n_seen": prev_seen + n_new,
         }
+        if enforce_robots_paths:
+            m["n_robots_denied"] = (
+                read("schedule").filter("NOT allowed").count()
+            )
         if n_fetchers and n_sched:
             per_f = (
                 read("schedule")
@@ -830,7 +883,11 @@ def run_round(
         # small delta); compaction restores range clustering for the base.
         # Derived: its write IS the materialization of the expand +
         # seen-anti-join lineage over the written schedule parquet.
-        "frontier_delta": lambda read: discover_new_urls(read("schedule"))
+        "frontier_delta": lambda read: discover_new_urls(
+            read("schedule").filter("allowed")
+            if enforce_robots_paths
+            else read("schedule")
+        )
         .select(*FRONTIER_COLS)
         .repartition(n_partitions, "surt_key"),
         # hash-partitioned, not range: seen keys are uniform 64-bit hashes,
@@ -846,11 +903,20 @@ def run_round(
         # from the universe scan, so the 7 aggregation branches run over
         # budget-bounded parquet — no corpus rescan per round.
         "round_stats": lambda read: round_statistics(
-            read("schedule").select("url", "host", *ATTR_COLS)
+            (
+                read("schedule").filter("allowed")
+                if enforce_robots_paths
+                else read("schedule")
+            ).select("url", "host", *ATTR_COLS)
         ),
     }
     if docs is not None:
-        tables["fetched"] = lambda read: fetch_extract(read("schedule"), docs)
+        tables["fetched"] = lambda read: fetch_extract(
+            read("schedule").filter("allowed")
+            if enforce_robots_paths
+            else read("schedule"),
+            docs,
+        )
     out = _timed(
         "commit", lambda: store.commit(rnd, tables, metrics_from_snapshot)
     )

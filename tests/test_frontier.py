@@ -761,3 +761,40 @@ def test_round_trajectory_matches_manifests(spark, store):
         assert r.discovery_permille == (
             m["n_discovered_new"] * 1000 // m["n_scheduled"]
         )
+
+
+def test_enforce_robots_paths_bit_for_bit(spark, store):
+    """Fetch-time per-path robots gate: three rounds Spark == model with
+    enforce_paths — allowed rows, denied rows (with pre-gate ranks), the
+    n_robots_denied metric, and the expansion-from-allowed-only frontier
+    all line up; denied rows never reappear in later schedules."""
+    st = model.seed(N_DOCS)
+    st.enforce_paths = True
+    seen_urls: set[str] = set()
+    for rnd in range(1, 4):
+        metrics = scheduler.run_round(
+            spark, store, SF_SMOKE, enforce_robots_paths=True
+        )
+        msched = model.run_round(st)
+        tbl = store.read(spark, rnd, "schedule").toPandas()
+        got = sorted(
+            map(
+                tuple,
+                tbl[
+                    ["round", "url", "host", "depth", "score", "rank",
+                     "allowed"]
+                ].itertuples(index=False, name=None),
+            )
+        )
+        exp = sorted(
+            (x["round"], x["url"], x["host"], x["depth"], x["score"],
+             x["rank"], x["allowed"])
+            for x in msched
+        )
+        assert got == exp
+        n_denied = sum(1 for x in msched if not x["allowed"])
+        assert metrics["n_robots_denied"] == n_denied
+        assert n_denied > 0  # the gate actually fires on this fixture
+        dup = seen_urls & set(tbl.url)
+        assert not dup  # retirement covers denied rows too
+        seen_urls |= set(tbl.url)

@@ -40,6 +40,11 @@ def main() -> None:
         "balance metric (0 = off)",
     )
     ap.add_argument(
+        "--enforce-robots-paths", action="store_true",
+        help="fetch-time per-path robots gate: denied schedule rows are "
+        "persisted allowed=false, retired unfetched, never expanded",
+    )
+    ap.add_argument(
         "--expire", action="store_true",
         help="after each round, drop state tables unreachable past the "
         "newest compaction bases (SnapshotStore.expire_rounds — the "
@@ -70,6 +75,7 @@ def main() -> None:
             docs=docs,
             age_boost=args.age_boost,
             n_fetchers=args.n_fetchers,
+            enforce_robots_paths=args.enforce_robots_paths,
         )
         if args.expire:
             removed = store.expire_rounds(metrics["round"])
