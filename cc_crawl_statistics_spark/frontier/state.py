@@ -100,9 +100,14 @@ class SnapshotStore:
         return best
 
     def read(self, spark: SparkSession, rnd: int, table: str) -> DataFrame:
-        return self._read_parquet(
-            spark, table, os.path.join(self._round_dir(rnd), table)
-        )
+        # no kind-schema cache for single-dir reads: one bounded dir infers
+        # cheaply, and a table's schema may legitimately widen between
+        # rounds (schedule gains allowed/fetcher when enforcement/sharding
+        # is enabled mid-store) — a cached narrower schema would silently
+        # hide the new columns. The cache serves the MULTI-path readers
+        # (read_frontier / read_seen_deltas), which project only columns
+        # present in every round.
+        return spark.read.parquet(os.path.join(self._round_dir(rnd), table))
 
     def seen_base_round(self, upto_rnd: int) -> int | None:
         """Highest round ≤ upto_rnd holding a compacted url_seen_base."""
@@ -504,9 +509,16 @@ class SnapshotStore:
                 def _read(name):
                     if name not in written:
                         raise _NotYetWritten(name)
-                    return self._read_parquet(
-                        spark, name, os.path.join(rdir, name)
-                    )
+                    # NO kind-schema cache here: a round may legitimately
+                    # widen a table's schema mid-store-life (e.g. turning
+                    # on fetcher sharding or per-path robots enforcement
+                    # adds schedule columns), and binding the cached
+                    # NARROWER schema would silently drop the new columns
+                    # from this round's derived tables. Inference over one
+                    # just-written bounded dir is cheap; historical
+                    # multi-path readers (read_frontier retire lists) keep
+                    # the cache — they project only always-present columns.
+                    return spark.read.parquet(os.path.join(rdir, name))
 
                 remaining = dict(derived)
                 while remaining:
@@ -539,10 +551,10 @@ class SnapshotStore:
 
             spark = SparkSession.getActiveSession()
             t0 = _time.time()
+            # same no-cache rule as the derived-table reads above: this
+            # round's tables may be wider than the cached kind schema
             metrics = metrics(
-                lambda name: self._read_parquet(
-                    spark, name, os.path.join(rdir, name)
-                )
+                lambda name: spark.read.parquet(os.path.join(rdir, name))
             )
             self.last_commit_timings["metrics"] = round(_time.time() - t0, 3)
         tmp = os.path.join(rdir, MANIFEST + ".tmp")

@@ -798,3 +798,18 @@ def test_enforce_robots_paths_bit_for_bit(spark, store):
         dup = seen_urls & set(tbl.url)
         assert not dup  # retirement covers denied rows too
         seen_urls |= set(tbl.url)
+
+
+def test_mid_store_flag_enable_widens_schedule_schema(spark, store):
+    """Turning enforcement/sharding ON for a store whose earlier rounds
+    wrote the narrow schedule schema must not bind the cached narrow
+    schema to the new round's tables (regression: the commit-internal
+    and metrics reads dropped the new columns)."""
+    scheduler.run_round(spark, store, SF_SMOKE)
+    m2 = scheduler.run_round(
+        spark, store, SF_SMOKE, enforce_robots_paths=True, n_fetchers=4
+    )
+    assert m2["n_robots_denied"] > 0
+    assert 0 < m2["fetcher_max_load_permille"] <= 1000
+    cols = set(store.read(spark, 2, "schedule").columns)
+    assert {"allowed", "fetcher"} <= cols

@@ -141,10 +141,14 @@ def main(spark=None, sf: str = DEFAULT_SF) -> None:
             spark, store, 1, pages, 0, 1
         )
         assert n_reopened > 0
-        m2 = scheduler.run_round(spark, store, sf, n_fetchers=4)
+        m2 = scheduler.run_round(
+            spark, store, sf, n_fetchers=4, enforce_robots_paths=True
+        )
         print(
             f"[8] robots drift re-opened {n_reopened} newly-allowed URLs; "
-            f"round 2 scheduled {m2['n_scheduled']}"
+            f"round 2 scheduled {m2['n_scheduled']} "
+            f"({m2['n_robots_denied']} denied at fetch time by per-path "
+            f"rules)"
         )
 
         print("END-TO-END OK")
