@@ -62,6 +62,72 @@ def page_outlinks(pages: DataFrame) -> DataFrame:
     )
 
 
+def page_outlinks_rel(pages: DataFrame,
+                      honor_nofollow: bool = True) -> DataFrame:
+    """Distinct (url, outlink) edges like page_outlinks, but parsed
+    through the rel-aware anchor extractor (functions/rep.py
+    parse_outlinks_rel_col) and — by default — honoring BOTH nofollow
+    tiers a polite crawler must respect: the page-level
+    ``<meta name="robots" content="nofollow">`` directive (drops every
+    outlink of the page) and per-anchor ``rel="nofollow"``.
+
+    Same scale shape as page_outlinks: the one stage that decodes the
+    html blob computes hrefs + the two boolean tiers in codegen; the
+    explode and the distinct shuffle carry only slim strings. The
+    nofollow filters run BEFORE the explode (array filter) so suppressed
+    anchors never fan out."""
+    from ..functions.rep import (
+        parse_meta_robots_col,
+        parse_outlinks_rel_col,
+        robots_nofollow_col,
+    )
+
+    anchors = parse_outlinks_rel_col(F.col("html"))
+    if honor_nofollow:
+        anchors = F.when(
+            robots_nofollow_col(parse_meta_robots_col(F.col("html"))),
+            F.array().cast(anchors_type()),
+        ).otherwise(F.filter(anchors, lambda a: ~a["nofollow"]))
+    base = pages.select(
+        "url",
+        scheme_of(F.col("url")).alias("_scheme"),
+        host_of(F.col("url")).alias("_host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("_path"),
+        F.explode(anchors).alias("_a"),
+    )
+    return (
+        base.select(
+            "url",
+            resolve_href_col(
+                F.col("_scheme"), F.col("_host"), F.col("_path"),
+                F.col("_a")["href"],
+            ).alias("outlink"),
+        )
+        .filter(F.col("outlink").isNotNull())
+        .distinct()
+    )
+
+
+def anchors_type():
+    """Element type of parse_outlinks_rel_col, for empty-array literals."""
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return ArrayType(
+        StructType(
+            [
+                StructField("href", StringType()),
+                StructField("nofollow", BooleanType()),
+            ]
+        )
+    )
+
+
 def host_link_graph(outlinks: DataFrame,
                     keep_self_loops: bool = True) -> DataFrame:
     """(src_host, dst_host, n_links) — the host-level web graph, the unit

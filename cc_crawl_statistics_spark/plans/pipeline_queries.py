@@ -31,9 +31,13 @@ from ..synth import (
     CORPUS_SQL,
     EMB_CORPUS_SQL_DUCK,
     EMB_CORPUS_SQL_SPARK,
+    REP_NOFOLLOW_SQL,
+    REP_NOINDEX_SQL,
     child_host_sql,
     child_url_sql,
     oracle_cte,
+    rep_anchor_nofollow_sql,
+    rep_canonical_sql,
 )
 
 
@@ -942,6 +946,45 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_meta_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """REP meta-robots census (operators/rep_gate.meta_robots_stats):
+    Spark parses <meta name="robots"> out of the html BYTES and reduces
+    the directive token list (incl. the 'none' alias and no-op
+    'index, follow'/'all' lists) to (noindex, nofollow) flags in codegen;
+    the DuckDB oracle recomputes the flags arithmetically from the
+    fixture's directive formula (synth.rep_meta_robots_sql) without
+    seeing the html — a hash match proves the whole parse + token
+    semantics chain."""
+    from ..operators.rep_gate import meta_robots_stats
+    from ..sources.cc_pages import cc_pages_rep_df
+
+    return meta_robots_stats(cc_pages_rep_df(spark, sf))
+
+
+def q_nofollow_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Host link graph honoring both nofollow tiers (page-level meta
+    directive + per-anchor rel="nofollow") — the edge set a polite
+    crawler's discovery actually follows. Oracle: the linked-fixture
+    child formula with the two arithmetic nofollow rules applied
+    (synth.rep_anchor_nofollow_sql / REP_NOFOLLOW_SQL)."""
+    from ..operators.linkgraph import host_link_graph, page_outlinks_rel
+    from ..sources.cc_pages import cc_pages_rep_df
+
+    return host_link_graph(page_outlinks_rel(cc_pages_rep_df(spark, sf)))
+
+
+def q_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """rel=canonical dedup groups (operators/rep_gate.canonical_groups):
+    Spark parses <link rel="canonical"> from the html bytes, resolves it
+    like any href, and aggregates captures onto their canonical credit
+    line. Oracle: the fixture's canonical-group formula
+    (synth.rep_canonical_sql) recomputed arithmetically."""
+    from ..operators.rep_gate import canonical_groups
+    from ..sources.cc_pages import cc_pages_rep_df
+
+    return canonical_groups(cc_pages_rep_df(spark, sf))
+
+
 def q_concurrent_sessions(spark: SparkSession, sf: str) -> DataFrame:
     """Range-join class: sessions (from the same 30-min-gap sessionize
     CTE as events_sessionize) containment-joined to 24 probe instants
@@ -1540,6 +1583,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlinks": q_outlinks,
     "host_link_graph": q_host_link_graph,
     "host_components": q_host_components,
+    "meta_robots": q_meta_robots,
+    "nofollow_graph": q_nofollow_graph,
+    "canonical_dedup": q_canonical_dedup,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -1599,6 +1645,67 @@ egrp AS (
   FROM edges GROUP BY src_host, dst_host
 )
 """
+
+# rel-aware link CTE: the linked fixture's child formula with BOTH
+# arithmetic nofollow rules applied — page-level meta nofollow drops the
+# whole base row, per-anchor rel=nofollow drops its UNION branch.
+_REP_EDGES_CTE = f"""
+, nd AS (SELECT COUNT(*) AS n FROM documents),
+base AS (SELECT DISTINCT doc_id, url, scheme, host FROM pages
+         WHERE NOT {REP_NOFOLLOW_SQL}),
+links AS (
+  SELECT url, {child_url_sql('(doc_id*2+1) % n')} AS outlink FROM base, nd
+  WHERE NOT {rep_anchor_nofollow_sql('doc_id', 0)}
+  UNION ALL
+  SELECT url, {child_url_sql('(doc_id*3+7) % n')} AS outlink FROM base, nd
+  WHERE NOT {rep_anchor_nofollow_sql('doc_id', 1)}
+  UNION ALL
+  SELECT url, scheme || '://' || host || '/page/' ||
+         CAST((doc_id*5+3) % n AS STRING) || '.html' AS outlink
+  FROM base, nd WHERE NOT {rep_anchor_nofollow_sql('doc_id', 2)}
+),
+dlinks AS (SELECT DISTINCT url, outlink FROM links),
+edges AS (
+  SELECT split_part(split_part(url, '://', 2), '/', 1) AS src_host,
+         split_part(split_part(outlink, '://', 2), '/', 1) AS dst_host
+  FROM dlinks
+),
+egrp AS (
+  SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+  FROM edges GROUP BY src_host, dst_host
+)
+"""
+
+_REP_ORACLES: dict[str, str] = {
+    "meta_robots": oracle_cte(
+        f"""
+, flags AS (
+  SELECT url, {REP_NOINDEX_SQL} AS noindex, {REP_NOFOLLOW_SQL} AS nofollow
+  FROM pages
+)
+SELECT noindex, nofollow, CAST(COUNT(*) AS BIGINT) AS pages,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS urls
+FROM flags GROUP BY noindex, nofollow ORDER BY noindex, nofollow
+"""
+    ),
+    "nofollow_graph": oracle_cte(
+        _REP_EDGES_CTE
+        + "SELECT src_host, dst_host, n_links FROM egrp "
+        "ORDER BY src_host, dst_host"
+    ),
+    "canonical_dedup": oracle_cte(
+        f"""
+, base AS (SELECT DISTINCT doc_id, url FROM pages),
+c AS (SELECT url, {rep_canonical_sql('doc_id')} AS canonical FROM base),
+d AS (SELECT DISTINCT canonical AS canonical_url, url FROM c
+      WHERE canonical IS NOT NULL)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(CASE WHEN url <> canonical_url THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup
+FROM d GROUP BY canonical_url ORDER BY canonical_url
+"""
+    ),
+}
 
 _LINK_PLOG_BIN = (
     "CAST((CASE WHEN CAST(FLOOR(v / p10) AS BIGINT) >= 5 THEN 5 "
@@ -3530,6 +3637,7 @@ ORDER BY l.host
 }
 
 PIPELINE_ORACLES.update(_LINKGRAPH_ORACLES)
+PIPELINE_ORACLES.update(_REP_ORACLES)
 
 def _url_filters_oracle() -> str:
     from ..frontier.urlfilter import oracle_verdict_sql

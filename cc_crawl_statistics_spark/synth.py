@@ -216,6 +216,51 @@ def child_host_sql(c: str) -> str:
 # embeds them as anchors; frontier/scheduler.expand_links uses children
 # 1-2 as its discovery model): two absolute cross-host links and one
 # root-relative same-host link
+def rep_meta_robots_sql(d: str = "doc_id") -> str:
+    """Dialect-neutral meta-robots directive content for doc ``d`` — the
+    REP fixture's source of truth (functions/rep.py). Covers every
+    directive class: plain noindex/nofollow, the combined list, the
+    'none' alias, the no-op 'index, follow'/'all' lists, and tag-absent
+    (NULL). Shared verbatim by cc_pages_rep_df (which embeds it into the
+    html bytes) and the DuckDB oracles (which recompute it without ever
+    seeing the html)."""
+    return (
+        f"CASE WHEN ({d}) % 7 = 0 THEN 'noindex' "
+        f"WHEN ({d}) % 7 = 1 THEN 'nofollow' "
+        f"WHEN ({d}) % 7 = 2 THEN 'noindex, nofollow' "
+        f"WHEN ({d}) % 7 = 3 THEN 'none' "
+        f"WHEN ({d}) % 7 = 4 THEN 'index, follow' "
+        f"WHEN ({d}) % 7 = 5 THEN 'all' "
+        f"ELSE CAST(NULL AS STRING) END"
+    )
+
+
+# oracle-side boolean reductions of rep_meta_robots_sql's seven classes
+REP_NOINDEX_SQL = "(doc_id % 7 = 0 OR doc_id % 7 = 2 OR doc_id % 7 = 3)"
+REP_NOFOLLOW_SQL = "(doc_id % 7 = 1 OR doc_id % 7 = 2 OR doc_id % 7 = 3)"
+
+
+def rep_canonical_sql(d: str = "doc_id") -> str:
+    """Dialect-neutral rel=canonical href for doc ``d``: docs come in
+    groups of 4 consecutive ids whose canonical member is the group
+    floor (id - id%4); every third doc omits the tag (NULL) so absence
+    is exercised too. The href is the canonical member's own page URL
+    (child_url_sql), so canonical-aware dedup groups resolve to real
+    captures."""
+    target = child_url_sql(f"({d}) - (({d}) % 4)")
+    return (
+        f"CASE WHEN ({d}) % 3 = 2 THEN CAST(NULL AS STRING) "
+        f"ELSE {target} END"
+    )
+
+
+def rep_anchor_nofollow_sql(d: str, i: int) -> str:
+    """Per-anchor rel=nofollow flag for anchor ``i`` of doc ``d`` (the
+    fixture emits three anchors per page, same children as the linked
+    flavor)."""
+    return f"((({d}) + {i}) % 3 = 0)"
+
+
 def outlink_child_ids_sql(n_docs: int) -> tuple[str, str, str]:
     return (
         f"(doc_id * 2 + 1) % {n_docs}",
