@@ -168,6 +168,99 @@ def round_makespan(
     )
 
 
+def maxmin_fair_allocation(
+    demands: DataFrame,
+    budget: int,
+    partition_col: str | None = "fetcher",
+    demand_col: str = "demand",
+    key_col: str = "host",
+) -> DataFrame:
+    """Exact integer max-min fair (water-filling) split of a per-shard
+    fetch ``budget`` across competing hosts: every demand below the water
+    level is fully satisfied, the rest share the remainder equally, and
+    the integer remainder goes one-each to the first hosts in
+    deterministic (demand, key) order — so Σalloc == min(budget, Σdemand)
+    per shard, exactly. This is the allocation a round planner applies
+    between the priority queue (which orders WITHIN a host) and the
+    fetcher fleet (whose shard is the capacity unit): no host can starve
+    the shard, and slack from small hosts redistributes to big ones.
+
+    Closed form, no iteration: with demands ascending (d_1..d_k, prefix
+    sums S_i), a prefix row i is fully satisfiable iff
+    ``S_i + d_i*(k-i) <= B`` (give 1..i their demand and everyone later
+    at least d_i) — the predicate is monotone, so the satisfied prefix is
+    ``j = Σ[full_i]``, the water remainder ``R = B - S_j`` splits over
+    the ``m = k-j`` capped hosts as ``R div m`` (+1 for the first
+    ``R mod m``). All window functions over ``partition_col`` — the shard
+    keeps host cardinality bounded (|hosts|/n_fetchers), and shards
+    compute in parallel; pass ``partition_col=None`` only for bounded
+    dimensions (the global window is a single task).
+
+    Adds ``alloc``; preserves input columns. Returns one row per input
+    row, ordered by (shard, demand desc, key) — biggest allocations
+    first, ties broken deterministically."""
+    from pyspark.sql import Window
+
+    part = [partition_col] if partition_col else []
+    w_ord = Window.partitionBy(*part).orderBy(demand_col, key_col)
+    w_all = (
+        Window.partitionBy(*part)
+        .orderBy(demand_col, key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    d = F.col(demand_col).cast("long")
+    i = F.row_number().over(w_ord)
+    s_i = F.sum(d).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    k = F.count("*").over(w_all)
+    with_pred = demands.withColumns(
+        {
+            "_i": i,
+            "_full": (s_i + d * (k - i)) <= F.lit(budget),
+            "_s_i": s_i,
+        }
+    )
+    j = F.sum(F.col("_full").cast("long")).over(w_all)
+    s_j = F.coalesce(
+        F.max(F.when(F.col("_full"), F.col("_s_i"))).over(w_all), F.lit(0)
+    )
+    m = F.greatest(F.count("*").over(w_all) - j, F.lit(1))
+    r = F.lit(budget) - s_j
+    base = F.floor(r / m)
+    extra = (F.col("_i") - j) <= (r % m)
+    alloc = F.when(F.col("_full"), d).otherwise(
+        F.least(d, base + F.when(extra, 1).otherwise(0))
+    )
+    order = part + [F.col(demand_col).desc(), key_col]
+    return (
+        with_pred.withColumn("alloc", alloc.cast("long"))
+        .drop("_i", "_full", "_s_i")
+        .orderBy(*order)
+    )
+
+
+def fair_budget_allocation(
+    schedule_hosts: DataFrame,
+    budget_per_fetcher: int,
+    n_fetchers: int = 4,
+    vnodes: int = 16,
+) -> DataFrame:
+    """Round budget planner: per-host demands → consistent-hash fetcher
+    shard (assign_fetchers) → exact max-min fair allocation of each
+    shard's fetch budget. Input: (host, demand) rows; output adds
+    (fetcher, alloc)."""
+    asg = assign_fetchers(schedule_hosts, n_fetchers, vnodes)
+    return maxmin_fair_allocation(
+        asg, budget_per_fetcher, partition_col="fetcher"
+    ).select(
+        F.col("fetcher").cast("long").alias("fetcher"),
+        "host",
+        F.col("demand").cast("long").alias("demand"),
+        "alloc",
+    )
+
+
 def schedule_fairness(
     schedule: DataFrame, n_fetchers: int = 4, vnodes: int = 16
 ) -> DataFrame:

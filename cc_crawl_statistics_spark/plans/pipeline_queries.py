@@ -467,6 +467,26 @@ def q_fetcher_assignment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_fair_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer max-min fair (water-filling) split of each fetcher
+    shard's round budget across its hosts
+    (frontier/capacity.maxmin_fair_allocation — closed-form, no
+    iteration: monotone prefix-feasibility predicate + equal split of
+    the water remainder with deterministic one-each distribution of the
+    integer remainder). The oracle replays the consistent-hash ring AND
+    the window-function closed form in DuckDB, so Σalloc ==
+    min(budget, Σdemand) per shard is enforced bit-exactly across
+    engines."""
+    from ..frontier.capacity import fair_budget_allocation
+
+    demands = (
+        pages_df(spark, sf)
+        .groupBy("host")
+        .agg(F.countDistinct("url").alias("demand"))
+    )
+    return fair_budget_allocation(demands, budget_per_fetcher=1000)
+
+
 def q_round_makespan(spark: SparkSession, sf: str) -> DataFrame:
     """Round capacity estimate: per-fetcher busy time under the
     single-connection politeness model (host chain = scheduled URLs ×
@@ -1574,6 +1594,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schedule_politeness": q_schedule_politeness,
     "schedule_domain_politeness": q_schedule_domain_politeness,
     "fetcher_assignment": q_fetcher_assignment,
+    "fair_budget": q_fair_budget,
     "round_makespan": q_round_makespan,
     "schedule_fairness": q_schedule_fairness,
     "leakage_split": q_leakage_split,
@@ -3796,6 +3817,51 @@ SELECT CAST(fetcher AS BIGINT) AS fetcher,
        CAST(n_urls AS BIGINT) AS n_urls,
        CAST(floor(n_urls * 1000 / t) AS BIGINT) AS load_permille
 FROM perf CROSS JOIN tot ORDER BY fetcher
+"""
+)
+
+# max-min fair budget: the ring (verbatim) + the closed-form water-fill
+# replayed with DuckDB window functions. budget per shard = 1000.
+PIPELINE_ORACLES["fair_budget"] = oracle_cte(
+    f"""
+, schedrows AS (SELECT DISTINCT host, url FROM pages),
+{_RING_SQL.strip()},
+demands AS (
+  SELECT host, CAST(COUNT(DISTINCT url) AS BIGINT) AS demand
+  FROM schedrows GROUP BY host
+),
+dd AS (
+  SELECT d.host, d.demand, a.fetcher
+  FROM demands d JOIN asg a ON d.host = a.host
+),
+st AS (
+  SELECT host, demand, fetcher,
+         row_number() OVER (PARTITION BY fetcher
+                            ORDER BY demand, host) AS i,
+         SUM(demand) OVER (PARTITION BY fetcher ORDER BY demand, host
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS s_i,
+         COUNT(*) OVER (PARTITION BY fetcher) AS k
+  FROM dd
+),
+fl AS (SELECT *, (s_i + demand * (k - i)) <= 1000 AS fullr FROM st),
+agg AS (
+  SELECT *,
+    SUM(CASE WHEN fullr THEN 1 ELSE 0 END)
+      OVER (PARTITION BY fetcher) AS j,
+    COALESCE(MAX(CASE WHEN fullr THEN s_i END)
+      OVER (PARTITION BY fetcher), 0) AS s_j
+  FROM fl
+)
+SELECT CAST(fetcher AS BIGINT) AS fetcher, host,
+       CAST(demand AS BIGINT) AS demand,
+       CAST(CASE WHEN fullr THEN demand ELSE
+         LEAST(demand,
+               (1000 - s_j) // GREATEST(k - j, 1)
+               + CASE WHEN (i - j) <= (1000 - s_j) % GREATEST(k - j, 1)
+                      THEN 1 ELSE 0 END)
+       END AS BIGINT) AS alloc
+FROM agg ORDER BY fetcher, demand DESC, host
 """
 )
 

@@ -178,3 +178,60 @@ def test_schedule_fairness_hand_computed(spark):
     )
     eq = C.schedule_fairness(equal, 4, 16).first()
     assert eq.jain_host_x1000 == 1000
+
+
+def test_maxmin_fair_hand_computed(spark):
+    # one shard, B=10, demands 1,2,3,9: full prefix j=2 (1+2 satisfied,
+    # then 3*2+3=9<=10-0? predicate: S_i + d_i*(k-i): i=3 -> 6+3*1=9<=10
+    # so j=3, R=10-6=4, m=1, host d=9 gets 4.
+    d = spark.createDataFrame(
+        [("h1", 1), ("h2", 2), ("h3", 3), ("h4", 9)], "host string, demand int"
+    ).withColumn("fetcher", F.lit(0))
+    got = {
+        r["host"]: r["alloc"]
+        for r in C.maxmin_fair_allocation(d, 10).collect()
+    }
+    assert got == {"h1": 1, "h2": 2, "h3": 3, "h4": 4}
+    # oversubscribed equal split with remainder: B=10 over demands 4,4,4
+    # -> base 3, first (by host order) gets the +1
+    e = spark.createDataFrame(
+        [("a", 4), ("b", 4), ("c", 4)], "host string, demand int"
+    ).withColumn("fetcher", F.lit(0))
+    got = {
+        r["host"]: r["alloc"]
+        for r in C.maxmin_fair_allocation(e, 10).collect()
+    }
+    assert got == {"a": 4, "b": 3, "c": 3}
+    # undersubscribed: everyone satisfied
+    got = {
+        r["host"]: r["alloc"]
+        for r in C.maxmin_fair_allocation(e, 100).collect()
+    }
+    assert got == {"a": 4, "b": 4, "c": 4}
+
+
+def test_maxmin_fair_invariants_per_shard(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"host{i}.example", rng.randint(1, 40), i % 3) for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, "host string, demand int, fetcher int")
+    out = C.maxmin_fair_allocation(d, 200).collect()
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r["fetcher"], []).append(r)
+    assert len(out) == 60
+    for shard, rs in by_shard.items():
+        total_d = sum(r["demand"] for r in rs)
+        total_a = sum(r["alloc"] for r in rs)
+        assert total_a == min(200, total_d), shard
+        assert all(0 <= r["alloc"] <= r["demand"] for r in rs)
+        # water-level property: every capped host sits within 1 unit of
+        # every other capped host, and above every fully-served demand
+        capped = [r["alloc"] for r in rs if r["alloc"] < r["demand"]]
+        served = [r["demand"] for r in rs if r["alloc"] == r["demand"]]
+        if capped:
+            assert max(capped) - min(capped) <= 1
+            assert not served or max(served) <= max(capped) + 1
