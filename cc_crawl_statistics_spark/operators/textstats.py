@@ -625,6 +625,88 @@ def bpe_merges(
     )
 
 
+# default separator for bpe_apply_col: U+001F (unit separator) — a control
+# byte that never occurs in crawl-extracted text (the WET extraction chain
+# collapses whitespace/control runs; functions/extract.py)
+BPE_SEP = "\x1f"
+
+
+def bpe_apply_col(word: F.Column, merges: list[tuple[str, str]],
+                  sep: str = BPE_SEP) -> F.Column:
+    """array<string> of BPE tokens for a word column, applying ``merges``
+    in rank order — all codegen, no Python, no iteration state.
+
+    The trick that makes greedy BPE application a plain expression chain:
+    represent the symbol sequence PREFIX-separated (``\\x1fw\\x1fo\\x1fr``…,
+    one regexp_replace), then merge rank k is exactly
+    ``replace(s, sep+l+sep+r, sep+l+r)`` — SQL replace scans left to
+    right and resumes after each non-overlapping match, which IS the BPE
+    greedy rule ('aaa' under (a,a) merges positions 0-1 only), and the
+    prefix separator blocks false matches across symbol boundaries
+    ('xa'+'b' never matches merge (a,b) because 'a' is not
+    separator-preceded). Identical semantics are expressible verbatim in
+    DuckDB (chr(31) + replace), giving the registry query an EXACT
+    full-token-sequence oracle — and tests pin equivalence against the
+    independent fold-based applier inside bpe_merges.
+
+    K merges = K nested replace calls in one projection; fine into the
+    thousands of merges of a practical tokenizer (expression depth, not
+    plan depth). The separator must not occur in the text (true for
+    extracted webtext; see BPE_SEP)."""
+    s = F.regexp_replace(word, "(.)", sep + "$1")
+    for left, right in merges:
+        s = F.replace(
+            s, F.lit(sep + left + sep + right), F.lit(sep + left + right)
+        )
+    return F.filter(
+        F.split(s, sep), lambda t: t != F.lit("")
+    )
+
+
+def bpe_token_frequencies(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    top_k: int = 30,
+) -> DataFrame:
+    """Corpus token-frequency table under a learned/pinned merge list —
+    the tokenizer-evaluation readout (what fraction of the stream the
+    merged symbols cover). Encodes the Zipf-compressed (word, freq)
+    table, not the corpus: one corpus-sized shuffle total, then the
+    replace-chain projection and a bounded (token) aggregation. Returns
+    the top ``top_k`` (token, freq), deterministic tie-break."""
+    wf = word_frequency_table(docs, text_col)
+    toks = wf.select(
+        F.explode(bpe_apply_col(F.col("word"), merges)).alias("token"),
+        "freq",
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.sum("freq").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_k)
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-grain encode: adds ``tokens`` (array<string>) — the shape
+    sequence-packing consumes (operators/sampling.pack_sequences counts
+    these instead of whitespace words when a tokenizer is pinned). The
+    per-word replace chain runs inside a higher-order transform over the
+    word array: still zero Python."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+    return docs.withColumn(
+        "tokens",
+        F.flatten(F.transform(words, lambda w: bpe_apply_col(w, merges))),
+    )
+
+
 # ---------------------------------------------------------------------------
 # In-engine Naive Bayes text classifier (train + infer as pure aggregations)
 # ---------------------------------------------------------------------------

@@ -266,6 +266,48 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return TX.bpe_merges(corpus_df(spark, sf), n_merges=10)
 
 
+# pinned merge ranks for the ENCODE query (in production this list is
+# bpe_merges' output; pinned here so the DuckDB oracle can replay the
+# identical replace chain — learning itself is the rows-only query above)
+_BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE APPLICATION as a pure codegen replace chain
+    (textstats.bpe_apply_col: prefix-separator representation makes SQL
+    replace's scan-and-resume semantics exactly the BPE greedy rule) —
+    corpus token frequencies under the pinned merge list. The oracle
+    replays the identical chain with DuckDB chr(31)/replace, so the full
+    token stream (boundaries included) is engine-exact."""
+    return TX.bpe_token_frequencies(
+        load_table(spark, sf, "documents"), _BPE_FIXED_MERGES
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    e = r"regexp_replace(word, '(.)', chr(31) || '\1', 'g')"
+    for left, right in _BPE_FIXED_MERGES:
+        e = (
+            f"replace({e}, chr(31)||'{left}'||chr(31)||'{right}', "
+            f"chr(31)||'{left}{right}')"
+        )
+    return f"""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+enc AS (SELECT {e} AS e, freq FROM words),
+toks AS (SELECT unnest(string_split(e, chr(31))) AS token, freq FROM enc)
+SELECT token, CAST(SUM(freq) AS BIGINT) AS freq FROM toks
+WHERE token <> ''
+GROUP BY token ORDER BY freq DESC, token LIMIT 30
+"""
+
+
 def q_nb_weights(spark: SparkSession, sf: str) -> DataFrame:
     """In-engine Naive Bayes training: the dense integer fixed-point
     weight matrix (textstats.nb_train) learned from the declared language
@@ -1573,6 +1615,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_scores": q_quality_scores,
     "vocabulary": q_vocabulary,
     "bpe_merges": q_bpe_merges,
+    "bpe_encode": q_bpe_encode,
     "length_percentiles": q_length_percentiles,
     "length_percentiles_approx": q_length_percentiles_approx,
     "cms_host_freq": q_cms_host_freq,
@@ -3819,6 +3862,8 @@ SELECT CAST(fetcher AS BIGINT) AS fetcher,
 FROM perf CROSS JOIN tot ORDER BY fetcher
 """
 )
+
+PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
 
 # max-min fair budget: the ring (verbatim) + the closed-form water-fill
 # replayed with DuckDB window functions. budget per shard = 1000.

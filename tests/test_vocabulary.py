@@ -196,3 +196,62 @@ def test_compression_ratio_semantics(spark):
             got[d].zlib_bytes * 1000 // got[d].raw_bytes
         )
     assert got[0].ratio_permille < got[1].ratio_permille // 4
+
+
+def _model_bpe_apply(word, merges):
+    """Independent greedy applier (same inner loop as _model_bpe's merge
+    step) — the semantics bpe_apply_col's replace chain must match."""
+    syms = list(word)
+    for l, r in merges:
+        out, pend = [], None
+        for s in syms:
+            if pend is None:
+                pend = s
+            elif pend == l and s == r:
+                out.append(l + r)
+                pend = None
+            else:
+                out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        syms = out
+    return syms
+
+
+def test_bpe_apply_replace_chain_matches_greedy_model(spark):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.textstats import bpe_apply_col
+
+    merges = [("a", "a"), ("t", "h"), ("th", "e"), ("a", "b"), ("aa", "aa")]
+    words = [
+        "aaa", "aaaa", "aaaaa", "xab", "ab", "the", "then", "lathe",
+        "banana", "aabaa", "t", "thethe", "aaaaaaaa",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["toks"]
+        for r in df.select(
+            "word", bpe_apply_col(F.col("word"), merges).alias("toks")
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == _model_bpe_apply(w, merges), w
+        assert "".join(got[w]) == w  # tokenization never loses bytes
+
+
+def test_bpe_encode_docs_concat_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.textstats import (
+        bpe_encode_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "  spaced   out  ")],
+        "doc_id int, text string",
+    )
+    out = bpe_encode_docs(docs, [("t", "h"), ("th", "e"), ("a", "n")])
+    for r in out.collect():
+        assert "".join(r["tokens"]) == r["text"].replace(" ", "")
