@@ -2203,22 +2203,29 @@ _PRIORITY = [
     # + languages_floor (languages itself stays oracle-tested in pytest)
     "crawl_size", "host_counts", "domain_counts", "tld_counts",
     "surt_domain_counts", "mimetype", "primary_language",
-    "http_status", "robotstxt_status", "url_fetch_histogram", "top_hosts",
-    # crawl-set / new-items over BOTH reference item types, incl. the
-    # registry-id-scale bitmask fixture (ids 0/63/126)
+    "http_status", "url_fetch_histogram", "top_hosts",
+    # crawl-set / new-items over BOTH reference item types
+    # (url_crawl_set_registry — the same A14 operator at registry-scale
+    # ids, driver-green this round — yields its slot to the REP
+    # meta-robots census and stays oracle-tested in pytest)
     "new_items", "new_digests", "url_crawl_set", "digest_crawl_set",
-    "url_crawl_set_registry",
+    "meta_robots",
     # plot-layer time series (§2.5); trailing_3 yielded its slot to the
     # end-to-end curation verdict in r3; dup_ratio and top_mime_other
     # (driver-green in r2, unchanged since) now yield theirs to the
     # round-3 LM perplexity filter — both stay oracle-tested in pytest
+    # (curate_corpus — same curation family as the in-window
+    # curation_funnel — and dup_spans_exact — dedup class already
+    # represented by four in-window entries — yield their slots to the
+    # REP nofollow-honoring link graph and rel=canonical dedup; both
+    # stay oracle-tested in pytest)
     "crawl_overlap", "domain_coverage",
-    "trailing_6", "curate_corpus",
+    "trailing_6", "nofollow_graph",
     # full frequency-histogram family (A19; host_pages + digest_dup stay
     # oracle-tested in pytest — their slots go to the robots.txt politeness
-    # pipeline and exact substring-span dedup)
+    # pipeline and rel=canonical dedup)
     "domain_pages_histogram", "host_urls_histogram",
-    "robots_decisions", "dup_spans_exact",
+    "robots_decisions", "canonical_dedup",
     # dimension joins (§2.6), incl. the IDN end-to-end row
     "tld_classified", "tld_classified_idn", "tld_continent",
     # stats-phase filters (§2.3) + S7 presentation pivot (§2.1)
@@ -2239,12 +2246,19 @@ _PRIORITY = [
     # their slots to the round's two most distinctive additions: robots
     # policy churn and consistent-hash fetcher sharding; both displaced
     # queries stay oracle-tested in pytest)
+    # (fetcher_assignment yields its slot to fair_budget, whose oracle
+    # replays the SAME consistent-hash ring verbatim and adds the
+    # max-min water-fill on top; curate_corpus's slot above went to the
+    # REP family, and bpe_encode — the codegen replace-chain tokenizer
+    # application with a full-token-stream oracle — takes the slot of
+    # robotstxt_status, the A7 histogram's second flavor, whose routing
+    # semantics stay evidenced by http_status + pytest)
     "dedup_exact", "robots_churn", "ngram_jaccard", "embedding_near_dup",
     "ann_topk",
     "token_stats", "quality_scores", "language_id", "pagerank_priority",
     "events_windowed", "events_sessionize", "dedup_kept",
-    "lm_perplexity", "fetcher_assignment", "curation_funnel",
-    "frontier_schedule",
+    "lm_perplexity", "fair_budget", "curation_funnel",
+    "frontier_schedule", "bpe_encode",
 ]
 
 # Second tier: positions 51+ in registry order. The driver's r1/r2
@@ -2253,6 +2267,11 @@ _PRIORITY = [
 # remaining queries first (one per operator class), not near-duplicates
 # of in-window entries. All oracle-paired except host_hyperball.
 _PRIORITY_NEXT = [
+    "robotstxt_status",     # displaced from the window in r3 (see above)
+    "url_crawl_set_registry",  # displaced in r3: A14 at registry-scale ids
+    "curate_corpus",        # displaced in r3: curation_funnel covers family
+    "dup_spans_exact",      # displaced in r3: spans verifier (CDC = scale path)
+    "fetcher_assignment",   # displaced in r3: fair_budget replays its ring
     "leakage_split",        # domain-grain train/valid/test, leakage invariant
     "round_makespan",       # fleet busy-time / straggler estimate
     "pii_redact",           # ordered placeholder rewrite, full-text hash
