@@ -1008,6 +1008,91 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_opic_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """OPIC adaptive crawl priority (operators/opic.py — Abiteboul 2003,
+    the Nutch scoring model): 3 fetch rounds over the frontier's
+    deterministic link graph with a round-robin fetched set
+    (node % 3 == round % 3), exact integer cash/hist accounting incl.
+    remainder-carrying virtual root. Top-50 by accumulated importance.
+    The DuckDB oracle unrolls the identical recurrence (generated by the
+    same Python loop that can unroll any round count), so any drift in
+    remainder homes, pool redistribution, or fetched-set selection
+    hash-fails."""
+    from ..operators.opic import opic_top
+
+    pages = pages_df(spark, sf)
+    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
+    n_docs = uni.count()
+    ids = uni.select(F.col("doc_id").alias("src"))
+    edges = ids.select(
+        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
+    ).union(ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst")))
+    nodes = uni.select(F.col("doc_id").alias("node"))
+    return opic_top(
+        edges, nodes, n_rounds=3,
+        fetched_sql=lambda r: f"node % 3 = {r % 3}", k=50,
+    )
+
+
+def _opic_oracle(n_rounds: int = 3, k: int = 50) -> str:
+    """Unroll the exact OPIC recurrence as DuckDB CTEs (same structure
+    as the pagerank_priority oracle, plus the carry chain)."""
+    ctes = [
+        ", uni AS (SELECT MIN(doc_id) AS doc_id FROM pages GROUP BY url)",
+        "n AS (SELECT COUNT(*) AS n_docs FROM uni)",
+        "edges AS (\n"
+        "  SELECT doc_id AS src, (2 * doc_id + 1) % n_docs AS dst"
+        " FROM uni, n\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id AS src, (3 * doc_id + 7) % n_docs AS dst"
+        " FROM uni, n)",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges"
+        " GROUP BY src)",
+        "s0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS cash,"
+        " CAST(0 AS BIGINT) AS hist, outdeg"
+        " FROM uni LEFT JOIN outdeg ON doc_id = src)",
+        # carry starts at zero
+        "c0 AS (SELECT CAST(0 AS BIGINT) AS carry)",
+    ]
+    for r in range(n_rounds):
+        f = f"(s{r}.node % 3 = {r % 3})"
+        ctes.append(
+            f"p{r} AS (SELECT COALESCE(SUM(s{r}.cash), 0)"
+            f" + (SELECT carry FROM c{r}) AS pool"
+            f" FROM s{r} WHERE {f} AND s{r}.outdeg IS NULL)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT edges.dst,"
+            f" SUM(s{r}.cash // s{r}.outdeg) AS gain"
+            f" FROM edges JOIN s{r} ON s{r}.node = edges.src"
+            f" WHERE {f} AND s{r}.outdeg IS NOT NULL GROUP BY edges.dst)"
+        )
+        ctes.append(
+            f"s{r + 1} AS (SELECT s{r}.node,\n"
+            f"  CAST(CASE WHEN {f} THEN"
+            f" CASE WHEN s{r}.outdeg IS NOT NULL"
+            f" THEN s{r}.cash % s{r}.outdeg ELSE 0 END"
+            f" ELSE s{r}.cash END"
+            f" + COALESCE(m{r}.gain, 0)"
+            f" + (SELECT pool FROM p{r}) // (SELECT n_docs FROM n)"
+            f" AS BIGINT) AS cash,\n"
+            f"  CAST(s{r}.hist + CASE WHEN {f} THEN s{r}.cash"
+            f" ELSE 0 END AS BIGINT) AS hist, s{r}.outdeg\n"
+            f"  FROM s{r} LEFT JOIN m{r} ON s{r}.node = m{r}.dst)"
+        )
+        ctes.append(
+            f"c{r + 1} AS (SELECT CAST((SELECT pool FROM p{r})"
+            f" % (SELECT n_docs FROM n) AS BIGINT) AS carry)"
+        )
+    body = ",\n".join(ctes) + (
+        f"\nSELECT node, cash AS cash_fp, hist AS hist_fp,"
+        f" CAST(cash + hist AS BIGINT) AS importance_fp"
+        f" FROM s{n_rounds}"
+        f" ORDER BY importance_fp DESC, node LIMIT {k}"
+    )
+    return oracle_cte(body)
+
+
 def q_meta_robots(spark: SparkSession, sf: str) -> DataFrame:
     """REP meta-robots census (operators/rep_gate.meta_robots_stats):
     Spark parses <meta name="robots"> out of the html BYTES and reduces
@@ -1650,6 +1735,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "meta_robots": q_meta_robots,
     "nofollow_graph": q_nofollow_graph,
     "canonical_dedup": q_canonical_dedup,
+    "opic_priority": q_opic_priority,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -3864,6 +3950,7 @@ FROM perf CROSS JOIN tot ORDER BY fetcher
 )
 
 PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
+PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
 
 # max-min fair budget: the ring (verbatim) + the closed-form water-fill
 # replayed with DuckDB window functions. budget per shard = 1000.

@@ -2267,6 +2267,7 @@ _PRIORITY = [
 # remaining queries first (one per operator class), not near-duplicates
 # of in-window entries. All oracle-paired except host_hyperball.
 _PRIORITY_NEXT = [
+    "opic_priority",        # OPIC adaptive priority (Abiteboul 2003), exact
     "robotstxt_status",     # displaced from the window in r3 (see above)
     "url_crawl_set_registry",  # displaced in r3: A14 at registry-scale ids
     "curate_corpus",        # displaced in r3: curation_funnel covers family
