@@ -72,6 +72,73 @@ def recrawl_tiers(pages: DataFrame) -> DataFrame:
     )
 
 
+def revalidation_plan(
+    pages: DataFrame, validator_col: str = "has_validator"
+) -> DataFrame:
+    """Conditional-fetch (HTTP revalidation) planning per host — the
+    bandwidth half of the refresh loop: a recrawl of a URL whose latest
+    capture advertised a cache validator (ETag / Last-Modified) can be an
+    If-None-Match / If-Modified-Since GET, and when the content is
+    unchanged the server answers 304 with no body. Nutch's protocol layer
+    does exactly this; at Common-Crawl scale (~100 TB fetched per crawl,
+    BASELINE.md) the never-changing cohort dominates, so the plan says
+    where conditional fetches convert bytes into headers.
+
+    Classes per URL (integer-exact, from url_change_rates' digest
+    history + the LATEST capture's validator):
+      conditional   validator present, ≥2 observations, 0 changes —
+                    expected 304
+      risky         validator present, ≥2 observations, changed in fewer
+                    than half the transitions — conditional still pays
+                    off in expectation
+      unconditional no validator, unknown history (single capture), or
+                    fast-changing content
+
+    Output per host: class counts + ``conditional_permille`` (share of
+    the host's URLs that skip body transfer on an unchanged recrawl) —
+    the number a fetch-budget planner multiplies against the host's byte
+    volume. Scale shape: one url-grain shuffle (shared with
+    url_change_rates), then a host-grain rollup; nothing corpus-wide."""
+    rates = url_change_rates(pages)
+    latest = pages.groupBy("url").agg(
+        F.max_by(F.col(validator_col), F.col("fetch_ts")).alias("validator"),
+        F.min("host").alias("host"),
+    )
+    cls = latest.join(rates, "url").select(
+        "host",
+        F.when(~F.col("validator"), "unconditional")
+        .when(F.col("change_permille").isNull(), "unconditional")
+        .when(F.col("n_changes") == 0, "conditional")
+        .when(F.col("change_permille") < 500, "risky")
+        .otherwise("unconditional")
+        .alias("cls"),
+    )
+    return (
+        cls.groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("cls") == "conditional", 1).otherwise(0))
+            .cast("long")
+            .alias("n_conditional"),
+            F.sum(F.when(F.col("cls") == "risky", 1).otherwise(0))
+            .cast("long")
+            .alias("n_risky"),
+            F.sum(F.when(F.col("cls") == "unconditional", 1).otherwise(0))
+            .cast("long")
+            .alias("n_unconditional"),
+        )
+        .withColumn(
+            "conditional_permille",
+            F.floor(
+                (F.col("n_conditional") + F.col("n_risky"))
+                * 1000
+                / F.col("n_urls")
+            ).cast("long"),
+        )
+        .orderBy("host")
+    )
+
+
 def observed_host_gaps(
     pages: DataFrame, min_fetches: int = 3, floor_s: int = 1
 ) -> DataFrame:

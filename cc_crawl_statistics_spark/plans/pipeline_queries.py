@@ -1008,6 +1008,30 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_revalidation_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """HTTP conditional-revalidation planning
+    (operators/recrawl.revalidation_plan): the recrawl_tiers drift model
+    (doc_id%5==0 drifts every crawl) + an arithmetic validator presence
+    (doc_id%4!=1 advertised ETag/Last-Modified on its latest capture)
+    drive per-host conditional/risky/unconditional classes and the
+    conditional_permille bandwidth read. Oracle replays drift, validator
+    and the url-history window arithmetically."""
+    pages = pages_df(spark, sf).withColumns(
+        {
+            "digest": F.concat(
+                F.col("digest"),
+                F.lit(":"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.col("crawl_id").cast("string"),
+                ).otherwise(F.lit("0")),
+            ),
+            "has_validator": F.col("doc_id") % 4 != 1,
+        }
+    )
+    return RC.revalidation_plan(pages)
+
+
 def q_opic_priority(spark: SparkSession, sf: str) -> DataFrame:
     """OPIC adaptive crawl priority (operators/opic.py — Abiteboul 2003,
     the Nutch scoring model): 3 fetch rounds over the frontier's
@@ -1736,6 +1760,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nofollow_graph": q_nofollow_graph,
     "canonical_dedup": q_canonical_dedup,
     "opic_priority": q_opic_priority,
+    "revalidation_plan": q_revalidation_plan,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -3951,6 +3976,63 @@ FROM perf CROSS JOIN tot ORDER BY fetcher
 
 PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
 PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
+
+# revalidation plan: recrawl drift model + arithmetic validator, the
+# url-history window and host rollup replayed in SQL
+PIPELINE_ORACLES["revalidation_plan"] = oracle_cte(
+    """
+, drifted AS (
+  SELECT url, host, crawl_id, fetch_ts, doc_id,
+         digest || ':' || CASE WHEN doc_id % 5 = 0
+                               THEN CAST(crawl_id AS STRING)
+                               ELSE '0' END AS digest,
+         doc_id % 4 <> 1 AS has_validator
+  FROM pages
+),
+obs AS (
+  SELECT url, crawl_id, max_by(digest, fetch_ts) AS digest
+  FROM drifted GROUP BY url, crawl_id
+),
+chg AS (
+  SELECT url,
+    CASE WHEN lag(digest) OVER w IS NULL THEN 0
+         WHEN digest <> lag(digest) OVER w THEN 1 ELSE 0 END AS chg
+  FROM obs WINDOW w AS (PARTITION BY url ORDER BY crawl_id)
+),
+rates AS (
+  SELECT url, COUNT(*) AS n_obs, CAST(SUM(chg) AS BIGINT) AS n_changes,
+    CASE WHEN COUNT(*) >= 2
+         THEN (1000 * CAST(SUM(chg) AS BIGINT)) // (COUNT(*) - 1) END
+      AS change_permille
+  FROM chg GROUP BY url
+),
+latest AS (
+  SELECT url, max_by(has_validator, fetch_ts) AS validator,
+         MIN(host) AS host
+  FROM drifted GROUP BY url
+),
+cls AS (
+  SELECT l.host,
+    CASE WHEN NOT l.validator THEN 'unconditional'
+         WHEN r.change_permille IS NULL THEN 'unconditional'
+         WHEN r.n_changes = 0 THEN 'conditional'
+         WHEN r.change_permille < 500 THEN 'risky'
+         ELSE 'unconditional' END AS cls
+  FROM latest l JOIN rates r ON l.url = r.url
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(CASE WHEN cls = 'conditional' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_conditional,
+  CAST(SUM(CASE WHEN cls = 'risky' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_risky,
+  CAST(SUM(CASE WHEN cls = 'unconditional' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unconditional,
+  CAST((SUM(CASE WHEN cls = 'conditional' THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN cls = 'risky' THEN 1 ELSE 0 END)) * 1000
+       // COUNT(*) AS BIGINT) AS conditional_permille
+FROM cls GROUP BY host ORDER BY host
+"""
+)
 
 # max-min fair budget: the ring (verbatim) + the closed-form water-fill
 # replayed with DuckDB window functions. budget per shard = 1000.

@@ -2268,6 +2268,7 @@ _PRIORITY = [
 # of in-window entries. All oracle-paired except host_hyperball.
 _PRIORITY_NEXT = [
     "opic_priority",        # OPIC adaptive priority (Abiteboul 2003), exact
+    "revalidation_plan",    # conditional-GET (304) bandwidth planning
     "robotstxt_status",     # displaced from the window in r3 (see above)
     "url_crawl_set_registry",  # displaced in r3: A14 at registry-scale ids
     "curate_corpus",        # displaced in r3: curation_funnel covers family

@@ -71,3 +71,38 @@ def test_tier_boundaries_exact(spark):
     assert tiers["u/333"] == (333, "warm")
     assert tiers["u/500"] == (500, "hot")
     assert tiers["u/90"] == (90, "cold")
+
+
+def test_revalidation_plan_hand_computed(spark):
+    from cc_crawl_statistics_spark.operators.recrawl import (
+        revalidation_plan,
+    )
+
+    # host h: u1 validator+stable (conditional), u2 validator+1-of-3
+    #   transitions changed = 333 permille (risky; 1-of-2 = exactly 500
+    #   would classify unconditional — the boundary is exclusive),
+    #   u3 no validator (unconditional),
+    #   u4 validator but single capture (unconditional),
+    #   u5 validator but changes every crawl (unconditional)
+    rows = []
+    for crawl, dig2, dig5 in ((0, "a", "x"), (1, "a", "y"), (2, "b", "z")):
+        rows += [
+            ("u1", "h", crawl, 100 + crawl, "d1", True),
+            ("u2", "h", crawl, 100 + crawl, dig2, True),
+            ("u3", "h", crawl, 100 + crawl, "d3", False),
+            ("u5", "h", crawl, 100 + crawl, dig5, True),
+        ]
+    rows.append(("u2", "h", 3, 103, "b", True))
+    rows.append(("u4", "h", 2, 500, "d4", True))
+    pages = spark.createDataFrame(
+        rows,
+        "url string, host string, crawl_id int, fetch_ts long,"
+        " digest string, has_validator boolean",
+    )
+    got = revalidation_plan(pages).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (
+        r["n_urls"], r["n_conditional"], r["n_risky"], r["n_unconditional"]
+    ) == (5, 1, 1, 3)
+    assert r["conditional_permille"] == 400
