@@ -104,3 +104,133 @@ def pagerank_top(
     exceed partitions·k rows into the final ordering."""
     r = pagerank(edges, n_iter=n_iter, **kw)
     return r.orderBy(F.col("rank_fp").desc(), F.col("node").asc()).limit(k)
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-exact TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB
+    2004) — PageRank with the teleport vector restricted to a vetted SEED
+    set: trust flows out of known-good pages along links and decays with
+    distance, so an unreachable link farm scores ~0 however densely it
+    links to itself. Production crawlers use it (and its complement,
+    spam mass ≈ rank − trust share) to keep frontier budget away from
+    spam neighborhoods.
+
+    Same recurrence, base term and integer posture as ``pagerank`` —
+    ONLY the base vector differs:
+
+        trust'(v) = [v ∈ seeds] · (SCALE·(100−D)) DIV 100
+                  + (D · Σ contrib_in(v)) DIV 100
+
+    Non-seed nodes get base 0, so all trust originates at seeds. The
+    seed base (and the initial trust) is scaled by N DIV |S| — the
+    paper's normalized static score distribution — so total trust mass
+    is commensurate with PageRank's total rank mass and the spam-mass
+    ratio reads near 0 on trusted nodes instead of reflecting seed
+    sparsity. Seeds are a host-curated dimension (thousands of rows) —
+    broadcast-joined as a flag onto the node relation; everything else
+    is the pagerank plan shape: one groupBy(dst) shuffle + node-edge
+    equi-join per iteration, localCheckpoint lineage cuts.
+
+    Returns (node, trust_fp)."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    if nodes is None:
+        nodes = (
+            edges.select(src.alias("node"))
+            .union(edges.select(dst.alias("node")))
+            .distinct()
+        )
+    seed_flags = seeds.select(
+        F.col("node"), F.lit(True).alias("is_seed")
+    ).distinct()
+    nodes = (
+        nodes.select("node")
+        .join(F.broadcast(seed_flags), "node", "left")
+        .select(
+            "node", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+        )
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select(src.alias("src"), dst.alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    links = (
+        e.join(outdeg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    # normalized static score distribution: two dimension scalars
+    n_nodes = nodes.count()
+    n_seeds = nodes.filter("is_seed").count()
+    if n_seeds == 0:
+        raise ValueError("trustrank needs at least one seed node")
+    base = ((SCALE * (100 - DAMP_PCT)) // 100) * n_nodes // n_seeds
+    init = SCALE * n_nodes // n_seeds
+    seed_base = F.when(F.col("is_seed"), F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        "is_seed",
+        F.when(F.col("is_seed"), F.lit(init))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("trust_fp"),
+    )
+    for _ in range(n_iter):
+        contrib = (
+            links.join(ranks, links.src == ranks.node)
+            .select("dst", F.expr("trust_fp div outdeg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    seed_base.cast("long")
+                    + F.expr(
+                        f"(coalesce(mass, 0L) * {DAMP_PCT}) div 100"
+                    )
+                ).alias("trust_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "trust_fp")
+
+
+def spam_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 10,
+    **kw,
+) -> DataFrame:
+    """(node, rank_fp, trust_fp, spam_mass_permille) — the Gyöngyi 2004
+    spam-mass read: how much of a node's PageRank arrives WITHOUT passing
+    a trusted seed. Integer permille of rank not covered by trust
+    (trust is clamped into [0, rank] first: the two fixed-point systems
+    have different total mass, so the ratio is a screen, not a proof —
+    exactly how the paper uses it). One extra node-keyed join over the
+    two propagation results."""
+    pr = pagerank(edges, nodes=nodes, n_iter=n_iter, **kw)
+    tr = trustrank(edges, seeds, nodes=nodes, n_iter=n_iter, **kw)
+    covered = F.least(F.col("trust_fp"), F.col("rank_fp"))
+    return (
+        pr.join(tr, "node")
+        .select(
+            "node",
+            "rank_fp",
+            "trust_fp",
+            F.floor(
+                (F.col("rank_fp") - covered) * 1000 / F.col("rank_fp")
+            )
+            .cast("long")
+            .alias("spam_mass_permille"),
+        )
+    )

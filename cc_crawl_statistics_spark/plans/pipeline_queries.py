@@ -1008,6 +1008,89 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_spam_mass(spark: SparkSession, sf: str) -> DataFrame:
+    """TrustRank + spam mass (operators/pagerank.trustrank/spam_mass,
+    Gyöngyi 2004): trust teleports only to the arithmetic seed set
+    (doc_id % 17 == 0), 3 exact integer iterations of BOTH propagation
+    systems over the frontier's deterministic link graph, integer-
+    permille uncovered-rank screen. Oracle unrolls the two recurrences
+    side by side."""
+    from ..operators.pagerank import spam_mass
+
+    pages = pages_df(spark, sf)
+    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
+    n_docs = uni.count()
+    ids = uni.select(F.col("doc_id").alias("src"))
+    edges = ids.select(
+        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
+    ).union(ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst")))
+    nodes = uni.select(F.col("doc_id").alias("node"))
+    seeds = nodes.filter(F.col("node") % 17 == 0)
+    return (
+        spam_mass(edges, seeds, nodes=nodes, n_iter=3)
+        .orderBy(
+            F.desc("spam_mass_permille"), F.desc("rank_fp"), F.asc("node")
+        )
+        .limit(50)
+    )
+
+
+def _spam_mass_oracle(n_iter: int = 3, k: int = 50) -> str:
+    """Unroll PageRank AND TrustRank recurrences side by side."""
+    ctes = [
+        ", uni AS (SELECT MIN(doc_id) AS doc_id FROM pages GROUP BY url)",
+        "n AS (SELECT COUNT(*) AS n_docs FROM uni)",
+        "nodes AS (SELECT DISTINCT doc_id AS node, doc_id % 17 = 0"
+        " AS is_seed FROM uni)",
+        "edges AS (\n"
+        "  SELECT doc_id AS src, (2 * doc_id + 1) % n_docs AS dst"
+        " FROM uni, n\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id AS src, (3 * doc_id + 7) % n_docs AS dst"
+        " FROM uni, n)",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges"
+        " GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp"
+        " FROM nodes)",
+        # normalized static score distribution: seed base × N/|S|
+        "ns AS (SELECT COUNT(*) AS n_seeds FROM nodes WHERE is_seed)",
+        "t0 AS (SELECT node, CAST(CASE WHEN is_seed"
+        " THEN (1000000 * n_docs) // n_seeds"
+        " ELSE 0 END AS BIGINT) AS trust_fp FROM nodes, n, ns)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"rm{i} AS (SELECT dst, SUM(rank_fp // outdeg) AS mass"
+            f" FROM edges JOIN outdeg USING (src)"
+            f" JOIN r{i} ON r{i}.node = edges.src GROUP BY dst)"
+        )
+        ctes.append(
+            f"r{i + 1} AS (SELECT node, CAST(150000"
+            f" + (COALESCE(mass, 0) * 85) // 100 AS BIGINT) AS rank_fp"
+            f" FROM nodes LEFT JOIN rm{i} ON node = dst)"
+        )
+        ctes.append(
+            f"tm{i} AS (SELECT dst, SUM(trust_fp // outdeg) AS mass"
+            f" FROM edges JOIN outdeg USING (src)"
+            f" JOIN t{i} ON t{i}.node = edges.src GROUP BY dst)"
+        )
+        ctes.append(
+            f"t{i + 1} AS (SELECT node, CAST(CASE WHEN is_seed"
+            f" THEN (150000 * n_docs) // n_seeds ELSE 0 END"
+            f" + (COALESCE(mass, 0) * 85) // 100 AS BIGINT) AS trust_fp"
+            f" FROM nodes LEFT JOIN tm{i} ON node = dst, n, ns)"
+        )
+    body = ",\n".join(ctes) + (
+        f"\nSELECT r.node, r.rank_fp, t.trust_fp,\n"
+        f"  CAST((r.rank_fp - LEAST(t.trust_fp, r.rank_fp)) * 1000"
+        f" // r.rank_fp AS BIGINT) AS spam_mass_permille\n"
+        f"FROM r{n_iter} r JOIN t{n_iter} t ON r.node = t.node\n"
+        f"ORDER BY spam_mass_permille DESC, r.rank_fp DESC, r.node"
+        f" LIMIT {k}"
+    )
+    return oracle_cte(body)
+
+
 def q_revalidation_plan(spark: SparkSession, sf: str) -> DataFrame:
     """HTTP conditional-revalidation planning
     (operators/recrawl.revalidation_plan): the recrawl_tiers drift model
@@ -1761,6 +1844,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_dedup": q_canonical_dedup,
     "opic_priority": q_opic_priority,
     "revalidation_plan": q_revalidation_plan,
+    "spam_mass": q_spam_mass,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -3976,6 +4060,7 @@ FROM perf CROSS JOIN tot ORDER BY fetcher
 
 PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
 PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
+PIPELINE_ORACLES["spam_mass"] = _spam_mass_oracle()
 
 # revalidation plan: recrawl drift model + arithmetic validator, the
 # url-history window and host rollup replayed in SQL

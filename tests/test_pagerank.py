@@ -80,3 +80,65 @@ def test_top_k_tie_break(spark):
     model = model_pagerank(edges)
     want = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert rows == want
+
+
+def model_trustrank(edges, seeds, n_iter=10, nodes=None):
+    """Single-threaded model of trustrank() — seed-restricted teleport."""
+    nodes = set(nodes or [])
+    for s, d in edges:
+        nodes.add(s)
+        nodes.add(d)
+    seeds = set(seeds)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    # normalized static score distribution: seed base/init × N/|S|
+    base = ((PR.SCALE * (100 - PR.DAMP_PCT)) // 100) * len(nodes) // len(
+        seeds
+    )
+    init = PR.SCALE * len(nodes) // len(seeds)
+    trust = {v: init if v in seeds else 0 for v in nodes}
+    for _ in range(n_iter):
+        mass = {v: 0 for v in nodes}
+        for s, d in edges:
+            mass[d] += trust[s] // outdeg[s]
+        trust = {
+            v: (base if v in seeds else 0)
+            + (mass[v] * PR.DAMP_PCT) // 100
+            for v in nodes
+        }
+    return trust
+
+
+def test_trustrank_bit_for_bit_vs_model(spark):
+    edges = (
+        [(0, h) for h in (1, 2, 3)]
+        + [(1, 5), (5, 6), (6, 1), (2, 3), (7, 0)]
+        + [(8, 9), (9, 8)]  # a two-node "farm" unreachable from seeds
+    )
+    seeds = [0, 7]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(s,) for s in seeds], ["node"])
+    got = {
+        r["node"]: r["trust_fp"]
+        for r in PR.trustrank(df, sdf, n_iter=6).collect()
+    }
+    assert got == model_trustrank(edges, seeds, n_iter=6)
+    # unreachable farm accumulates zero trust however it self-links
+    assert got[8] == 0 and got[9] == 0
+
+
+def test_spam_mass_screens_unreachable_farm(spark):
+    edges = (
+        [(0, 1), (1, 2), (2, 0)]  # trusted triangle
+        + [(8, 9), (9, 8), (8, 9)]  # link farm, no trust path in
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    sdf = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["spam_mass_permille"]
+        for r in PR.spam_mass(df, sdf, n_iter=8).collect()
+    }
+    # farm nodes: all rank uncovered; trusted triangle: mostly covered
+    assert got[8] == 1000 and got[9] == 1000
+    assert got[0] < 500 and got[1] < 500 and got[2] < 500
