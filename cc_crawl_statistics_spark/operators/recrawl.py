@@ -72,6 +72,30 @@ def recrawl_tiers(pages: DataFrame) -> DataFrame:
     )
 
 
+def revalidation_classes(
+    pages: DataFrame, validator_col: str = "has_validator"
+) -> DataFrame:
+    """URL-grain fetch-mode classification — (url, host, cls) with cls in
+    {conditional, risky, unconditional}; the building block
+    revalidation_plan rolls up and refresh-round planners join against
+    (see revalidation_plan for semantics)."""
+    rates = url_change_rates(pages)
+    latest = pages.groupBy("url").agg(
+        F.max_by(F.col(validator_col), F.col("fetch_ts")).alias("validator"),
+        F.min("host").alias("host"),
+    )
+    return latest.join(rates, "url").select(
+        "url",
+        "host",
+        F.when(~F.col("validator"), "unconditional")
+        .when(F.col("change_permille").isNull(), "unconditional")
+        .when(F.col("n_changes") == 0, "conditional")
+        .when(F.col("change_permille") < 500, "risky")
+        .otherwise("unconditional")
+        .alias("cls"),
+    )
+
+
 def revalidation_plan(
     pages: DataFrame, validator_col: str = "has_validator"
 ) -> DataFrame:
@@ -99,20 +123,7 @@ def revalidation_plan(
     the number a fetch-budget planner multiplies against the host's byte
     volume. Scale shape: one url-grain shuffle (shared with
     url_change_rates), then a host-grain rollup; nothing corpus-wide."""
-    rates = url_change_rates(pages)
-    latest = pages.groupBy("url").agg(
-        F.max_by(F.col(validator_col), F.col("fetch_ts")).alias("validator"),
-        F.min("host").alias("host"),
-    )
-    cls = latest.join(rates, "url").select(
-        "host",
-        F.when(~F.col("validator"), "unconditional")
-        .when(F.col("change_permille").isNull(), "unconditional")
-        .when(F.col("n_changes") == 0, "conditional")
-        .when(F.col("change_permille") < 500, "risky")
-        .otherwise("unconditional")
-        .alias("cls"),
-    )
+    cls = revalidation_classes(pages, validator_col).select("host", "cls")
     return (
         cls.groupBy("host")
         .agg(
@@ -134,6 +145,72 @@ def revalidation_plan(
                 * 1000
                 / F.col("n_urls")
             ).cast("long"),
+        )
+        .orderBy("host")
+    )
+
+
+def refresh_round_plan(
+    pages: DataFrame,
+    budget_per_fetcher: int,
+    n_fetchers: int = 4,
+    vnodes: int = 16,
+    validator_col: str = "has_validator",
+) -> DataFrame:
+    """The refresh ROUND PLANNER — the composition that closes the
+    adaptive-recrawl loop end to end: change-rate tiers say WHICH URLs
+    are due (hot and never-observed first, warm next, cold skipped),
+    max-min fair water-filling of each fetcher shard's budget says HOW
+    MANY per host, and the revalidation classes say HOW to fetch them
+    (conditional GET vs full body). Every stage is an existing exact
+    operator (recrawl_tiers, capacity.assign_fetchers +
+    maxmin_fair_allocation, revalidation_classes) — this plan just wires
+    them, so its oracle checks the composition itself.
+
+    Output per host: fetcher shard, due demand, fair allocation,
+    scheduled count (== allocation by construction) and how many of the
+    scheduled fetches can be conditional. Scale shape: the url-grain
+    shuffle is shared by tiers+classes; the per-host selection window
+    ranks only a host's due URLs (politeness-bounded cardinality); the
+    allocation windows partition by shard."""
+    from pyspark.sql import Window
+
+    from ..frontier.capacity import assign_fetchers, maxmin_fair_allocation
+
+    tiers = recrawl_tiers(pages).select("url", "tier")
+    cls = revalidation_classes(pages, validator_col)
+    due = (
+        tiers.join(cls, "url")
+        .filter(F.col("tier") != "cold")
+        .withColumn(
+            "tier_rank",
+            F.when(F.col("tier") == "hot", 0)
+            .when(F.col("tier") == "new", 1)
+            .otherwise(2),
+        )
+    )
+    demands = due.groupBy("host").agg(F.count("*").alias("demand"))
+    alloc = maxmin_fair_allocation(
+        assign_fetchers(demands, n_fetchers, vnodes), budget_per_fetcher
+    ).select("host", "fetcher", "demand", "alloc")
+    w = Window.partitionBy("host").orderBy("tier_rank", "url")
+    sched = (
+        due.join(alloc, "host")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("alloc"))
+    )
+    return (
+        sched.groupBy("host")
+        .agg(
+            F.first("fetcher").cast("long").alias("fetcher"),
+            F.first("demand").cast("long").alias("n_due"),
+            F.first("alloc").cast("long").alias("alloc"),
+            F.count("*").cast("long").alias("n_scheduled"),
+            F.sum(
+                F.when(F.col("cls") != "unconditional", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_conditional"),
         )
         .orderBy("host")
     )

@@ -1008,6 +1008,30 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_refresh_schedule(spark: SparkSession, sf: str) -> DataFrame:
+    """The refresh ROUND PLANNER (operators/recrawl.refresh_round_plan):
+    change-rate tiers pick the due set, the consistent-hash ring +
+    max-min water-fill cap each host, revalidation classes mark which
+    scheduled fetches go conditional — the whole adaptive-recrawl loop
+    composed from already-exact operators, with the COMPOSITION itself
+    oracle-checked (drift model, tier windows, ring, water-fill and the
+    per-host selection rank all replayed in one DuckDB query)."""
+    pages = pages_df(spark, sf).withColumns(
+        {
+            "digest": F.concat(
+                F.col("digest"),
+                F.lit(":"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.col("crawl_id").cast("string"),
+                ).otherwise(F.lit("0")),
+            ),
+            "has_validator": F.col("doc_id") % 4 != 1,
+        }
+    )
+    return RC.refresh_round_plan(pages, budget_per_fetcher=25)
+
+
 def q_spam_mass(spark: SparkSession, sf: str) -> DataFrame:
     """TrustRank + spam mass (operators/pagerank.trustrank/spam_mass,
     Gyöngyi 2004): trust teleports only to the arithmetic seed set
@@ -1845,6 +1869,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "opic_priority": q_opic_priority,
     "revalidation_plan": q_revalidation_plan,
     "spam_mass": q_spam_mass,
+    "refresh_schedule": q_refresh_schedule,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -4161,6 +4186,118 @@ SELECT CAST(fetcher AS BIGINT) AS fetcher, host,
                       THEN 1 ELSE 0 END)
        END AS BIGINT) AS alloc
 FROM agg ORDER BY fetcher, demand DESC, host
+"""
+)
+
+# refresh round planner: drift + tiers + classes + ring + water-fill(25)
+# + per-host selection rank, all in one replay
+PIPELINE_ORACLES["refresh_schedule"] = oracle_cte(
+    f"""
+, drifted AS (
+  SELECT url, host, crawl_id, fetch_ts, doc_id,
+         digest || ':' || CASE WHEN doc_id % 5 = 0
+                               THEN CAST(crawl_id AS STRING)
+                               ELSE '0' END AS digest,
+         doc_id % 4 <> 1 AS has_validator
+  FROM pages
+),
+obs AS (
+  SELECT url, crawl_id, max_by(digest, fetch_ts) AS digest
+  FROM drifted GROUP BY url, crawl_id
+),
+chg AS (
+  SELECT url,
+    CASE WHEN lag(digest) OVER w IS NULL THEN 0
+         WHEN digest <> lag(digest) OVER w THEN 1 ELSE 0 END AS chg
+  FROM obs WINDOW w AS (PARTITION BY url ORDER BY crawl_id)
+),
+rates AS (
+  SELECT url, COUNT(*) AS n_obs, CAST(SUM(chg) AS BIGINT) AS n_changes,
+    CASE WHEN COUNT(*) >= 2
+         THEN (1000 * CAST(SUM(chg) AS BIGINT)) // (COUNT(*) - 1) END
+      AS change_permille
+  FROM chg GROUP BY url
+),
+latest AS (
+  SELECT url, max_by(has_validator, fetch_ts) AS validator,
+         MIN(host) AS host
+  FROM drifted GROUP BY url
+),
+cls AS (
+  SELECT l.url, l.host,
+    CASE WHEN NOT l.validator THEN 'unconditional'
+         WHEN r.change_permille IS NULL THEN 'unconditional'
+         WHEN r.n_changes = 0 THEN 'conditional'
+         WHEN r.change_permille < 500 THEN 'risky'
+         ELSE 'unconditional' END AS cls
+  FROM latest l JOIN rates r ON l.url = r.url
+),
+tiers AS (
+  SELECT url,
+    CASE WHEN change_permille IS NULL THEN 'new'
+         WHEN change_permille >= 500 THEN 'hot'
+         WHEN change_permille >= 100 THEN 'warm'
+         ELSE 'cold' END AS tier
+  FROM rates
+),
+due AS (
+  SELECT t.url, c.host, c.cls,
+         CASE WHEN t.tier = 'hot' THEN 0
+              WHEN t.tier = 'new' THEN 1 ELSE 2 END AS tier_rank
+  FROM tiers t JOIN cls c ON t.url = c.url WHERE t.tier <> 'cold'
+),
+demands AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS demand
+  FROM due GROUP BY host
+),
+schedrows AS (SELECT host FROM demands),
+{_RING_SQL.strip()},
+dd AS (
+  SELECT d.host, d.demand, a.fetcher
+  FROM demands d JOIN asg a ON d.host = a.host
+),
+st AS (
+  SELECT host, demand, fetcher,
+         row_number() OVER (PARTITION BY fetcher
+                            ORDER BY demand, host) AS i,
+         SUM(demand) OVER (PARTITION BY fetcher ORDER BY demand, host
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS s_i,
+         COUNT(*) OVER (PARTITION BY fetcher) AS k
+  FROM dd
+),
+fl AS (SELECT *, (s_i + demand * (k - i)) <= 25 AS fullr FROM st),
+agg AS (
+  SELECT *,
+    SUM(CASE WHEN fullr THEN 1 ELSE 0 END)
+      OVER (PARTITION BY fetcher) AS j,
+    COALESCE(MAX(CASE WHEN fullr THEN s_i END)
+      OVER (PARTITION BY fetcher), 0) AS s_j
+  FROM fl
+),
+alloc AS (
+  SELECT host, fetcher, demand,
+         CASE WHEN fullr THEN demand ELSE
+           LEAST(demand,
+                 (25 - s_j) // GREATEST(k - j, 1)
+                 + CASE WHEN (i - j) <= (25 - s_j) % GREATEST(k - j, 1)
+                        THEN 1 ELSE 0 END)
+         END AS alloc
+  FROM agg
+),
+sel AS (
+  SELECT d.host, d.cls, a.fetcher, a.demand, a.alloc,
+         row_number() OVER (PARTITION BY d.host
+                            ORDER BY d.tier_rank, d.url) AS rk
+  FROM due d JOIN alloc a ON d.host = a.host
+)
+SELECT host, CAST(fetcher AS BIGINT) AS fetcher,
+       CAST(demand AS BIGINT) AS n_due, CAST(alloc AS BIGINT) AS alloc,
+       CAST(COUNT(*) AS BIGINT) AS n_scheduled,
+       CAST(SUM(CASE WHEN cls <> 'unconditional' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_conditional
+FROM sel WHERE rk <= alloc
+GROUP BY host, fetcher, demand, alloc ORDER BY host
 """
 )
 

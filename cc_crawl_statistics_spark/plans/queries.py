@@ -2270,6 +2270,7 @@ _PRIORITY_NEXT = [
     "opic_priority",        # OPIC adaptive priority (Abiteboul 2003), exact
     "revalidation_plan",    # conditional-GET (304) bandwidth planning
     "spam_mass",            # TrustRank + spam-mass screen (Gyongyi 2004)
+    "refresh_schedule",     # composed refresh round planner (tiers+budget)
     "robotstxt_status",     # displaced from the window in r3 (see above)
     "url_crawl_set_registry",  # displaced in r3: A14 at registry-scale ids
     "curate_corpus",        # displaced in r3: curation_funnel covers family

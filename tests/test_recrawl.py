@@ -106,3 +106,42 @@ def test_revalidation_plan_hand_computed(spark):
         r["n_urls"], r["n_conditional"], r["n_risky"], r["n_unconditional"]
     ) == (5, 1, 1, 3)
     assert r["conditional_permille"] == 400
+
+
+def test_refresh_round_plan_invariants(spark, sf_smoke_pages=None):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.recrawl import (
+        refresh_round_plan,
+    )
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+    from tests.conftest import SF_SMOKE
+
+    pages = pages_df(spark, SF_SMOKE).withColumns(
+        {
+            "digest": F.concat(
+                F.col("digest"),
+                F.lit(":"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.col("crawl_id").cast("string"),
+                ).otherwise(F.lit("0")),
+            ),
+            "has_validator": F.col("doc_id") % 4 != 1,
+        }
+    )
+    budget = 25
+    plan = refresh_round_plan(pages, budget_per_fetcher=budget).collect()
+    assert plan
+    per_fetcher: dict[int, int] = {}
+    for r in plan:
+        assert r["n_scheduled"] == r["alloc"] > 0
+        assert r["alloc"] <= r["n_due"]
+        assert 0 <= r["n_conditional"] <= r["n_scheduled"]
+        per_fetcher[r["fetcher"]] = (
+            per_fetcher.get(r["fetcher"], 0) + r["n_scheduled"]
+        )
+    # no shard exceeds its round budget
+    assert all(v <= budget for v in per_fetcher.values())
+    # contention is real at this fixture scale: every shard fully spent
+    assert all(v == budget for v in per_fetcher.values())
