@@ -528,3 +528,57 @@ def unblocked_urls(
         )
         .select("url", "host")
     )
+
+
+def robots_cache_status(
+    pages: DataFrame, ttl_s: int = 86_400
+) -> DataFrame:
+    """robots.txt cache freshness per host — RFC 9309 §2.4 allows
+    caching a robots file, conventionally up to 24 hours, after which a
+    polite crawler MUST refetch before trusting its cached politeness
+    rules. Given the capture table (robots.txt fetches are the rows the
+    P5 classifier routes by ``/robotstxt/`` in warc_filename,
+    operators/counts.with_flags), classify every host:
+
+      missing  no robots.txt capture at all — fetch before first crawl
+      stale    latest capture older than ``ttl_s`` relative to the
+               corpus clock (max fetch_ts over the table — deterministic,
+               no wall time)
+      fresh    within TTL
+
+    plus ``due`` = the refetch worklist flag (missing or stale). One
+    host-grain aggregation over the robots subset, one scalar corpus
+    clock broadcast onto the host dimension — nothing corpus-wide
+    shuffles."""
+    robots = pages.filter(F.col("warc_filename").rlike("/robotstxt/"))
+    per_host = pages.select("host").distinct().join(
+        robots.groupBy("host").agg(
+            F.count("*").cast("long").alias("n_robots_captures"),
+            F.max("fetch_ts").cast("long").alias("last_robots_ts"),
+        ),
+        "host",
+        "left",
+    )
+    now = pages.agg(F.max("fetch_ts").cast("long").alias("_now"))
+    return (
+        per_host.crossJoin(F.broadcast(now))
+        .select(
+            "host",
+            F.coalesce("n_robots_captures", F.lit(0)).alias(
+                "n_robots_captures"
+            ),
+            "last_robots_ts",
+            F.when(F.col("last_robots_ts").isNull(), "missing")
+            .when(
+                F.col("_now") - F.col("last_robots_ts") > F.lit(ttl_s),
+                "stale",
+            )
+            .otherwise("fresh")
+            .alias("status"),
+            (
+                F.col("last_robots_ts").isNull()
+                | (F.col("_now") - F.col("last_robots_ts") > F.lit(ttl_s))
+            ).alias("due"),
+        )
+        .orderBy("host")
+    )

@@ -1008,6 +1008,15 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_robots_cache(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt cache freshness worklist (frontier/robots.py:
+    robots_cache_status — RFC 9309 §2.4 24h caching): per host
+    missing/stale/fresh against the deterministic corpus clock, the
+    refetch-due flag driving the politeness prefetch. Oracle recomputes
+    the robots subset, corpus clock and TTL classes arithmetically."""
+    return RB.robots_cache_status(pages_df(spark, sf))
+
+
 def q_refresh_schedule(spark: SparkSession, sf: str) -> DataFrame:
     """The refresh ROUND PLANNER (operators/recrawl.refresh_round_plan):
     change-rate tiers pick the due set, the consistent-hash ring +
@@ -1870,6 +1879,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revalidation_plan": q_revalidation_plan,
     "spam_mass": q_spam_mass,
     "refresh_schedule": q_refresh_schedule,
+    "robots_cache": q_robots_cache,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -4086,6 +4096,27 @@ FROM perf CROSS JOIN tot ORDER BY fetcher
 PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
 PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
 PIPELINE_ORACLES["spam_mass"] = _spam_mass_oracle()
+
+PIPELINE_ORACLES["robots_cache"] = oracle_cte(
+    """
+, r AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_robots_captures,
+         CAST(MAX(fetch_ts) AS BIGINT) AS last_robots_ts
+  FROM pages WHERE warc_filename LIKE '%/robotstxt/%' GROUP BY host
+),
+h AS (SELECT DISTINCT host FROM pages),
+nw AS (SELECT MAX(fetch_ts) AS now_ts FROM pages)
+SELECT h.host,
+  COALESCE(r.n_robots_captures, 0) AS n_robots_captures,
+  r.last_robots_ts,
+  CASE WHEN r.last_robots_ts IS NULL THEN 'missing'
+       WHEN nw.now_ts - r.last_robots_ts > 86400 THEN 'stale'
+       ELSE 'fresh' END AS status,
+  (r.last_robots_ts IS NULL
+   OR nw.now_ts - r.last_robots_ts > 86400) AS due
+FROM h LEFT JOIN r ON h.host = r.host, nw ORDER BY h.host
+"""
+)
 
 # revalidation plan: recrawl drift model + arithmetic validator, the
 # url-history window and host rollup replayed in SQL

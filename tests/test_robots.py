@@ -307,3 +307,32 @@ def test_robots_policy_churn_hand_checked(spark):
         .count()
     )
     assert n_diff > 0  # epoch 0 adds the rotating rule; legacy untouched
+
+
+def test_robots_cache_status_classes(spark):
+    from cc_crawl_statistics_spark.frontier.robots import (
+        robots_cache_status,
+    )
+
+    rows = [
+        # hostA: robots captured recently -> fresh
+        ("hostA", "x/robotstxt/p.warc.gz", 1_000_000),
+        ("hostA", "x/warc/p.warc.gz", 1_000_500),
+        # hostB: robots captured long ago -> stale
+        ("hostB", "x/robotstxt/p.warc.gz", 100),
+        ("hostB", "x/warc/p.warc.gz", 1_000_400),
+        # hostC: never captured robots -> missing
+        ("hostC", "x/warc/p.warc.gz", 1_000_600),
+    ]
+    pages = spark.createDataFrame(
+        rows, "host string, warc_filename string, fetch_ts long"
+    )
+    got = {
+        r["host"]: (r["status"], r["due"], r["n_robots_captures"])
+        for r in robots_cache_status(pages, ttl_s=86_400).collect()
+    }
+    assert got == {
+        "hostA": ("fresh", False, 1),
+        "hostB": ("stale", True, 1),
+        "hostC": ("missing", True, 0),
+    }
