@@ -112,6 +112,7 @@ _BOUNDED_BNLJ_OK = {
     "round_makespan",  # fleet rollup vs 1-row fleet-max aggregate
     "schedule_fairness",  # two 1-row Jain aggregates crossed
     "leakage_split",  # split shares vs 1-row corpus total/invariant
+    "robots_cache",  # host dim x 1-row corpus-clock aggregate
 }
 
 
