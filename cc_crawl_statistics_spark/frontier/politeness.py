@@ -277,3 +277,53 @@ def token_bucket_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def server_pressure_backoff(
+    pages: DataFrame, ledger: DataFrame
+) -> DataFrame:
+    """Server-pressure politeness backoff — the reactive half of the
+    politeness contract (the proactive half is the robots Crawl-delay
+    ledger): when a host answers with overload statuses (HTTP 429 / 5xx),
+    a polite crawler cuts its per-round budget before the site operator
+    does it for us. Nutch's exponential fetch backoff and the Retry-After
+    convention are the production analogs; here the signal is the
+    capture-table status histogram the reference already counts (A7).
+
+    Integer tiers over the pressure ratio (permille of fetches answered
+    429/5xx): < 100‰ keep the ledger budget; ≥ 100‰ halve; ≥ 300‰
+    quarter; ≥ 600‰ floor to 1 — always at least 1 so the host can
+    recover (the signal refreshes every round).
+
+    One host-grain aggregation over the capture table + a broadcast join
+    to the host-dimension ledger. Returns (host, n_fetches, n_pressure,
+    pressure_permille, max_per_round, backoff_budget)."""
+    pressure = F.col("status").isin(429, 500, 502, 503, 504)
+    per_host = pages.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetches"),
+        F.sum(F.when(pressure, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pressure"),
+    )
+    joined = per_host.join(
+        F.broadcast(ledger.select("host", "max_per_round")), "host"
+    ).withColumn(
+        "pressure_permille",
+        F.floor(F.col("n_pressure") * 1000 / F.col("n_fetches")).cast(
+            "long"
+        ),
+    )
+    p = F.col("pressure_permille")
+    return joined.select(
+        "host",
+        "n_fetches",
+        "n_pressure",
+        "pressure_permille",
+        F.col("max_per_round").cast("long").alias("max_per_round"),
+        F.when(p >= 600, F.lit(1))
+        .when(p >= 300, F.greatest(F.lit(1), F.expr("max_per_round div 4")))
+        .when(p >= 100, F.greatest(F.lit(1), F.expr("max_per_round div 2")))
+        .otherwise(F.col("max_per_round"))
+        .cast("long")
+        .alias("backoff_budget"),
+    ).orderBy("host")

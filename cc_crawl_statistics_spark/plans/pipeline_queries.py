@@ -1008,6 +1008,30 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_politeness_backoff(spark: SparkSession, sf: str) -> DataFrame:
+    """Server-pressure politeness backoff
+    (frontier/politeness.server_pressure_backoff): a deterministic
+    overload model (site%5==3 hosts answer 429 on every third fetch,
+    site%5==1 hosts 503 on every sixth) layered on the fixture's status
+    histogram drives the integer backoff tiers against the parsed robots
+    ledger. Oracle replays the overload model, the pressure ratio and
+    the tier arithmetic against the ledger's closed form."""
+    from ..frontier.politeness import server_pressure_backoff
+    from ..frontier.scheduler import host_ledger, url_universe
+
+    pages = pages_df(spark, sf)
+    site_id = F.regexp_extract(F.col("host"), "site([0-9]+)", 1).cast("int")
+    stressed = pages.withColumn(
+        "status",
+        F.when((site_id % 5 == 3) & (F.col("doc_id") % 3 == 0), 429)
+        .when((site_id % 5 == 1) & (F.col("doc_id") % 6 == 0), 503)
+        .otherwise(F.col("status")),
+    )
+    return server_pressure_backoff(
+        stressed, host_ledger(url_universe(pages))
+    )
+
+
 def q_robots_cache(spark: SparkSession, sf: str) -> DataFrame:
     """robots.txt cache freshness worklist (frontier/robots.py:
     robots_cache_status — RFC 9309 §2.4 24h caching): per host
@@ -1880,6 +1904,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spam_mass": q_spam_mass,
     "refresh_schedule": q_refresh_schedule,
     "robots_cache": q_robots_cache,
+    "politeness_backoff": q_politeness_backoff,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -4096,6 +4121,48 @@ FROM perf CROSS JOIN tot ORDER BY fetcher
 PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
 PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
 PIPELINE_ORACLES["spam_mass"] = _spam_mass_oracle()
+
+# backoff tiers: overload model + pressure ratio + ledger closed form
+PIPELINE_ORACLES["politeness_backoff"] = oracle_cte(
+    """
+, sid AS (
+  SELECT host, doc_id, status,
+         CAST(regexp_extract(host, 'site([0-9]+)', 1) AS INT) AS site_id
+  FROM pages
+),
+stressed AS (
+  SELECT host, site_id,
+    CASE WHEN site_id % 5 = 3 AND doc_id % 3 = 0 THEN 429
+         WHEN site_id % 5 = 1 AND doc_id % 6 = 0 THEN 503
+         ELSE status END AS status
+  FROM sid
+),
+ph AS (
+  SELECT host, MIN(site_id) AS site_id,
+         CAST(COUNT(*) AS BIGINT) AS n_fetches,
+         CAST(SUM(CASE WHEN status IN (429, 500, 502, 503, 504)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pressure
+  FROM stressed GROUP BY host
+),
+led AS (
+  SELECT host, site_id, n_fetches, n_pressure,
+         (n_pressure * 1000) // n_fetches AS pressure_permille,
+         CASE WHEN site_id % 12 = 7 THEN 1
+              ELSE 1 + site_id % 4 END AS max_per_round
+  FROM ph
+)
+SELECT host, n_fetches, n_pressure,
+  CAST(pressure_permille AS BIGINT) AS pressure_permille,
+  CAST(max_per_round AS BIGINT) AS max_per_round,
+  CAST(CASE WHEN pressure_permille >= 600 THEN 1
+            WHEN pressure_permille >= 300
+              THEN GREATEST(1, max_per_round // 4)
+            WHEN pressure_permille >= 100
+              THEN GREATEST(1, max_per_round // 2)
+            ELSE max_per_round END AS BIGINT) AS backoff_budget
+FROM led ORDER BY host
+"""
+)
 
 PIPELINE_ORACLES["robots_cache"] = oracle_cte(
     """

@@ -171,3 +171,45 @@ def test_adaptive_contrast_on_fixture(spark):
     assert lifted and all(r.refill_mtok_per_s == 1000 for r in lifted)
     assert sum(r.denied_adaptive for r in rows) == 0  # fixture has no
     # host that keeps denying once paced by its own observed gaps
+
+
+def test_server_pressure_backoff_tiers(spark):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.frontier.politeness import (
+        server_pressure_backoff,
+    )
+
+    rows = (
+        [("calm", 200)] * 10
+        + [("warm", 503)] * 2 + [("warm", 200)] * 8      # 200 permille
+        + [("hot", 429)] * 4 + [("hot", 200)] * 6        # 400 permille
+        + [("down", 503)] * 7 + [("down", 200)] * 3      # 700 permille
+        + [("soft404", 404)] * 10                        # 404 is not pressure
+    )
+    pages = spark.createDataFrame(rows, "host string, status int")
+    ledger = spark.createDataFrame(
+        [("calm", 8), ("warm", 8), ("hot", 8), ("down", 8), ("soft404", 8)],
+        "host string, max_per_round int",
+    )
+    got = {
+        r["host"]: (r["pressure_permille"], r["backoff_budget"])
+        for r in server_pressure_backoff(pages, ledger).collect()
+    }
+    assert got == {
+        "calm": (0, 8),
+        "warm": (200, 4),
+        "hot": (400, 2),
+        "down": (700, 1),
+        "soft404": (0, 8),
+    }
+    # budget never drops below 1 even with a tiny ledger budget
+    tiny = spark.createDataFrame(
+        [("hot", 1), ("warm", 1), ("down", 1), ("calm", 1), ("soft404", 1)],
+        "host string, max_per_round int",
+    )
+    got = {
+        r["host"]: r["backoff_budget"]
+        for r in server_pressure_backoff(pages, tiny).collect()
+    }
+    assert all(v == 1 for v in got.values())
