@@ -653,13 +653,9 @@ def bpe_apply_col(word: F.Column, merges: list[tuple[str, str]],
     thousands of merges of a practical tokenizer (expression depth, not
     plan depth). The separator must not occur in the text (true for
     extracted webtext; see BPE_SEP)."""
-    s = F.regexp_replace(word, "(.)", sep + "$1")
-    for left, right in merges:
-        s = F.replace(
-            s, F.lit(sep + left + sep + right), F.lit(sep + left + right)
-        )
     return F.filter(
-        F.split(s, sep), lambda t: t != F.lit("")
+        F.split(_bpe_encoded_str(word, merges, sep), sep),
+        lambda t: t != F.lit(""),
     )
 
 
@@ -686,6 +682,70 @@ def bpe_token_frequencies(
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(top_k)
     )
+
+
+def bpe_compression(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer compression — tokens per 1000 words under a
+    merge list (the fertility metric that tells you which languages a
+    tokenizer serves badly; multilingual-corpus curation rebalances on
+    it). Token counting never materializes token arrays: each token is
+    exactly one separator char in the encoded representation, so
+    ``n_tokens = length(enc) - length(replace(enc, sep, ''))`` — pure
+    codegen arithmetic, replayed identically in DuckDB. Aggregates the
+    Zipf-compressed (lang, word, freq) table, not the corpus."""
+    wf = (
+        docs.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    enc = F.col("_enc")
+    per_word = wf.withColumn(
+        "_enc",
+        _bpe_encoded_str(F.col("word"), merges),
+    ).select(
+        "lang",
+        "freq",
+        (F.length(enc) - F.length(F.replace(enc, F.lit(BPE_SEP), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens_word"),
+    )
+    return (
+        per_word.groupBy("lang")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("n_tokens_word") * F.col("freq"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_1000_words",
+            F.floor(F.col("n_tokens") * 1000 / F.col("n_words")).cast(
+                "long"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_encoded_str(word: F.Column, merges: list[tuple[str, str]],
+                     sep: str = BPE_SEP) -> F.Column:
+    """The prefix-separated encoded representation (see bpe_apply_col) —
+    shared by the token-array and token-count paths."""
+    s = F.regexp_replace(word, "(.)", sep + "$1")
+    for left, right in merges:
+        s = F.replace(
+            s, F.lit(sep + left + sep + right), F.lit(sep + left + right)
+        )
+    return s
 
 
 def bpe_encode_docs(

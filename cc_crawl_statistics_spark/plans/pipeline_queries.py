@@ -308,6 +308,45 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 30
 """
 
 
+def q_bpe_compression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility under the pinned merge list
+    (textstats.bpe_compression): tokens are COUNTED as separator chars
+    in the encoded representation — no token arrays anywhere — and the
+    oracle replays length-difference arithmetic on the identical
+    replace chain."""
+    return TX.bpe_compression(
+        load_table(spark, sf, "documents"), _BPE_FIXED_MERGES
+    )
+
+
+def _bpe_compression_oracle() -> str:
+    e = r"regexp_replace(word, '(.)', chr(31) || '\1', 'g')"
+    for left, right in _BPE_FIXED_MERGES:
+        e = (
+            f"replace({e}, chr(31)||'{left}'||chr(31)||'{right}', "
+            f"chr(31)||'{left}{right}')"
+        )
+    return f"""
+WITH wf AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY lang, word
+),
+pw AS (
+  SELECT lang, freq,
+         CAST(length({e})
+              - length(replace({e}, chr(31), '')) AS BIGINT)
+           AS n_tokens_word
+  FROM wf
+)
+SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+       CAST(SUM(n_tokens_word * freq) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tokens_word * freq) * 1000 // SUM(freq) AS BIGINT)
+         AS tokens_per_1000_words
+FROM pw GROUP BY lang ORDER BY lang
+"""
+
+
 def q_nb_weights(spark: SparkSession, sf: str) -> DataFrame:
     """In-engine Naive Bayes training: the dense integer fixed-point
     weight matrix (textstats.nb_train) learned from the declared language
@@ -1865,6 +1904,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocabulary": q_vocabulary,
     "bpe_merges": q_bpe_merges,
     "bpe_encode": q_bpe_encode,
+    "bpe_compression": q_bpe_compression,
     "length_percentiles": q_length_percentiles,
     "length_percentiles_approx": q_length_percentiles_approx,
     "cms_host_freq": q_cms_host_freq,
@@ -4119,6 +4159,7 @@ FROM perf CROSS JOIN tot ORDER BY fetcher
 )
 
 PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
+PIPELINE_ORACLES["bpe_compression"] = _bpe_compression_oracle()
 PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
 PIPELINE_ORACLES["spam_mass"] = _spam_mass_oracle()
 

@@ -2273,6 +2273,7 @@ _PRIORITY_NEXT = [
     "refresh_schedule",     # composed refresh round planner (tiers+budget)
     "robots_cache",         # RFC 9309 robots cache TTL worklist
     "politeness_backoff",   # 429/5xx server-pressure budget shrink
+    "bpe_compression",      # per-language tokenizer fertility
     "robotstxt_status",     # displaced from the window in r3 (see above)
     "url_crawl_set_registry",  # displaced in r3: A14 at registry-scale ids
     "curate_corpus",        # displaced in r3: curation_funnel covers family

@@ -255,3 +255,42 @@ def test_bpe_encode_docs_concat_invariant(spark):
     out = bpe_encode_docs(docs, [("t", "h"), ("th", "e"), ("a", "n")])
     for r in out.collect():
         assert "".join(r["tokens"]) == r["text"].replace(" ", "")
+
+
+def test_bpe_compression_counts_match_token_arrays(spark):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.textstats import (
+        bpe_apply_col,
+        bpe_compression,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n")]
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the thane and the hat"),
+            (2, "en", "then than the"),
+            (3, "de", "das band an dem the"),
+        ],
+        "doc_id int, lang string, text string",
+    )
+    got = {
+        r["lang"]: (r["n_words"], r["n_tokens"], r["tokens_per_1000_words"])
+        for r in bpe_compression(docs, merges).collect()
+    }
+    # independent recount via the token-ARRAY path
+    arr = (
+        docs.select(
+            "lang",
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("lang", F.size(bpe_apply_col(F.col("w"), merges)).alias("n"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("nw"), F.sum("n").alias("nt"))
+        .collect()
+    )
+    want = {
+        r["lang"]: (r["nw"], r["nt"], r["nt"] * 1000 // r["nw"]) for r in arr
+    }
+    assert got == want
