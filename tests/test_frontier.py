@@ -813,3 +813,72 @@ def test_mid_store_flag_enable_widens_schedule_schema(spark, store):
     assert 0 < m2["fetcher_max_load_permille"] <= 1000
     cols = set(store.read(spark, 2, "schedule").columns)
     assert {"allowed", "fetcher"} <= cols
+
+
+def test_opic_and_backoff_drive_the_priority_queue(spark):
+    """Glue: the session's scoring/budget operators plug into the REAL
+    selection operator — OPIC importance as host_bucketed_topk's
+    score_col, server-pressure backoff budgets as its budget_col — and
+    the selected set matches an independent per-host recompute."""
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.frontier.politeness import (
+        server_pressure_backoff,
+    )
+    from cc_crawl_statistics_spark.frontier.scheduler import (
+        host_bucketed_topk,
+    )
+    from cc_crawl_statistics_spark.operators.opic import opic
+
+    # two hosts x five pages; host B is under pressure (budget shrinks)
+    nodes = list(range(10))
+    edges = [(i, (i * 3 + 1) % 10) for i in nodes] + [(0, 5), (1, 5)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    imp = opic(
+        edf, ndf, n_rounds=3, fetched_sql=lambda r: f"node % 3 = {r % 3}"
+    ).select("node", "importance_fp")
+
+    cand = (
+        imp.withColumn(
+            "host",
+            F.when(F.col("node") < 5, "a.example").otherwise("b.example"),
+        )
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit("/p/"),
+                F.col("node"),
+            ),
+        )
+        .withColumn("depth", F.lit(0))
+        .withColumn("score", F.col("importance_fp"))
+    )
+    fetches = [("a.example", 200)] * 10 + [
+        ("b.example", 503)
+    ] * 4 + [("b.example", 200)] * 6
+    ledger = spark.createDataFrame(
+        [("a.example", 3), ("b.example", 3)],
+        "host string, max_per_round int",
+    )
+    budgets = server_pressure_backoff(
+        spark.createDataFrame(fetches, "host string, status int"), ledger
+    ).select("host", F.col("backoff_budget").alias("max_per_round"))
+
+    sel = host_bucketed_topk(cand.join(budgets, "host"))
+    got = sorted(
+        (r["host"], r["url"]) for r in sel.select("host", "url").collect()
+    )
+
+    rows = cand.select("host", "url", "score").collect()
+    buds = {r["host"]: r["max_per_round"] for r in budgets.collect()}
+    want = []
+    for host in ("a.example", "b.example"):
+        hs = sorted(
+            (r for r in rows if r["host"] == host),
+            key=lambda r: (-r["score"], r["url"]),
+        )
+        want += [(host, r["url"]) for r in hs[: buds[host]]]
+    assert got == sorted(want)
+    # pressure host got fewer slots than its ledger budget
+    assert buds["b.example"] == 1 and buds["a.example"] == 3
