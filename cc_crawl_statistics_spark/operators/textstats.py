@@ -1316,3 +1316,55 @@ def compression_ratios(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# error-page phrases a soft-404 body carries despite its 200 status —
+# deliberately a small, fully-specified pattern set so both engines
+# evaluate the identical regexp (production deployments extend the list
+# or swap in a trained classifier behind the same column contract)
+SOFT404_PATTERN = (
+    "page not found|404 not found|does not exist|no longer available"
+)
+
+
+def soft404_flags(
+    pages_text: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Adds ``is_soft404``: the capture returned HTTP 200 but its body is
+    an error page (Bar-Yossef et al., WWW 2004 — 'soft 404s' break both
+    index quality and dead-link detection, and a crawler that trusts the
+    status code keeps recrawling and even expanding them). Pure codegen
+    (lower + rlike) in whatever stage already carries the text."""
+    return pages_text.withColumn(
+        "is_soft404",
+        (F.col("status") == 200)
+        & F.lower(F.col(text_col)).rlike(SOFT404_PATTERN),
+    )
+
+
+def soft404_host_rates(
+    pages_text: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-host soft-404 exposure: 200-status fetches, how many are
+    error-page bodies, integer permille — the screen that demotes a host
+    in the frontier (a high rate means its 200s can't be trusted) and
+    drops the pages from the training corpus. One host-grain
+    aggregation."""
+    flagged = soft404_flags(pages_text, text_col)
+    return (
+        flagged.filter(F.col("status") == 200)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_200"),
+            F.sum(F.when(F.col("is_soft404"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_soft404"),
+        )
+        .withColumn(
+            "soft404_permille",
+            F.floor(F.col("n_soft404") * 1000 / F.col("n_200")).cast(
+                "long"
+            ),
+        )
+        .orderBy("host")
+    )

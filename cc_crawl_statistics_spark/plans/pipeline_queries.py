@@ -1047,6 +1047,23 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_soft404(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft-404 exposure per host (textstats.soft404_host_rates,
+    Bar-Yossef 2004): the fixture injects deterministic error-page
+    bodies (doc_id % 31 == 0 texts get a 'Page not found' prefix) onto
+    200-status captures; the codegen pattern flag and the host rollup
+    are replayed arithmetically by the oracle."""
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    pages = pages_df(spark, sf).join(docs, "doc_id").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 31 == 0,
+            F.concat(F.lit("Page not found - "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return TX.soft404_host_rates(pages)
+
+
 def q_politeness_backoff(spark: SparkSession, sf: str) -> DataFrame:
     """Server-pressure politeness backoff
     (frontier/politeness.server_pressure_backoff): a deterministic
@@ -1945,6 +1962,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "refresh_schedule": q_refresh_schedule,
     "robots_cache": q_robots_cache,
     "politeness_backoff": q_politeness_backoff,
+    "soft404": q_soft404,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -4162,6 +4180,32 @@ PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
 PIPELINE_ORACLES["bpe_compression"] = _bpe_compression_oracle()
 PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
 PIPELINE_ORACLES["spam_mass"] = _spam_mass_oracle()
+
+# soft-404: injected error-page bodies + pattern flag + host rollup.
+# The oracle runs the SAME regexp on the SAME injected text — Spark must
+# reproduce the injection, the lower/rlike flag and the 200-gate exactly.
+PIPELINE_ORACLES["soft404"] = oracle_cte(
+    """
+, pt AS (
+  SELECT p.host, p.status,
+         CASE WHEN p.doc_id % 31 = 0
+              THEN 'Page not found - ' || d.text
+              ELSE d.text END AS text
+  FROM pages p JOIN documents d ON p.doc_id = d.doc_id
+),
+flagged AS (
+  SELECT host,
+    CASE WHEN status = 200 AND regexp_matches(lower(text),
+      'page not found|404 not found|does not exist|no longer available')
+    THEN 1 ELSE 0 END AS s404
+  FROM pt WHERE status = 200
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_200,
+  CAST(SUM(s404) AS BIGINT) AS n_soft404,
+  CAST(SUM(s404) * 1000 // COUNT(*) AS BIGINT) AS soft404_permille
+FROM flagged GROUP BY host ORDER BY host
+"""
+)
 
 # backoff tiers: overload model + pressure ratio + ledger closed form
 PIPELINE_ORACLES["politeness_backoff"] = oracle_cte(

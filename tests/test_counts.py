@@ -358,3 +358,31 @@ def test_robust_host_outliers_hand_computed(spark):
         ("A", "burst"): (100, 10, 2),
         ("B", "s"): (7, 5, 0),
     }
+
+
+def test_soft404_flags_and_rates(spark):
+    from cc_crawl_statistics_spark.operators.textstats import (
+        soft404_flags,
+        soft404_host_rates,
+    )
+
+    rows = [
+        ("h1", 200, "Welcome to our homepage"),
+        ("h1", 200, "Sorry, PAGE NOT FOUND here"),       # case-insensitive
+        ("h1", 404, "page not found"),                   # real 404: not soft
+        ("h1", 200, "this article does not exist anymore"),
+        ("h2", 200, "all good"),
+        ("h2", 301, "page not found"),                   # redirect: not soft
+    ]
+    pages = spark.createDataFrame(rows, "host string, status int, text string")
+    flags = {
+        (r["host"], r["status"], r["text"]): r["is_soft404"]
+        for r in soft404_flags(pages).collect()
+    }
+    assert sum(flags.values()) == 2
+    assert flags[("h1", 404, "page not found")] is False
+    got = {
+        r["host"]: (r["n_200"], r["n_soft404"], r["soft404_permille"])
+        for r in soft404_host_rates(pages).collect()
+    }
+    assert got == {"h1": (3, 2, 666), "h2": (1, 0, 0)}
