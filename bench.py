@@ -148,10 +148,15 @@ def _token_bucket_bench(pages):
 
 
 def _dsir_bench(pages):
+    # scale flavor: xxhash64 buckets (codegen, ~5x cheaper than the
+    # portable-md5 exactness flavor the oracle replays — semantics are
+    # hash-agnostic, see operators/dsir.feature_bucket)
     from cc_crawl_statistics_spark.operators.dsir import dsir_weights
 
     d = pages.sparkSession.table("documents")
-    return dsir_weights(d, d.filter("lang = 'en' AND doc_id % 5 = 0"))
+    return dsir_weights(
+        d, d.filter("lang = 'en' AND doc_id % 5 = 0"), hasher="xxhash64"
+    )
 
 
 def _boilerplate_bench(pages):

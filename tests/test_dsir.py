@@ -93,3 +93,34 @@ def test_bitext_language_variant_pairs(spark):
         ("https://a.com/<lang>/about.html", "de", "fr"),
         ("https://a.com/<lang>/about.html", "en", "fr"),
     }
+
+
+def test_xxhash64_flavor_same_shape_and_rank_sanity(spark):
+    """The scale-flavor hasher must produce the same output contract and
+    broadly the same selection behavior (identical doc set, same feature
+    counts — bucket values differ, so scores differ numerically but the
+    planted-contrast ordering signal survives)."""
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.dsir import dsir_weights
+
+    rows = [(i, "common words filler " * 3) for i in range(40)] + [
+        (100 + i, "rare target phrase signal " * 3) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id >= 100")
+    md5 = dsir_weights(docs, target).collect()
+    xx = dsir_weights(docs, target, hasher="xxhash64").collect()
+    assert [r["doc_id"] for r in md5] == [r["doc_id"] for r in xx]
+    assert [r["n_feats"] for r in md5] == [r["n_feats"] for r in xx]
+    # both flavors rank every target-like doc above every raw-only doc
+    for res in (md5, xx):
+        scores = {r["doc_id"]: r["logw_x1m"] for r in res}
+        assert min(scores[d] for d in scores if d >= 100) > max(
+            scores[d] for d in scores if d < 100
+        )
+    # xxhash64 flavor is deterministic across partitionings
+    xx2 = dsir_weights(
+        docs.repartition(7), target, hasher="xxhash64"
+    ).collect()
+    assert [tuple(r) for r in xx] == [tuple(r) for r in xx2]
