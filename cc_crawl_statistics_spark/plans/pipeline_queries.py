@@ -1047,6 +1047,77 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs & authorities (operators/hits.py, Kleinberg 1999) — the
+    mutual-reinforcement link-analysis class, 3 exact max-normalized
+    integer iterations over the frontier's deterministic graph, top-50
+    by authority. Oracle unrolls both half-recurrences with their scalar
+    max CTEs."""
+    from ..operators.hits import hits_top
+
+    pages = pages_df(spark, sf)
+    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
+    n_docs = uni.count()
+    ids = uni.select(F.col("doc_id").alias("src"))
+    edges = ids.select(
+        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
+    ).union(ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst")))
+    nodes = uni.select(F.col("doc_id").alias("node"))
+    return hits_top(edges, nodes, n_iter=3, k=50)
+
+
+def _hits_oracle(n_iter: int = 3, k: int = 50) -> str:
+    ctes = [
+        ", uni AS (SELECT MIN(doc_id) AS doc_id FROM pages GROUP BY url)",
+        "n AS (SELECT COUNT(*) AS n_docs FROM uni)",
+        "nodes AS (SELECT DISTINCT doc_id AS node FROM uni)",
+        "edges AS (\n"
+        "  SELECT doc_id AS src, (2 * doc_id + 1) % n_docs AS dst"
+        " FROM uni, n\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id AS src, (3 * doc_id + 7) % n_docs AS dst"
+        " FROM uni, n)",
+        "a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS auth"
+        " FROM nodes)",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"hr{i} AS (SELECT edges.src, SUM(auth) AS raw"
+            f" FROM edges JOIN a{i} ON a{i}.node = edges.dst"
+            f" GROUP BY edges.src)"
+        )
+        ctes.append(
+            f"hm{i} AS (SELECT COALESCE(GREATEST(MAX(raw), 1), 1) AS m"
+            f" FROM hr{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT node,"
+            f" CAST(COALESCE(raw, 0) * 1000000 // m AS BIGINT) AS hub"
+            f" FROM nodes LEFT JOIN hr{i} ON node = src, hm{i})"
+        )
+        ctes.append(
+            f"ar{i} AS (SELECT edges.dst, SUM(hub) AS raw"
+            f" FROM edges JOIN h{i} ON h{i}.node = edges.src"
+            f" GROUP BY edges.dst)"
+        )
+        ctes.append(
+            f"am{i} AS (SELECT COALESCE(GREATEST(MAX(raw), 1), 1) AS m"
+            f" FROM ar{i})"
+        )
+        ctes.append(
+            f"a{i + 1} AS (SELECT node,"
+            f" CAST(COALESCE(raw, 0) * 1000000 // m AS BIGINT) AS auth"
+            f" FROM nodes LEFT JOIN ar{i} ON node = dst, am{i})"
+        )
+    last_h, last_a = n_iter - 1, n_iter
+    body = ",\n".join(ctes) + (
+        f"\nSELECT h.node, h.hub AS hub_fp, a.auth AS auth_fp"
+        f" FROM h{last_h} h JOIN a{last_a} a ON h.node = a.node"
+        f" ORDER BY auth_fp DESC, hub_fp DESC, h.node LIMIT {k}"
+    )
+    return oracle_cte(body)
+
+
 def q_soft404(spark: SparkSession, sf: str) -> DataFrame:
     """Soft-404 exposure per host (textstats.soft404_host_rates,
     Bar-Yossef 2004): the fixture injects deterministic error-page
@@ -1963,6 +2034,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_cache": q_robots_cache,
     "politeness_backoff": q_politeness_backoff,
     "soft404": q_soft404,
+    "hits_scores": q_hits,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -4180,6 +4252,7 @@ PIPELINE_ORACLES["bpe_encode"] = _bpe_encode_oracle()
 PIPELINE_ORACLES["bpe_compression"] = _bpe_compression_oracle()
 PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
 PIPELINE_ORACLES["spam_mass"] = _spam_mass_oracle()
+PIPELINE_ORACLES["hits_scores"] = _hits_oracle()
 
 # soft-404: injected error-page bodies + pattern flag + host rollup.
 # The oracle runs the SAME regexp on the SAME injected text — Spark must

@@ -2275,6 +2275,7 @@ _PRIORITY_NEXT = [
     "politeness_backoff",   # 429/5xx server-pressure budget shrink
     "bpe_compression",      # per-language tokenizer fertility
     "soft404",              # 200-status error-page screen (Bar-Yossef 2004)
+    "hits_scores",          # HITS hubs/authorities (Kleinberg 1999)
     "robotstxt_status",     # displaced from the window in r3 (see above)
     "url_crawl_set_registry",  # displaced in r3: A14 at registry-scale ids
     "curate_corpus",        # displaced in r3: curation_funnel covers family

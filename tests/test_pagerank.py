@@ -142,3 +142,47 @@ def test_spam_mass_screens_unreachable_farm(spark):
     # farm nodes: all rank uncovered; trusted triangle: mostly covered
     assert got[8] == 1000 and got[9] == 1000
     assert got[0] < 500 and got[1] < 500 and got[2] < 500
+
+
+def model_hits(edges, nodes, n_iter=5):
+    """Independent single-threaded model of hits() — exact max-
+    normalized integer recurrence."""
+    SCALE = 1_000_000
+    nodes = list(nodes)
+    auth = {v: SCALE for v in nodes}
+    hub = {}
+    for _ in range(n_iter):
+        hr = {v: 0 for v in nodes}
+        for s, d in edges:
+            hr[s] += auth[d]
+        m = max(max(hr.values()), 1)
+        hub = {v: hr[v] * SCALE // m for v in nodes}
+        ar = {v: 0 for v in nodes}
+        for s, d in edges:
+            ar[d] += hub[s]
+        m = max(max(ar.values()), 1)
+        auth = {v: ar[v] * SCALE // m for v in nodes}
+    return hub, auth
+
+
+def test_hits_bit_for_bit_vs_model(spark):
+    from cc_crawl_statistics_spark.operators.hits import hits
+
+    edges = (
+        [(0, 2), (0, 3), (1, 2), (1, 3), (4, 2)]  # 2,3 authorities
+        + [(2, 5), (3, 5)]  # 5 authority fed by former authorities
+        + [(6, 7)]  # side pair; 8 isolated
+    )
+    nodes = list(range(9))
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub_fp"], r["auth_fp"])
+        for r in hits(edf, ndf, n_iter=4).collect()
+    }
+    mh, ma = model_hits(edges, nodes, n_iter=4)
+    assert got == {v: (mh[v], ma[v]) for v in nodes}
+    # structure: 0/1 are the best hubs, 2/3 strong authorities,
+    # isolated node 8 scores zero on both sides
+    assert got[0][0] == max(h for h, _ in got.values())
+    assert got[8] == (0, 0)
