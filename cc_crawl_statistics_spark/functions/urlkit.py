@@ -124,3 +124,69 @@ def surt_domain_of(surt_key_col):
 # public-suffix split lives in functions/psl.py (full vendored PSL rules,
 # arbitrary-depth longest match incl. wildcard/exception rules, applied as
 # broadcast joins via psl.split_host)
+
+
+# a path segment that is anything but '..' itself — RE2-safe (no
+# lookaround): starts with a non-dot, or one dot + non-dot, or '..' with
+# at least one more char. Shared verbatim with the DuckDB oracle.
+NOT_DOTDOT_SEG = r"(?:[^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+)"
+
+
+def normalize_url(url, max_dot_segments: int = 8):
+    """RFC 3986 §6 syntax-based URL normalization as a pure codegen
+    expression chain — the alias-collapse a frontier applies BEFORE the
+    seen-set so `http://Host.example:80//a/./b/../c.html` and
+    `http://host.example/a/c.html` claim one slot, not two. Steps (each
+    a replace/regexp over the string, identical in DuckDB for the
+    oracle):
+
+      1. lowercase the scheme and host (path stays case-sensitive)
+      2. drop the default port (:80 for http, :443 for https)
+      3. drop the fragment
+      4. collapse duplicate slashes in the path
+      5. remove `/./` segments
+      6. resolve `/seg/../` pairs — BOUNDED unroll (``max_dot_segments``
+         passes): dot-segment removal is inherently iterative, and a
+         fixed unroll keeps the whole thing one codegen projection; 8
+         levels covers any real URL (deeper ones are trap-shaped and
+         die in the URL filter chain first), and a leftover `../` after
+         the unroll is left as-is rather than silently mis-resolved.
+
+    Percent-encoding normalization (uppercase hex, decode unreserved)
+    is deliberately out of scope here: it needs per-match callbacks that
+    leave codegen; the fixture generator never emits percent escapes,
+    and a production deployment adds it in the same Arrow UDF tier as
+    surt_key."""
+    u = F.col(url) if isinstance(url, str) else url
+    # 1. scheme://host[:port] lowercased; keep everything after authority
+    head = F.regexp_extract(u, r"^([^:]+://[^/]*)", 1)
+    tail = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 20))
+    u = F.concat(F.lower(head), tail)
+    # 2. default ports
+    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
+    # 3. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # steps 4-6 operate on the PATH only — dot-segment and slash rules
+    # must never reach across the authority (RFC 3986 §5.2.4 merges
+    # within the path component). Patterns are RE2-safe (no lookaround)
+    # so the DuckDB oracle runs the IDENTICAL chain.
+    origin = F.regexp_extract(u, r"^([^:]+://[^/]*)", 1)
+    path = F.substring(u, F.length(origin) + F.lit(1), F.lit(1 << 20))
+    # 4. duplicate slashes
+    path = F.regexp_replace(path, r"//+", "/")
+    # 5. /./ segments — '/./'→'/' global passes; two passes resolve the
+    #    adjacent-overlap chain ('/././' leaves one behind per pass)
+    for _ in range(2):
+        path = F.regexp_replace(path, r"/\./", "/")
+    path = F.regexp_replace(path, r"/\.$", "/")
+    # 6. bounded /seg/../ resolution — the segment alternation matches
+    #    any segment EXCEPT '..' itself without negative lookahead;
+    #    leading /../ clamps to / (RFC: '..' above root is removed)
+    seg = NOT_DOTDOT_SEG
+    for _ in range(max_dot_segments):
+        path = F.regexp_replace(path, rf"/{seg}/\.\./", "/")
+        path = F.regexp_replace(path, r"^/\.\./", "/")
+    path = F.regexp_replace(path, rf"/{seg}/\.\.$", "/")
+    path = F.regexp_replace(path, r"^/\.\.$", "/")
+    return F.concat(origin, path)

@@ -1047,6 +1047,96 @@ def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """RFC 3986 syntax normalization as the frontier's alias collapse
+    (functions/urlkit.normalize_url — pure RE2-safe codegen chain): five
+    deterministic alias classes (synth.messy_url_sql: host case,
+    fragment, default port, dot-segments, duplicate slashes) must each
+    be exactly restored to the canonical capture URL. The oracle runs
+    the IDENTICAL regexp chain in DuckDB (same patterns, same bounded
+    unroll), so any divergence in regex semantics or step order
+    hash-fails."""
+    from ..functions.urlkit import normalize_url
+    from ..synth import messy_url_sql
+
+    base = (
+        pages_df(spark, sf)
+        .select("doc_id", "url", "scheme", "host")
+        .distinct()
+    )
+    m = base.withColumn("messy", F.expr(messy_url_sql()))
+    n = m.withColumn("norm", normalize_url(F.col("messy")))
+    return (
+        n.withColumn(
+            "alias_class", F.least(F.col("doc_id") % 13, F.lit(5)).cast("long")
+        )
+        .groupBy("alias_class")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("messy") != F.col("norm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.when(F.col("norm") == F.col("url"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_restored"),
+        )
+        .orderBy("alias_class")
+    )
+
+
+def _url_normalize_oracle(max_dot_segments: int = 8) -> str:
+    from ..functions.urlkit import NOT_DOTDOT_SEG
+    from ..synth import messy_url_sql
+
+    seg = NOT_DOTDOT_SEG
+    dot_stages = []
+    prev = "s5"
+    for i in range(max_dot_segments):
+        dot_stages.append(
+            f"d{i} AS (SELECT doc_id, url, messy, origin,\n"
+            f"  regexp_replace(regexp_replace(p, '/{seg}/\\.\\./', '/',"
+            f" 'g'), '^/\\.\\./', '/') AS p FROM {prev})"
+        )
+        prev = f"d{i}"
+    dots = ",\n".join(dot_stages)
+    return oracle_cte(
+        f"""
+, base AS (SELECT DISTINCT doc_id, url, scheme, host FROM pages),
+mm AS (SELECT doc_id, url, {messy_url_sql()} AS messy FROM base),
+s1 AS (SELECT doc_id, url, messy,
+  lower(regexp_extract(messy, '^([^:]+://[^/]*)', 1))
+    || substr(messy,
+              length(regexp_extract(messy, '^([^:]+://[^/]*)', 1)) + 1)
+    AS u FROM mm),
+s2 AS (SELECT doc_id, url, messy,
+  regexp_replace(regexp_replace(regexp_replace(u,
+    '^(http://[^/:]+):80(/|$)', '\\1\\2'),
+    '^(https://[^/:]+):443(/|$)', '\\1\\2'),
+    '#.*$', '') AS u FROM s1),
+s3 AS (SELECT doc_id, url, messy,
+  regexp_extract(u, '^([^:]+://[^/]*)', 1) AS origin,
+  substr(u, length(regexp_extract(u, '^([^:]+://[^/]*)', 1)) + 1) AS p
+  FROM s2),
+s4 AS (SELECT doc_id, url, messy, origin,
+  regexp_replace(regexp_replace(regexp_replace(p, '//+', '/', 'g'),
+    '/\\./', '/', 'g'), '/\\./', '/', 'g') AS p FROM s3),
+s5 AS (SELECT doc_id, url, messy, origin,
+  regexp_replace(p, '/\\.$', '/') AS p FROM s4),
+{dots},
+fin AS (SELECT doc_id, url, messy,
+  origin || regexp_replace(regexp_replace(p, '/{seg}/\\.\\.$', '/'),
+    '^/\\.\\.$', '/') AS norm FROM {prev})
+SELECT CAST(LEAST(doc_id % 13, 5) AS BIGINT) AS alias_class,
+  CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(CASE WHEN messy <> norm THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_changed,
+  CAST(SUM(CASE WHEN norm = url THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_restored
+FROM fin GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
 def q_hits(spark: SparkSession, sf: str) -> DataFrame:
     """HITS hubs & authorities (operators/hits.py, Kleinberg 1999) — the
     mutual-reinforcement link-analysis class, 3 exact max-normalized
@@ -2035,6 +2125,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "politeness_backoff": q_politeness_backoff,
     "soft404": q_soft404,
     "hits_scores": q_hits,
+    "url_normalize": q_url_normalize,
     "asof_capture": q_asof_capture,
     "token_bucket": q_token_bucket,
     "adaptive_token_bucket": q_adaptive_token_bucket,
@@ -4253,6 +4344,7 @@ PIPELINE_ORACLES["bpe_compression"] = _bpe_compression_oracle()
 PIPELINE_ORACLES["opic_priority"] = _opic_oracle()
 PIPELINE_ORACLES["spam_mass"] = _spam_mass_oracle()
 PIPELINE_ORACLES["hits_scores"] = _hits_oracle()
+PIPELINE_ORACLES["url_normalize"] = _url_normalize_oracle()
 
 # soft-404: injected error-page bodies + pattern flag + host rollup.
 # The oracle runs the SAME regexp on the SAME injected text — Spark must

@@ -261,6 +261,27 @@ def rep_anchor_nofollow_sql(d: str, i: int) -> str:
     return f"((({d}) + {i}) % 3 = 0)"
 
 
+def messy_url_sql(d: str = "doc_id") -> str:
+    """Dialect-neutral URL-alias generator for the normalization fixture:
+    five deterministic alias classes over the page's own URL (case,
+    fragment, default port, dot-segment, duplicate-slash + '.' segment),
+    the rest passed through clean — every class is exactly recovered by
+    functions/urlkit.normalize_url, which is what the url_normalize
+    oracle checks."""
+    path = f"'/page/' || CAST({d} AS STRING) || '.html'"
+    return (
+        f"CASE ({d}) % 13 "
+        f"WHEN 0 THEN scheme || '://' || UPPER(host) || {path} "
+        f"WHEN 1 THEN url || '#frag' "
+        f"WHEN 2 THEN scheme || '://' || host || "
+        f"CASE WHEN scheme = 'http' THEN ':80' ELSE ':443' END || {path} "
+        f"WHEN 3 THEN scheme || '://' || host || '/x/..' || {path} "
+        f"WHEN 4 THEN scheme || '://' || host || '//page/./' || "
+        f"CAST({d} AS STRING) || '.html' "
+        f"ELSE url END"
+    )
+
+
 def outlink_child_ids_sql(n_docs: int) -> tuple[str, str, str]:
     return (
         f"(doc_id * 2 + 1) % {n_docs}",

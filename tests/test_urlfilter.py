@@ -232,3 +232,54 @@ def test_url_templates_fixture_discriminates(spark):
     assert traps and all(r.template == "/cal/<n>/<n>/<n>" for r in traps)
     assert len({r.host for r in traps}) == 40
     assert all(not r.trap for r in out if r.n_placeholders < 2)
+
+
+def test_normalize_url_rfc3986_cases(spark):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.functions.urlkit import normalize_url
+
+    cases = [
+        ("HTTP://Host.Example:80//a/./b/../c.html#frag",
+         "http://host.example/a/c.html"),
+        ("https://x.example:443/a//b/././c/../../d.html",
+         "https://x.example/a/d.html"),
+        ("http://y.example/a/b/c", "http://y.example/a/b/c"),
+        # non-default port survives; dot-segments never cross the
+        # authority; '..' above root clamps
+        ("http://y.example:8080/a/../../b", "http://y.example:8080/b"),
+        ("https://z.example/x/../..", "https://z.example/"),
+        ("http://a.example/p/q/r/../../../s", "http://a.example/s"),
+        # dotted segments that are NOT '..' resolve like any segment
+        ("http://a.example/..a/../b", "http://a.example/b"),
+        ("http://a.example/.h/../b", "http://a.example/b"),
+        # authority-only URL and trailing /. flavors
+        ("http://a.example", "http://a.example"),
+        ("http://a.example/x/.", "http://a.example/x/"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "url string")
+    got = {
+        r["url"]: r["n"]
+        for r in df.select(
+            "url", normalize_url(F.col("url")).alias("n")
+        ).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, raw
+
+
+def test_normalize_url_idempotent_on_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.functions.urlkit import normalize_url
+    from cc_crawl_statistics_spark.sources.tables import pages_df
+    from cc_crawl_statistics_spark.synth import messy_url_sql
+    from tests.conftest import SF_SMOKE
+
+    base = pages_df(spark, SF_SMOKE).select(
+        "doc_id", "url", "scheme", "host"
+    ).distinct()
+    m = base.withColumn("messy", F.expr(messy_url_sql()))
+    once = m.withColumn("n1", normalize_url(F.col("messy")))
+    twice = once.withColumn("n2", normalize_url(F.col("n1")))
+    assert twice.filter(F.col("n1") != F.col("n2")).count() == 0
