@@ -346,3 +346,42 @@ def test_hyperball_matches_exact_on_fixture(spark):
             r.harmonic_x1m, 1
         )
         assert rel <= 0.05, (h, est[h].harmonic_x1m_est, r.harmonic_x1m)
+
+
+def test_trustrank_over_parsed_host_graph(spark):
+    """Glue: TrustRank runs directly on the host-level web graph parsed
+    out of html bytes (string node ids), seeded with the fixture's
+    www-subdomain hosts — linked hosts accumulate trust, and every
+    host's trust is bounded by reachability from the seed set."""
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.operators.linkgraph import (
+        host_link_graph,
+        page_outlinks,
+    )
+    from cc_crawl_statistics_spark.operators.pagerank import trustrank
+    from cc_crawl_statistics_spark.sources.cc_pages import (
+        cc_pages_linked_df,
+    )
+    from tests.conftest import SF_SMOKE
+
+    edges = host_link_graph(
+        page_outlinks(cc_pages_linked_df(spark, SF_SMOKE))
+    ).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node").startswith("www."))
+    got = trustrank(edges, seeds, nodes=nodes, n_iter=4).collect()
+    trust = {r["node"]: r["trust_fp"] for r in got}
+    assert len(trust) == nodes.count()
+    # the dense fixture graph propagates trust beyond the seeds…
+    non_seed = {h: t for h, t in trust.items() if not h.startswith("www.")}
+    assert any(t > 0 for t in non_seed.values())
+    # …and seeds, holding the teleport mass, dominate the top of the list
+    top = sorted(trust, key=lambda h: -trust[h])[:5]
+    assert any(h.startswith("www.") for h in top)
