@@ -158,10 +158,12 @@ def refresh_round_plan(
     validator_col: str = "has_validator",
 ) -> DataFrame:
     """The refresh ROUND PLANNER — the composition that closes the
-    adaptive-recrawl loop end to end: change-rate tiers say WHICH URLs
-    are due (hot and never-observed first, warm next, cold skipped),
-    max-min fair water-filling of each fetcher shard's budget says HOW
-    MANY per host, and the revalidation classes say HOW to fetch them
+    adaptive-recrawl loop end to end: change-rate tiers say in WHICH
+    ORDER URLs are due (hot first, then never-observed, then warm, then
+    cold — cold pages still refresh when budget remains, and they are
+    precisely the fetches that go out as cheap conditional GETs), max-min
+    fair water-filling of each fetcher shard's budget says HOW MANY per
+    host, and the revalidation classes say HOW to fetch them
     (conditional GET vs full body). Every stage is an existing exact
     operator (recrawl_tiers, capacity.assign_fetchers +
     maxmin_fair_allocation, revalidation_classes) — this plan just wires
@@ -179,15 +181,12 @@ def refresh_round_plan(
 
     tiers = recrawl_tiers(pages).select("url", "tier")
     cls = revalidation_classes(pages, validator_col)
-    due = (
-        tiers.join(cls, "url")
-        .filter(F.col("tier") != "cold")
-        .withColumn(
-            "tier_rank",
-            F.when(F.col("tier") == "hot", 0)
-            .when(F.col("tier") == "new", 1)
-            .otherwise(2),
-        )
+    due = tiers.join(cls, "url").withColumn(
+        "tier_rank",
+        F.when(F.col("tier") == "hot", 0)
+        .when(F.col("tier") == "new", 1)
+        .when(F.col("tier") == "warm", 2)
+        .otherwise(3),
     )
     demands = due.groupBy("host").agg(F.count("*").alias("demand"))
     alloc = maxmin_fair_allocation(

@@ -4591,8 +4591,9 @@ tiers AS (
 due AS (
   SELECT t.url, c.host, c.cls,
          CASE WHEN t.tier = 'hot' THEN 0
-              WHEN t.tier = 'new' THEN 1 ELSE 2 END AS tier_rank
-  FROM tiers t JOIN cls c ON t.url = c.url WHERE t.tier <> 'cold'
+              WHEN t.tier = 'new' THEN 1
+              WHEN t.tier = 'warm' THEN 2 ELSE 3 END AS tier_rank
+  FROM tiers t JOIN cls c ON t.url = c.url
 ),
 demands AS (
   SELECT host, CAST(COUNT(*) AS BIGINT) AS demand

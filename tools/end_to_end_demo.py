@@ -92,6 +92,30 @@ def main(spark=None, sf: str = DEFAULT_SF) -> None:
         per_crawl = {r.crawl: r.pages for r in sizes.collect()}
         print(f"[4] stats wire round-trip: per-crawl pages {per_crawl}")
 
+        # ── REP page directives + URL alias collapse ─────────────────────
+        from cc_crawl_statistics_spark.functions.urlkit import normalize_url
+        from cc_crawl_statistics_spark.operators.rep_gate import (
+            indexable_pages,
+        )
+        from cc_crawl_statistics_spark.sources.cc_pages import (
+            cc_pages_rep_df,
+        )
+        from cc_crawl_statistics_spark.synth import messy_url_sql
+
+        rep = cc_pages_rep_df(spark, sf)
+        n_rep, n_indexable = rep.count(), indexable_pages(rep).count()
+        assert 0 < n_indexable < n_rep
+        base = pages.select("doc_id", "url", "scheme", "host").distinct()
+        aliased = base.withColumn("messy", F.expr(messy_url_sql()))
+        n_bad = aliased.filter(
+            normalize_url(F.col("messy")) != F.col("url")
+        ).count()
+        assert n_bad == 0  # every alias class collapses onto its capture
+        print(
+            f"[4b] REP gate kept {n_indexable}/{n_rep} fetches indexable; "
+            f"all URL aliases normalized back to canonical"
+        )
+
         # ── curation layer ───────────────────────────────────────────────
         corpus = corpus_df(spark, sf).cache()
         verdicts = curate_corpus(corpus)
@@ -149,6 +173,40 @@ def main(spark=None, sf: str = DEFAULT_SF) -> None:
             f"round 2 scheduled {m2['n_scheduled']} "
             f"({m2['n_robots_denied']} denied at fetch time by per-path "
             f"rules)"
+        )
+
+        # ── adaptive refresh: tiers × fair budget × fetch mode ──────────
+        from cc_crawl_statistics_spark.operators.recrawl import (
+            refresh_round_plan,
+        )
+
+        drifted = pages.withColumns(
+            {
+                "digest": F.concat(
+                    F.col("digest"),
+                    F.lit(":"),
+                    F.when(
+                        F.col("doc_id") % 5 == 0,
+                        F.col("crawl_id").cast("string"),
+                    ).otherwise(F.lit("0")),
+                ),
+                "has_validator": F.col("doc_id") % 4 != 1,
+            }
+        )
+        plan = refresh_round_plan(drifted, budget_per_fetcher=25)
+        over = (
+            plan.groupBy("fetcher")
+            .agg(F.sum("n_scheduled").alias("s"))
+            .filter(F.col("s") > 25)
+            .count()
+        )
+        assert over == 0  # no shard exceeds its round budget
+        tot = plan.agg(
+            F.sum("n_scheduled").alias("s"), F.sum("n_conditional").alias("c")
+        ).first()
+        print(
+            f"[9] refresh plan: {tot['s']} URLs scheduled within 4x25 "
+            f"budget, {tot['c']} as conditional GETs"
         )
 
         print("END-TO-END OK")
