@@ -154,9 +154,9 @@ def normalize_url(url, max_dot_segments: int = 8):
 
     Percent-encoding normalization (uppercase hex, decode unreserved)
     is deliberately out of scope here: it needs per-match callbacks that
-    leave codegen; the fixture generator never emits percent escapes,
-    and a production deployment adds it in the same Arrow UDF tier as
-    surt_key."""
+    leave codegen; the fixture generator never emits percent escapes.
+    Compose ``normalize_percent_encoding()`` (the Arrow tier, below)
+    after this chain for the full RFC 3986 §6 normalization."""
     u = F.col(url) if isinstance(url, str) else url
     # 1. scheme://host[:port] lowercased; keep everything after authority
     head = F.regexp_extract(u, r"^([^:]+://[^/]*)", 1)
@@ -190,3 +190,41 @@ def normalize_url(url, max_dot_segments: int = 8):
     path = F.regexp_replace(path, rf"/{seg}/\.\.$", "/")
     path = F.regexp_replace(path, r"^/\.\.$", "/")
     return F.concat(origin, path)
+
+
+@functools.lru_cache(maxsize=None)
+def normalize_percent_encoding():
+    """Arrow-batched percent-encoding normalization (RFC 3986 §6.2.2.1-2)
+    — the tier normalize_url's codegen chain documents as out of scope:
+    uppercase the hex digits of retained escapes and DECODE escapes of
+    unreserved characters (ALPHA / DIGIT / '-' / '.' / '_' / '~'), which
+    are equivalent to their literals and a classic source of URL aliases
+    (%7Euser vs ~user). Reserved/other escapes are kept (decoding them
+    would CHANGE the URL). Compose after normalize_url:
+    ``normalize_percent_encoding()(normalize_url(u))`` is the full
+    syntax-based normalization. Invalid escapes (truncated / non-hex)
+    pass through untouched — a crawler must not corrupt what it cannot
+    interpret."""
+    import re
+
+    _esc = re.compile(r"%([0-9A-Fa-f]{2})")
+    _unreserved = (
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+        "0123456789-._~"
+    )
+
+    @pandas_udf("string")
+    def _norm(urls: pd.Series) -> pd.Series:
+        def one(u):
+            if u is None:
+                return None
+
+            def sub(m):
+                ch = chr(int(m.group(1), 16))
+                return ch if ch in _unreserved else "%" + m.group(1).upper()
+
+            return _esc.sub(sub, u)
+
+        return urls.map(one)
+
+    return _norm

@@ -283,3 +283,32 @@ def test_normalize_url_idempotent_on_corpus(spark):
     once = m.withColumn("n1", normalize_url(F.col("messy")))
     twice = once.withColumn("n2", normalize_url(F.col("n1")))
     assert twice.filter(F.col("n1") != F.col("n2")).count() == 0
+
+
+def test_percent_encoding_normalization(spark):
+    from pyspark.sql import functions as F
+
+    from cc_crawl_statistics_spark.functions.urlkit import (
+        normalize_percent_encoding,
+        normalize_url,
+    )
+
+    cases = [
+        # unreserved escapes decode; reserved stay (uppercased)
+        ("http://h.example/%7Euser/%41b%2fc", "http://h.example/~user/Ab%2Fc"),
+        ("http://h.example/a%20b", "http://h.example/a%20b"),
+        # invalid escapes untouched
+        ("http://h.example/100%", "http://h.example/100%"),
+        ("http://h.example/%zz", "http://h.example/%zz"),
+        ("http://h.example/plain", "http://h.example/plain"),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "url string")
+    pe = normalize_percent_encoding()
+    got = {
+        r["url"]: r["n"] for r in df.select("url", pe("url").alias("n")).collect()
+    }
+    for raw, want in cases:
+        assert got[raw] == want, raw
+    # composes with the codegen chain
+    full = df.select(pe(normalize_url(F.col("url"))).alias("n")).collect()
+    assert all(r["n"] for r in full)
