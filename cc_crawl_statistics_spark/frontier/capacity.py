@@ -227,15 +227,20 @@ def maxmin_fair_allocation(
     )
     m = F.greatest(F.count("*").over(w_all) - j, F.lit(1))
     r = F.lit(budget) - s_j
-    base = F.floor(r / m)
-    extra = (F.col("_i") - j) <= (r % m)
+    # BIGINT div/% (not a double floor) — exact at any budget magnitude
+    # and identical to the oracle's `//`/`%`
+    staged = with_pred.withColumns(
+        {"_r": r.cast("long"), "_m": m.cast("long"), "_j": j}
+    )
+    base = F.expr("_r div _m")
+    extra = (F.col("_i") - F.col("_j")) <= F.expr("_r % _m")
     alloc = F.when(F.col("_full"), d).otherwise(
         F.least(d, base + F.when(extra, 1).otherwise(0))
     )
     order = part + [F.col(demand_col).desc(), key_col]
     return (
-        with_pred.withColumn("alloc", alloc.cast("long"))
-        .drop("_i", "_full", "_s_i")
+        staged.withColumn("alloc", alloc.cast("long"))
+        .drop("_i", "_full", "_s_i", "_r", "_m", "_j")
         .orderBy(*order)
     )
 

@@ -158,21 +158,25 @@ def normalize_url(url, max_dot_segments: int = 8):
     Compose ``normalize_percent_encoding()`` (the Arrow tier, below)
     after this chain for the full RFC 3986 §6 normalization."""
     u = F.col(url) if isinstance(url, str) else url
-    # 1. scheme://host[:port] lowercased; keep everything after authority
-    head = F.regexp_extract(u, r"^([^:]+://[^/]*)", 1)
+    # 1. fragment first (so a trailing '#…' can't shield ':80' below)
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 2. scheme://host[:port] lowercased — the authority ends at '/',
+    #    '?' or '#' (RFC 3986 §3.2), NEVER at end-of-query, so query
+    #    bytes stay case-sensitive
+    head = F.regexp_extract(u, r"^([^:]+://[^/?#]*)", 1)
     tail = F.substring(u, F.length(head) + F.lit(1), F.lit(1 << 20))
     u = F.concat(F.lower(head), tail)
-    # 2. default ports
-    u = F.regexp_replace(u, r"^(http://[^/:]+):80(/|$)", r"$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/:]+):443(/|$)", r"$1$2")
-    # 3. fragment
-    u = F.regexp_replace(u, r"#.*$", "")
+    # 3. default ports (before a path, a query, or end-of-string)
+    u = F.regexp_replace(u, r"^(http://[^/:?#]+):80([/?#]|$)", r"$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/:?#]+):443([/?#]|$)", r"$1$2")
     # steps 4-6 operate on the PATH only — dot-segment and slash rules
-    # must never reach across the authority (RFC 3986 §5.2.4 merges
-    # within the path component). Patterns are RE2-safe (no lookaround)
-    # so the DuckDB oracle runs the IDENTICAL chain.
-    origin = F.regexp_extract(u, r"^([^:]+://[^/]*)", 1)
-    path = F.substring(u, F.length(origin) + F.lit(1), F.lit(1 << 20))
+    # must never reach across the authority NOR into the query (both
+    # are opaque to §5.2.4 path merging). Patterns are RE2-safe (no
+    # lookaround) so the DuckDB oracle runs the IDENTICAL chain.
+    origin = F.regexp_extract(u, r"^([^:]+://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(origin) + F.lit(1), F.lit(1 << 20))
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.substring(rest, F.length(path) + F.lit(1), F.lit(1 << 20))
     # 4. duplicate slashes
     path = F.regexp_replace(path, r"//+", "/")
     # 5. /./ segments — '/./'→'/' global passes; two passes resolve the
@@ -189,7 +193,7 @@ def normalize_url(url, max_dot_segments: int = 8):
         path = F.regexp_replace(path, r"^/\.\./", "/")
     path = F.regexp_replace(path, rf"/{seg}/\.\.$", "/")
     path = F.regexp_replace(path, r"^/\.\.$", "/")
-    return F.concat(origin, path)
+    return F.concat(origin, path, query)
 
 
 @functools.lru_cache(maxsize=None)

@@ -70,6 +70,9 @@ def feature_bucket(
     """
     if hasher == "xxhash64":
         return F.pmod(F.xxhash64(feat), F.lit(n_buckets)).cast("int")
+    if hasher != "md5":
+        # a typo must not silently buy the 5x-slower portable flavor
+        raise ValueError(f"unknown hasher {hasher!r} (md5 | xxhash64)")
     h = F.md5(feat)
     raw = _hexval(h, 1) * 256 + _hexval(h, 2) * 16 + _hexval(h, 3)
     return F.pmod(raw, F.lit(n_buckets))

@@ -48,6 +48,8 @@ def hits(
 ) -> DataFrame:
     """(node, hub_fp, auth_fp) after ``n_iter`` exact max-normalized
     iterations. Parallel links count twice, like pagerank."""
+    if n_iter < 1:
+        raise ValueError("hits needs n_iter >= 1 (hub is loop-defined)")
     src, dst = F.col(src_col), F.col(dst_col)
     if nodes is None:
         nodes = (

@@ -220,15 +220,20 @@ def spam_mass(
     two propagation results."""
     pr = pagerank(edges, nodes=nodes, n_iter=n_iter, **kw)
     tr = trustrank(edges, seeds, nodes=nodes, n_iter=n_iter, **kw)
-    covered = F.least(F.col("trust_fp"), F.col("rank_fp"))
     return (
         pr.join(tr, "node")
         .select(
             "node",
             "rank_fp",
             "trust_fp",
-            F.floor(
-                (F.col("rank_fp") - covered) * 1000 / F.col("rank_fp")
+            # BIGINT div end to end (module rule: a double detour loses
+            # bits past 2^53) — matches the oracle's `//` exactly. The
+            # 1000× product bounds rank_fp < 2^63/1000 ≈ 9.2·10^15,
+            # i.e. ~9·10^9 nodes at SCALE=10^6; both engines fail loudly
+            # (no silent rounding) beyond it.
+            F.expr(
+                "((rank_fp - least(trust_fp, rank_fp)) * 1000L)"
+                " div rank_fp"
             )
             .cast("long")
             .alias("spam_mass_permille"),

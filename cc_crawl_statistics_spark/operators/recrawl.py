@@ -194,20 +194,30 @@ def refresh_round_plan(
     ).select("host", "fetcher", "demand", "alloc")
     w = Window.partitionBy("host").orderBy("tier_rank", "url")
     sched = (
-        due.join(alloc, "host")
+        due.join(alloc.select("host", "alloc"), "host")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= F.col("alloc"))
     )
+    counts = sched.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_scheduled"),
+        F.sum(F.when(F.col("cls") != "unconditional", 1).otherwise(0))
+        .cast("long")
+        .alias("n_conditional"),
+    )
+    # LEFT join keeps hosts the water-fill zeroed out: a consumer must
+    # be able to tell "no budget this round" (demand carries over) from
+    # "host unknown"
     return (
-        sched.groupBy("host")
-        .agg(
-            F.first("fetcher").cast("long").alias("fetcher"),
-            F.first("demand").cast("long").alias("n_due"),
-            F.first("alloc").cast("long").alias("alloc"),
-            F.count("*").cast("long").alias("n_scheduled"),
-            F.sum(
-                F.when(F.col("cls") != "unconditional", 1).otherwise(0)
-            )
+        alloc.join(counts, "host", "left")
+        .select(
+            "host",
+            F.col("fetcher").cast("long").alias("fetcher"),
+            F.col("demand").cast("long").alias("n_due"),
+            F.col("alloc").cast("long").alias("alloc"),
+            F.coalesce("n_scheduled", F.lit(0))
+            .cast("long")
+            .alias("n_scheduled"),
+            F.coalesce("n_conditional", F.lit(0))
             .cast("long")
             .alias("n_conditional"),
         )

@@ -683,6 +683,46 @@ def q_robots_churn(spark: SparkSession, sf: str) -> DataFrame:
     return RB.robots_policy_churn(pages_df(spark, sf), 0, 1)
 
 
+def _frontier_graph(spark: SparkSession, sf: str):
+    """The deterministic frontier link graph every link-analysis query
+    ranks: distinct docs as nodes, edges d -> (2d+1)%N and (3d+7)%N —
+    the SAME child formula as scheduler.expand_links and
+    synth.outlink_child_ids_sql. One definition so the four consumers
+    (pagerank/opic/trustrank-spam/hits) cannot drift from each other or
+    from their oracles. Returns (edges, nodes)."""
+    pages = pages_df(spark, sf)
+    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
+    n_docs = uni.count()  # dimension scalar (like scheduler bootstrap)
+    ids = uni.select(F.col("doc_id").alias("src"))
+    edges = ids.select(
+        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
+    ).union(
+        ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst"))
+    )
+    return edges, uni.select(F.col("doc_id").alias("node"))
+
+
+def _drifted_pages(spark: SparkSession, sf: str):
+    """pages + the deterministic content-drift model (doc_id%5==0 gets a
+    new digest version every crawl) + arithmetic validator presence
+    (doc_id%4!=1) — the shared fixture for recrawl_tiers,
+    revalidation_plan and refresh_schedule; the matching oracle CTE is
+    _DRIFT_SQL."""
+    return pages_df(spark, sf).withColumns(
+        {
+            "digest": F.concat(
+                F.col("digest"),
+                F.lit(":"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.col("crawl_id").cast("string"),
+                ).otherwise(F.lit("0")),
+            ),
+            "has_validator": F.col("doc_id") % 4 != 1,
+        }
+    )
+
+
 def q_pagerank_priority(spark: SparkSession, sf: str) -> DataFrame:
     """Crawl-priority PageRank over the frontier's deterministic link graph
     (doc d links to (2d+1)%N and (3d+7)%N — the same graph expand_links
@@ -690,13 +730,7 @@ def q_pagerank_priority(spark: SparkSession, sf: str) -> DataFrame:
     node). Integer math makes the oracle EXACT: the DuckDB side unrolls
     the identical recurrence as three CTE stages — any drift in the
     iteration order, integer division, or dangling handling hash-fails."""
-    pages = pages_df(spark, sf)
-    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
-    n_docs = uni.count()  # dimension scalar (like scheduler bootstrap)
-    ids = uni.select(F.col("doc_id").alias("src"))
-    edges = ids.select(
-        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
-    ).union(ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst")))
+    edges, _ = _frontier_graph(spark, sf)
     return PR.pagerank_top(edges, k=50, n_iter=3)
 
 
@@ -1068,7 +1102,7 @@ def q_url_normalize(spark: SparkSession, sf: str) -> DataFrame:
     n = m.withColumn("norm", normalize_url(F.col("messy")))
     return (
         n.withColumn(
-            "alias_class", F.least(F.col("doc_id") % 13, F.lit(5)).cast("long")
+            "alias_class", F.least(F.col("doc_id") % 13, F.lit(6)).cast("long")
         )
         .groupBy("alias_class")
         .agg(
@@ -1093,7 +1127,7 @@ def _url_normalize_oracle(max_dot_segments: int = 8) -> str:
     prev = "s5"
     for i in range(max_dot_segments):
         dot_stages.append(
-            f"d{i} AS (SELECT doc_id, url, messy, origin,\n"
+            f"d{i} AS (SELECT doc_id, url, messy, origin, q,\n"
             f"  regexp_replace(regexp_replace(p, '/{seg}/\\.\\./', '/',"
             f" 'g'), '^/\\.\\./', '/') AS p FROM {prev})"
         )
@@ -1103,30 +1137,38 @@ def _url_normalize_oracle(max_dot_segments: int = 8) -> str:
         f"""
 , base AS (SELECT DISTINCT doc_id, url, scheme, host FROM pages),
 mm AS (SELECT doc_id, url, {messy_url_sql()} AS messy FROM base),
+s0 AS (SELECT doc_id, url, messy,
+  regexp_replace(messy, '#.*$', '') AS u FROM mm),
 s1 AS (SELECT doc_id, url, messy,
-  lower(regexp_extract(messy, '^([^:]+://[^/]*)', 1))
-    || substr(messy,
-              length(regexp_extract(messy, '^([^:]+://[^/]*)', 1)) + 1)
-    AS u FROM mm),
+  lower(regexp_extract(u, '^([^:]+://[^/?#]*)', 1))
+    || substr(u,
+              length(regexp_extract(u, '^([^:]+://[^/?#]*)', 1)) + 1)
+    AS u FROM s0),
 s2 AS (SELECT doc_id, url, messy,
-  regexp_replace(regexp_replace(regexp_replace(u,
-    '^(http://[^/:]+):80(/|$)', '\\1\\2'),
-    '^(https://[^/:]+):443(/|$)', '\\1\\2'),
-    '#.*$', '') AS u FROM s1),
+  regexp_replace(regexp_replace(u,
+    '^(http://[^/:?#]+):80([/?#]|$)', '\\1\\2'),
+    '^(https://[^/:?#]+):443([/?#]|$)', '\\1\\2') AS u FROM s1),
 s3 AS (SELECT doc_id, url, messy,
-  regexp_extract(u, '^([^:]+://[^/]*)', 1) AS origin,
-  substr(u, length(regexp_extract(u, '^([^:]+://[^/]*)', 1)) + 1) AS p
+  regexp_extract(u, '^([^:]+://[^/?#]*)', 1) AS origin,
+  regexp_extract(substr(u,
+    length(regexp_extract(u, '^([^:]+://[^/?#]*)', 1)) + 1),
+    '^([^?]*)', 1) AS p,
+  substr(substr(u,
+    length(regexp_extract(u, '^([^:]+://[^/?#]*)', 1)) + 1),
+    length(regexp_extract(substr(u,
+      length(regexp_extract(u, '^([^:]+://[^/?#]*)', 1)) + 1),
+      '^([^?]*)', 1)) + 1) AS q
   FROM s2),
-s4 AS (SELECT doc_id, url, messy, origin,
+s4 AS (SELECT doc_id, url, messy, origin, q,
   regexp_replace(regexp_replace(regexp_replace(p, '//+', '/', 'g'),
     '/\\./', '/', 'g'), '/\\./', '/', 'g') AS p FROM s3),
-s5 AS (SELECT doc_id, url, messy, origin,
+s5 AS (SELECT doc_id, url, messy, origin, q,
   regexp_replace(p, '/\\.$', '/') AS p FROM s4),
 {dots},
 fin AS (SELECT doc_id, url, messy,
   origin || regexp_replace(regexp_replace(p, '/{seg}/\\.\\.$', '/'),
-    '^/\\.\\.$', '/') AS norm FROM {prev})
-SELECT CAST(LEAST(doc_id % 13, 5) AS BIGINT) AS alias_class,
+    '^/\\.\\.$', '/') || q AS norm FROM {prev})
+SELECT CAST(LEAST(doc_id % 13, 6) AS BIGINT) AS alias_class,
   CAST(COUNT(*) AS BIGINT) AS n_urls,
   CAST(SUM(CASE WHEN messy <> norm THEN 1 ELSE 0 END) AS BIGINT)
     AS n_changed,
@@ -1145,14 +1187,7 @@ def q_hits(spark: SparkSession, sf: str) -> DataFrame:
     max CTEs."""
     from ..operators.hits import hits_top
 
-    pages = pages_df(spark, sf)
-    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
-    n_docs = uni.count()
-    ids = uni.select(F.col("doc_id").alias("src"))
-    edges = ids.select(
-        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
-    ).union(ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst")))
-    nodes = uni.select(F.col("doc_id").alias("node"))
+    edges, nodes = _frontier_graph(spark, sf)
     return hits_top(edges, nodes, n_iter=3, k=50)
 
 
@@ -1266,20 +1301,9 @@ def q_refresh_schedule(spark: SparkSession, sf: str) -> DataFrame:
     composed from already-exact operators, with the COMPOSITION itself
     oracle-checked (drift model, tier windows, ring, water-fill and the
     per-host selection rank all replayed in one DuckDB query)."""
-    pages = pages_df(spark, sf).withColumns(
-        {
-            "digest": F.concat(
-                F.col("digest"),
-                F.lit(":"),
-                F.when(
-                    F.col("doc_id") % 5 == 0,
-                    F.col("crawl_id").cast("string"),
-                ).otherwise(F.lit("0")),
-            ),
-            "has_validator": F.col("doc_id") % 4 != 1,
-        }
+    return RC.refresh_round_plan(
+        _drifted_pages(spark, sf), budget_per_fetcher=25
     )
-    return RC.refresh_round_plan(pages, budget_per_fetcher=25)
 
 
 def q_spam_mass(spark: SparkSession, sf: str) -> DataFrame:
@@ -1291,14 +1315,7 @@ def q_spam_mass(spark: SparkSession, sf: str) -> DataFrame:
     side by side."""
     from ..operators.pagerank import spam_mass
 
-    pages = pages_df(spark, sf)
-    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
-    n_docs = uni.count()
-    ids = uni.select(F.col("doc_id").alias("src"))
-    edges = ids.select(
-        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
-    ).union(ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst")))
-    nodes = uni.select(F.col("doc_id").alias("node"))
+    edges, nodes = _frontier_graph(spark, sf)
     seeds = nodes.filter(F.col("node") % 17 == 0)
     return (
         spam_mass(edges, seeds, nodes=nodes, n_iter=3)
@@ -1373,20 +1390,7 @@ def q_revalidation_plan(spark: SparkSession, sf: str) -> DataFrame:
     drive per-host conditional/risky/unconditional classes and the
     conditional_permille bandwidth read. Oracle replays drift, validator
     and the url-history window arithmetically."""
-    pages = pages_df(spark, sf).withColumns(
-        {
-            "digest": F.concat(
-                F.col("digest"),
-                F.lit(":"),
-                F.when(
-                    F.col("doc_id") % 5 == 0,
-                    F.col("crawl_id").cast("string"),
-                ).otherwise(F.lit("0")),
-            ),
-            "has_validator": F.col("doc_id") % 4 != 1,
-        }
-    )
-    return RC.revalidation_plan(pages)
+    return RC.revalidation_plan(_drifted_pages(spark, sf))
 
 
 def q_opic_priority(spark: SparkSession, sf: str) -> DataFrame:
@@ -1401,14 +1405,7 @@ def q_opic_priority(spark: SparkSession, sf: str) -> DataFrame:
     hash-fails."""
     from ..operators.opic import opic_top
 
-    pages = pages_df(spark, sf)
-    uni = pages.groupBy("url").agg(F.min("doc_id").alias("doc_id"))
-    n_docs = uni.count()
-    ids = uni.select(F.col("doc_id").alias("src"))
-    edges = ids.select(
-        "src", ((F.col("src") * 2 + 1) % n_docs).alias("dst")
-    ).union(ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst")))
-    nodes = uni.select(F.col("doc_id").alias("node"))
+    edges, nodes = _frontier_graph(spark, sf)
     return opic_top(
         edges, nodes, n_rounds=3,
         fetched_sql=lambda r: f"node % 3 = {r % 3}", k=50,
@@ -4435,113 +4432,10 @@ FROM h LEFT JOIN r ON h.host = r.host, nw ORDER BY h.host
 """
 )
 
-# revalidation plan: recrawl drift model + arithmetic validator, the
-# url-history window and host rollup replayed in SQL
-PIPELINE_ORACLES["revalidation_plan"] = oracle_cte(
-    """
-, drifted AS (
-  SELECT url, host, crawl_id, fetch_ts, doc_id,
-         digest || ':' || CASE WHEN doc_id % 5 = 0
-                               THEN CAST(crawl_id AS STRING)
-                               ELSE '0' END AS digest,
-         doc_id % 4 <> 1 AS has_validator
-  FROM pages
-),
-obs AS (
-  SELECT url, crawl_id, max_by(digest, fetch_ts) AS digest
-  FROM drifted GROUP BY url, crawl_id
-),
-chg AS (
-  SELECT url,
-    CASE WHEN lag(digest) OVER w IS NULL THEN 0
-         WHEN digest <> lag(digest) OVER w THEN 1 ELSE 0 END AS chg
-  FROM obs WINDOW w AS (PARTITION BY url ORDER BY crawl_id)
-),
-rates AS (
-  SELECT url, COUNT(*) AS n_obs, CAST(SUM(chg) AS BIGINT) AS n_changes,
-    CASE WHEN COUNT(*) >= 2
-         THEN (1000 * CAST(SUM(chg) AS BIGINT)) // (COUNT(*) - 1) END
-      AS change_permille
-  FROM chg GROUP BY url
-),
-latest AS (
-  SELECT url, max_by(has_validator, fetch_ts) AS validator,
-         MIN(host) AS host
-  FROM drifted GROUP BY url
-),
-cls AS (
-  SELECT l.host,
-    CASE WHEN NOT l.validator THEN 'unconditional'
-         WHEN r.change_permille IS NULL THEN 'unconditional'
-         WHEN r.n_changes = 0 THEN 'conditional'
-         WHEN r.change_permille < 500 THEN 'risky'
-         ELSE 'unconditional' END AS cls
-  FROM latest l JOIN rates r ON l.url = r.url
-)
-SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
-  CAST(SUM(CASE WHEN cls = 'conditional' THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_conditional,
-  CAST(SUM(CASE WHEN cls = 'risky' THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_risky,
-  CAST(SUM(CASE WHEN cls = 'unconditional' THEN 1 ELSE 0 END) AS BIGINT)
-    AS n_unconditional,
-  CAST((SUM(CASE WHEN cls = 'conditional' THEN 1 ELSE 0 END)
-        + SUM(CASE WHEN cls = 'risky' THEN 1 ELSE 0 END)) * 1000
-       // COUNT(*) AS BIGINT) AS conditional_permille
-FROM cls GROUP BY host ORDER BY host
-"""
-)
-
-# max-min fair budget: the ring (verbatim) + the closed-form water-fill
-# replayed with DuckDB window functions. budget per shard = 1000.
-PIPELINE_ORACLES["fair_budget"] = oracle_cte(
-    f"""
-, schedrows AS (SELECT DISTINCT host, url FROM pages),
-{_RING_SQL.strip()},
-demands AS (
-  SELECT host, CAST(COUNT(DISTINCT url) AS BIGINT) AS demand
-  FROM schedrows GROUP BY host
-),
-dd AS (
-  SELECT d.host, d.demand, a.fetcher
-  FROM demands d JOIN asg a ON d.host = a.host
-),
-st AS (
-  SELECT host, demand, fetcher,
-         row_number() OVER (PARTITION BY fetcher
-                            ORDER BY demand, host) AS i,
-         SUM(demand) OVER (PARTITION BY fetcher ORDER BY demand, host
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS s_i,
-         COUNT(*) OVER (PARTITION BY fetcher) AS k
-  FROM dd
-),
-fl AS (SELECT *, (s_i + demand * (k - i)) <= 1000 AS fullr FROM st),
-agg AS (
-  SELECT *,
-    SUM(CASE WHEN fullr THEN 1 ELSE 0 END)
-      OVER (PARTITION BY fetcher) AS j,
-    COALESCE(MAX(CASE WHEN fullr THEN s_i END)
-      OVER (PARTITION BY fetcher), 0) AS s_j
-  FROM fl
-)
-SELECT CAST(fetcher AS BIGINT) AS fetcher, host,
-       CAST(demand AS BIGINT) AS demand,
-       CAST(CASE WHEN fullr THEN demand ELSE
-         LEAST(demand,
-               (1000 - s_j) // GREATEST(k - j, 1)
-               + CASE WHEN (i - j) <= (1000 - s_j) % GREATEST(k - j, 1)
-                      THEN 1 ELSE 0 END)
-       END AS BIGINT) AS alloc
-FROM agg ORDER BY fetcher, demand DESC, host
-"""
-)
-
-# refresh round planner: drift + tiers + classes + ring + water-fill(25)
-# + per-host selection rank, all in one replay
-PIPELINE_ORACLES["refresh_schedule"] = oracle_cte(
-    f"""
-, drifted AS (
+# the drift-model + url-history + fetch-mode CTE chain shared by the
+# revalidation_plan and refresh_schedule oracles (Spark twin:
+# _drifted_pages + recrawl.url_change_rates/revalidation_classes)
+_DRIFT_SQL = """drifted AS (
   SELECT url, host, crawl_id, fetch_ts, doc_id,
          digest || ':' || CASE WHEN doc_id % 5 = 0
                                THEN CAST(crawl_id AS STRING)
@@ -4579,7 +4473,92 @@ cls AS (
          WHEN r.change_permille < 500 THEN 'risky'
          ELSE 'unconditional' END AS cls
   FROM latest l JOIN rates r ON l.url = r.url
+)"""
+
+# revalidation plan: recrawl drift model + arithmetic validator, the
+# url-history window and host rollup replayed in SQL
+PIPELINE_ORACLES["revalidation_plan"] = oracle_cte(
+    f"""
+, {_DRIFT_SQL}
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+  CAST(SUM(CASE WHEN cls = 'conditional' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_conditional,
+  CAST(SUM(CASE WHEN cls = 'risky' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_risky,
+  CAST(SUM(CASE WHEN cls = 'unconditional' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unconditional,
+  CAST((SUM(CASE WHEN cls = 'conditional' THEN 1 ELSE 0 END)
+        + SUM(CASE WHEN cls = 'risky' THEN 1 ELSE 0 END)) * 1000
+       // COUNT(*) AS BIGINT) AS conditional_permille
+FROM cls GROUP BY host ORDER BY host
+"""
+)
+
+def _waterfill_ctes(budget: int) -> str:
+    """The closed-form max-min water-fill as CTE text over a ``dd(host,
+    demand, fetcher)`` relation — shared by the fair_budget and
+    refresh_schedule oracles so the predicate/remainder arithmetic
+    cannot drift between them (Spark twin:
+    capacity.maxmin_fair_allocation)."""
+    return f"""st AS (
+  SELECT host, demand, fetcher,
+         row_number() OVER (PARTITION BY fetcher
+                            ORDER BY demand, host) AS i,
+         SUM(demand) OVER (PARTITION BY fetcher ORDER BY demand, host
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS s_i,
+         COUNT(*) OVER (PARTITION BY fetcher) AS k
+  FROM dd
 ),
+fl AS (SELECT *, (s_i + demand * (k - i)) <= {budget} AS fullr FROM st),
+agg AS (
+  SELECT *,
+    SUM(CASE WHEN fullr THEN 1 ELSE 0 END)
+      OVER (PARTITION BY fetcher) AS j,
+    COALESCE(MAX(CASE WHEN fullr THEN s_i END)
+      OVER (PARTITION BY fetcher), 0) AS s_j
+  FROM fl
+),
+alloc AS (
+  SELECT host, fetcher, demand,
+         CASE WHEN fullr THEN demand ELSE
+           LEAST(demand,
+                 ({budget} - s_j) // GREATEST(k - j, 1)
+                 + CASE WHEN (i - j) <= ({budget} - s_j)
+                          % GREATEST(k - j, 1)
+                        THEN 1 ELSE 0 END)
+         END AS alloc
+  FROM agg
+)"""
+
+
+# max-min fair budget: the ring (verbatim) + the closed-form water-fill
+# replayed with DuckDB window functions. budget per shard = 1000.
+PIPELINE_ORACLES["fair_budget"] = oracle_cte(
+    f"""
+, schedrows AS (SELECT DISTINCT host, url FROM pages),
+{_RING_SQL.strip()},
+demands AS (
+  SELECT host, CAST(COUNT(DISTINCT url) AS BIGINT) AS demand
+  FROM schedrows GROUP BY host
+),
+dd AS (
+  SELECT d.host, d.demand, a.fetcher
+  FROM demands d JOIN asg a ON d.host = a.host
+),
+{_waterfill_ctes(1000)}
+SELECT CAST(fetcher AS BIGINT) AS fetcher, host,
+       CAST(demand AS BIGINT) AS demand, CAST(alloc AS BIGINT) AS alloc
+FROM alloc ORDER BY fetcher, demand DESC, host
+"""
+)
+
+
+# refresh round planner: drift + tiers + classes + ring + water-fill(25)
+# + per-host selection rank, all in one replay
+PIPELINE_ORACLES["refresh_schedule"] = oracle_cte(
+    f"""
+, {_DRIFT_SQL},
 tiers AS (
   SELECT url,
     CASE WHEN change_permille IS NULL THEN 'new'
@@ -4605,48 +4584,25 @@ dd AS (
   SELECT d.host, d.demand, a.fetcher
   FROM demands d JOIN asg a ON d.host = a.host
 ),
-st AS (
-  SELECT host, demand, fetcher,
-         row_number() OVER (PARTITION BY fetcher
-                            ORDER BY demand, host) AS i,
-         SUM(demand) OVER (PARTITION BY fetcher ORDER BY demand, host
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS s_i,
-         COUNT(*) OVER (PARTITION BY fetcher) AS k
-  FROM dd
-),
-fl AS (SELECT *, (s_i + demand * (k - i)) <= 25 AS fullr FROM st),
-agg AS (
-  SELECT *,
-    SUM(CASE WHEN fullr THEN 1 ELSE 0 END)
-      OVER (PARTITION BY fetcher) AS j,
-    COALESCE(MAX(CASE WHEN fullr THEN s_i END)
-      OVER (PARTITION BY fetcher), 0) AS s_j
-  FROM fl
-),
-alloc AS (
-  SELECT host, fetcher, demand,
-         CASE WHEN fullr THEN demand ELSE
-           LEAST(demand,
-                 (25 - s_j) // GREATEST(k - j, 1)
-                 + CASE WHEN (i - j) <= (25 - s_j) % GREATEST(k - j, 1)
-                        THEN 1 ELSE 0 END)
-         END AS alloc
-  FROM agg
-),
+{_waterfill_ctes(25)},
 sel AS (
-  SELECT d.host, d.cls, a.fetcher, a.demand, a.alloc,
+  SELECT d.host, d.cls, a.alloc,
          row_number() OVER (PARTITION BY d.host
                             ORDER BY d.tier_rank, d.url) AS rk
   FROM due d JOIN alloc a ON d.host = a.host
+),
+cnt AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_scheduled,
+         CAST(SUM(CASE WHEN cls <> 'unconditional' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_conditional
+  FROM sel WHERE rk <= alloc GROUP BY host
 )
-SELECT host, CAST(fetcher AS BIGINT) AS fetcher,
-       CAST(demand AS BIGINT) AS n_due, CAST(alloc AS BIGINT) AS alloc,
-       CAST(COUNT(*) AS BIGINT) AS n_scheduled,
-       CAST(SUM(CASE WHEN cls <> 'unconditional' THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_conditional
-FROM sel WHERE rk <= alloc
-GROUP BY host, fetcher, demand, alloc ORDER BY host
+SELECT a.host, CAST(a.fetcher AS BIGINT) AS fetcher,
+       CAST(a.demand AS BIGINT) AS n_due,
+       CAST(a.alloc AS BIGINT) AS alloc,
+       CAST(COALESCE(c.n_scheduled, 0) AS BIGINT) AS n_scheduled,
+       CAST(COALESCE(c.n_conditional, 0) AS BIGINT) AS n_conditional
+FROM alloc a LEFT JOIN cnt c ON a.host = c.host ORDER BY a.host
 """
 )
 

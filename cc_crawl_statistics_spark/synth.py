@@ -278,6 +278,9 @@ def messy_url_sql(d: str = "doc_id") -> str:
         f"WHEN 3 THEN scheme || '://' || host || '/x/..' || {path} "
         f"WHEN 4 THEN scheme || '://' || host || '//page/./' || "
         f"CAST({d} AS STRING) || '.html' "
+        # class 5: a case-sensitive query carrying slash/dot decoys —
+        # normalization must leave it byte-identical (query is opaque)
+        f"WHEN 5 THEN url || '?next=//a/../b&T=AbC' "
         f"ELSE url END"
     )
 

@@ -134,8 +134,9 @@ def test_refresh_round_plan_invariants(spark, sf_smoke_pages=None):
     plan = refresh_round_plan(pages, budget_per_fetcher=budget).collect()
     assert plan
     per_fetcher: dict[int, int] = {}
+    assert any(r["alloc"] == 0 for r in plan)  # zeroed hosts stay visible
     for r in plan:
-        assert r["n_scheduled"] == r["alloc"] > 0
+        assert r["n_scheduled"] == r["alloc"] >= 0
         assert r["alloc"] <= r["n_due"]
         assert 0 <= r["n_conditional"] <= r["n_scheduled"]
         per_fetcher[r["fetcher"]] = (

@@ -256,6 +256,13 @@ def test_normalize_url_rfc3986_cases(spark):
         # authority-only URL and trailing /. flavors
         ("http://a.example", "http://a.example"),
         ("http://a.example/x/.", "http://a.example/x/"),
+        # the QUERY is opaque: no slash/dot/case rules reach past '?'
+        ("http://h.example/p?next=/a/../b", "http://h.example/p?next=/a/../b"),
+        ("http://h.example/search?q=//foo", "http://h.example/search?q=//foo"),
+        ("http://Host.example?Token=AbC", "http://host.example?Token=AbC"),
+        # default port falls before '?'/'#' and after fragment strip
+        ("http://Host.example:80#frag", "http://host.example"),
+        ("http://Host.example:80?x=1", "http://host.example?x=1"),
     ]
     df = spark.createDataFrame([(c,) for c, _ in cases], "url string")
     got = {

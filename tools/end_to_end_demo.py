@@ -107,13 +107,19 @@ def main(spark=None, sf: str = DEFAULT_SF) -> None:
         assert 0 < n_indexable < n_rep
         base = pages.select("doc_id", "url", "scheme", "host").distinct()
         aliased = base.withColumn("messy", F.expr(messy_url_sql()))
-        n_bad = aliased.filter(
+        # class 5 carries a query string, which normalization must NOT
+        # touch — every other alias class collapses onto its capture
+        n_bad = aliased.filter(F.col("doc_id") % 13 != 5).filter(
             normalize_url(F.col("messy")) != F.col("url")
         ).count()
-        assert n_bad == 0  # every alias class collapses onto its capture
+        n_q = aliased.filter(F.col("doc_id") % 13 == 5).filter(
+            normalize_url(F.col("messy")) != F.col("messy")
+        ).count()
+        assert n_bad == 0 and n_q == 0
         print(
             f"[4b] REP gate kept {n_indexable}/{n_rep} fetches indexable; "
-            f"all URL aliases normalized back to canonical"
+            f"all URL aliases normalized back to canonical, queries "
+            f"untouched"
         )
 
         # ── curation layer ───────────────────────────────────────────────
@@ -179,21 +185,13 @@ def main(spark=None, sf: str = DEFAULT_SF) -> None:
         from cc_crawl_statistics_spark.operators.recrawl import (
             refresh_round_plan,
         )
-
-        drifted = pages.withColumns(
-            {
-                "digest": F.concat(
-                    F.col("digest"),
-                    F.lit(":"),
-                    F.when(
-                        F.col("doc_id") % 5 == 0,
-                        F.col("crawl_id").cast("string"),
-                    ).otherwise(F.lit("0")),
-                ),
-                "has_validator": F.col("doc_id") % 4 != 1,
-            }
+        from cc_crawl_statistics_spark.plans.pipeline_queries import (
+            _drifted_pages,
         )
-        plan = refresh_round_plan(drifted, budget_per_fetcher=25)
+
+        plan = refresh_round_plan(
+            _drifted_pages(spark, sf), budget_per_fetcher=25
+        )
         over = (
             plan.groupBy("fetcher")
             .agg(F.sum("n_scheduled").alias("s"))
