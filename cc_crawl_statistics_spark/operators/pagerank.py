@@ -42,13 +42,25 @@ def pagerank(
     n_iter: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(node, rank_fp) after ``n_iter`` exact fixed-point iterations.
 
     ``edges``: (src, dst) link rows (duplicates are real parallel links and
     count twice, like repeated hyperlinks). ``nodes`` optionally supplies
     isolated vertices; defaults to every endpoint seen in ``edges``.
-    """
+
+    ``weight_col`` switches to WEIGHTED PageRank — the form host-level
+    ranking actually uses, where one (src_host, dst_host) edge carries
+    ``n_links`` parallel hyperlinks (linkgraph.host_link_graph):
+
+        contrib(e) = (rank_fp(src) · w(e)) DIV Σ_w(src)
+
+    Exact integers throughout (the product bounds rank_fp·w < 2^63 —
+    w up to ~9·10^9 at fixture/host scales); ``weight_col=None`` keeps
+    the unweighted recurrence bit-for-bit identical to before (which IS
+    the weighted one at w≡1 up to remainder placement: the unweighted
+    path divides once by outdeg, so it stays its own branch)."""
     src, dst = F.col(src_col), F.col(dst_col)
     if nodes is None:
         nodes = (
@@ -57,14 +69,28 @@ def pagerank(
             .distinct()
         )
     nodes = nodes.select(F.col("node")).localCheckpoint(eager=True)
-    e = edges.select(src.alias("src"), dst.alias("dst"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # static per-source relation reused every iteration: (src, dst, outdeg)
-    links = (
-        e.join(outdeg, "src")
-        .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=True)
-    )
+    if weight_col is None:
+        e = edges.select(src.alias("src"), dst.alias("dst"))
+        outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        links = (
+            e.join(outdeg, "src")
+            .select("src", "dst", "outdeg")
+            .localCheckpoint(eager=True)
+        )
+        contrib_expr = "rank_fp div outdeg"
+    else:
+        e = edges.select(
+            src.alias("src"),
+            dst.alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        wout = e.groupBy("src").agg(F.sum("w").alias("wout"))
+        links = (
+            e.join(wout, "src")
+            .select("src", "dst", "w", "wout")
+            .localCheckpoint(eager=True)
+        )
+        contrib_expr = "(rank_fp * w) div wout"
 
     base = (SCALE * (100 - DAMP_PCT)) // 100
     ranks = nodes.select("node", F.lit(SCALE).cast("long").alias("rank_fp"))
@@ -75,7 +101,7 @@ def pagerank(
                 "dst",
                 # `div`: true BIGINT division — a double detour would lose
                 # bits past 2^53 on hub nodes at 10^10-node scale
-                F.expr("rank_fp div outdeg").alias("contrib"),
+                F.expr(contrib_expr).alias("contrib"),
             )
             .groupBy("dst")
             .agg(F.sum("contrib").alias("mass"))

@@ -1056,6 +1056,31 @@ def q_host_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_host_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED PageRank over the host graph parsed out of html bytes —
+    the end-to-end host-ranking chain (parse → resolve → host rollup →
+    weighted rank, every stage exact): one (src_host, dst_host) edge
+    carries n_links parallel hyperlinks, and contributions split
+    proportionally ((rank·w) div Σw). Oracle: the link-graph CTE chain
+    + the weighted recurrence unrolled."""
+    from ..operators import pagerank as PRK
+
+    edges = LG.host_link_graph(
+        LG.page_outlinks(cc_pages_linked_df(spark, sf))
+    )
+    return (
+        PRK.pagerank(
+            edges,
+            n_iter=3,
+            src_col="src_host",
+            dst_col="dst_host",
+            weight_col="n_links",
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("node"))
+        .limit(50)
+    )
+
+
 def q_host_degrees(spark: SparkSession, sf: str) -> DataFrame:
     return LG.host_degree_stats(
         LG.host_link_graph(LG.page_outlinks(cc_pages_linked_df(spark, sf)))
@@ -2110,6 +2135,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "surt_hll": q_surt_hll,
     "outlinks": q_outlinks,
     "host_link_graph": q_host_link_graph,
+    "host_rank": q_host_rank,
     "host_components": q_host_components,
     "meta_robots": q_meta_robots,
     "nofollow_graph": q_nofollow_graph,
@@ -2253,6 +2279,40 @@ _LINK_PLOG_BIN = (
 _LINKGRAPH_ORACLES: dict[str, str] = {
     "outlinks": oracle_cte(
         _LINKS_CTE + "SELECT url, outlink FROM dlinks ORDER BY url, outlink"
+    ),
+    "host_rank": oracle_cte(
+        _EDGES_CTE
+        + """
+, gnodes AS (
+  SELECT src_host AS node FROM egrp
+  UNION SELECT dst_host FROM egrp
+),
+wout AS (SELECT src_host, SUM(n_links) AS wout FROM egrp
+         GROUP BY src_host),
+hr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM gnodes),
+hm1 AS (SELECT e.dst_host AS dst,
+               SUM((r.rank_fp * e.n_links) // w.wout) AS mass
+        FROM egrp e JOIN wout w ON e.src_host = w.src_host
+        JOIN hr0 r ON r.node = e.src_host GROUP BY e.dst_host),
+hr1 AS (SELECT n.node, CAST(150000 + (COALESCE(mass, 0) * 85) // 100
+          AS BIGINT) AS rank_fp
+        FROM gnodes n LEFT JOIN hm1 ON n.node = hm1.dst),
+hm2 AS (SELECT e.dst_host AS dst,
+               SUM((r.rank_fp * e.n_links) // w.wout) AS mass
+        FROM egrp e JOIN wout w ON e.src_host = w.src_host
+        JOIN hr1 r ON r.node = e.src_host GROUP BY e.dst_host),
+hr2 AS (SELECT n.node, CAST(150000 + (COALESCE(mass, 0) * 85) // 100
+          AS BIGINT) AS rank_fp
+        FROM gnodes n LEFT JOIN hm2 ON n.node = hm2.dst),
+hm3 AS (SELECT e.dst_host AS dst,
+               SUM((r.rank_fp * e.n_links) // w.wout) AS mass
+        FROM egrp e JOIN wout w ON e.src_host = w.src_host
+        JOIN hr2 r ON r.node = e.src_host GROUP BY e.dst_host),
+hr3 AS (SELECT n.node, CAST(150000 + (COALESCE(mass, 0) * 85) // 100
+          AS BIGINT) AS rank_fp
+        FROM gnodes n LEFT JOIN hm3 ON n.node = hm3.dst)
+SELECT node, rank_fp FROM hr3 ORDER BY rank_fp DESC, node LIMIT 50
+"""
     ),
     "host_link_graph": oracle_cte(
         _EDGES_CTE

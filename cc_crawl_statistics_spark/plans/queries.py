@@ -2277,6 +2277,7 @@ _PRIORITY_NEXT = [
     "soft404",              # 200-status error-page screen (Bar-Yossef 2004)
     "hits_scores",          # HITS hubs/authorities (Kleinberg 1999)
     "url_normalize",        # RFC 3986 alias collapse (codegen chain)
+    "host_rank",            # weighted PageRank over the parsed host graph
     "robotstxt_status",     # displaced from the window in r3 (see above)
     "url_crawl_set_registry",  # displaced in r3: A14 at registry-scale ids
     "curate_corpus",        # displaced in r3: curation_funnel covers family

@@ -186,3 +186,46 @@ def test_hits_bit_for_bit_vs_model(spark):
     # isolated node 8 scores zero on both sides
     assert got[0][0] == max(h for h, _ in got.values())
     assert got[8] == (0, 0)
+
+
+def model_weighted_pagerank(edges_w, n_iter=10):
+    """Single-threaded weighted model: contrib = (rank*w) // sum_w(src)."""
+    nodes = set()
+    wout = {}
+    for s_, d, w in edges_w:
+        nodes.add(s_)
+        nodes.add(d)
+        wout[s_] = wout.get(s_, 0) + w
+    base = (PR.SCALE * (100 - PR.DAMP_PCT)) // 100
+    ranks = {v: PR.SCALE for v in nodes}
+    for _ in range(n_iter):
+        mass = {v: 0 for v in nodes}
+        for s_, d, w in edges_w:
+            mass[d] += ranks[s_] * w // wout[s_]
+        ranks = {v: base + (mass[v] * PR.DAMP_PCT) // 100 for v in nodes}
+    return ranks
+
+
+def test_weighted_pagerank_bit_for_bit_vs_model(spark):
+    edges_w = [
+        ("a", "b", 10), ("a", "c", 1), ("b", "c", 5), ("c", "a", 2),
+        ("d", "a", 7), ("d", "b", 3),
+    ]
+    df = spark.createDataFrame(edges_w, "src string, dst string, w long")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in PR.pagerank(df, n_iter=5, weight_col="w").collect()
+    }
+    assert got == model_weighted_pagerank(edges_w, n_iter=5)
+    # weight matters: b (weight-10 edge from a) outranks c's share from a
+    heavy = {
+        r["node"]: r["rank_fp"]
+        for r in PR.pagerank(df, n_iter=5, weight_col="w").collect()
+    }
+    flat = {
+        r["node"]: r["rank_fp"]
+        for r in PR.pagerank(
+            df.select("src", "dst"), n_iter=5
+        ).collect()
+    }
+    assert heavy != flat  # weighted recurrence genuinely differs
