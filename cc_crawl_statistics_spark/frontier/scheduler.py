@@ -481,7 +481,16 @@ _BLOOM_UDF_CACHE: dict = {}
 def _cached_prefilter_udf(spark, kind: str, path: str):
     key = (spark.sparkContext.applicationId, path)
     if key not in _BLOOM_UDF_CACHE:
-        if kind == "cuckoo":
+        if os.path.isdir(path):
+            # sharded filter (current format): nothing to load or
+            # broadcast here — the UDF closure carries only the header
+            # params, and executors lazily cache the shard files their
+            # batches touch (mtime-keyed, so a cuckoo-deletion rewrite
+            # self-invalidates; frontier/shardedfilter.py)
+            from .shardedfilter import might_contain_udf
+
+            udf = might_contain_udf(spark, path)
+        elif kind == "cuckoo":
             from .cuckoo import load_cuckoo, might_contain_udf
 
             udf = might_contain_udf(spark, load_cuckoo(path))

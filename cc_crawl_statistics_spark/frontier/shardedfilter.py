@@ -1,0 +1,431 @@
+"""Key-range-sharded URL-seen prefilters (Bloom and cuckoo).
+
+This is the at-scale replacement for the single-blob filters in
+frontier/bloom.py and frontier/cuckoo.py, which build partition-parallel
+but then OR/assemble the FULL filter on the driver and broadcast it to
+every executor — fine at sandbox scale, ~12.5 GB per object at the
+north-rule 10^10-key frame (SURVEY §7 hard part 6; round-3 verdict
+"What's wrong" #1/#2). Here the filter never exists as one object
+anywhere:
+
+  * **Build** routes keys to ``n_shards`` independent shards by a
+    splitmix64 mix of the 64-bit seen key, repartitions so each shard's
+    keys land in exactly one Spark partition, and each task builds and
+    writes ITS shard file directly into the (shared-storage) store
+    directory via tmp+rename. The driver only collects one tiny stats
+    row per shard and writes the ``_FILTER.json`` header last — the
+    commit point, same protocol as the store's ``_MANIFEST.json``.
+  * **Membership** is the same Arrow-batched pandas UDF contract as the
+    legacy filters, but instead of a broadcast bit array the executor
+    process lazily loads the shard files a batch actually touches, into
+    a process-level cache keyed by (path, mtime) — so a shard rewritten
+    by a cuckoo deletion is picked up automatically, and an executor
+    whose tasks only ever see a key subrange only ever holds those
+    shards (at 10^10 keys: ~12 MiB/shard at 1024 shards, not 12.5 GB).
+  * **Deletion** (cuckoo only) is a Spark job: reopen keys repartition
+    by shard id and each task loads, edits, and atomically rewrites only
+    its own shard files — the driver never holds more than the per-shard
+    removed-counts. Max resident set anywhere = one shard.
+
+Both kinds share the routing and the wire layout::
+
+    <dir>/
+      _FILTER.json            # kind + params, written last (commit point)
+      shard=00000.npy ...     # one packed numpy array per non-empty shard
+
+A missing shard file means "no keys routed there" → definitely-absent,
+which keeps the no-false-negative contract exact. Correctness contract is
+unchanged from the legacy filters: the exact seen anti-join stays the
+source of truth, the prefilter only short-circuits definitely-absent keys
+(bit-identity pinned in tests/test_frontier.py and
+tests/test_sharded_filter.py).
+
+Reference frame: the reference repo has no frontier (crawlstats.py is a
+counting job); this implements SURVEY §7's partitioned URL-seen design.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .bloom import _C1, _C2, _indices, _mix
+from .cuckoo import SLOTS, _alt_bucket, _bucket1, _fingerprint, _insert_keys
+
+HEADER = "_FILTER.json"
+_C3 = np.uint64(0xD6E8FEB86659FD93)  # routing mix constant (≠ index mixes)
+
+# Per-executor-process shard cache: (file path, mtime_ns) -> ndarray.
+# mtime in the key makes a cuckoo-deletion rewrite self-invalidating.
+# Bounded via SPARK_GRAFT_SHARD_CACHE (entries; 0 = unbounded — sandbox
+# default, where all shards together are < a MiB). FIFO eviction is
+# enough: the scheduler repartitions candidates so a task's batches
+# cluster on few shards.
+_SHARD_CACHE: dict = {}
+
+
+def _route(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard id per key — one definition shared by build/lookup/delete."""
+    u = keys.astype(np.int64).view(np.uint64)
+    return (_mix(u, _C3) % np.uint64(n_shards)).astype(np.int64)
+
+
+def _padded_per_shard(n_keys: int, n_shards: int) -> int:
+    """Upper bound on keys routed to one shard: Binomial(n, 1/n_shards)
+    mean + 6σ + slack (same variance argument as cuckoo._n_buckets_for)."""
+    mean = max(1, (n_keys + n_shards - 1) // n_shards)
+    return mean + int(math.ceil(6 * math.sqrt(mean))) + 16
+
+
+def default_n_shards(n_keys: int, bits_per_key: int = 10,
+                     target_bytes: int = 64 << 20) -> int:
+    """Shard count so one shard's array ≈ ``target_bytes`` (64 MiB — an
+    executor-cache-friendly unit; 10^10 keys × 10 bits → ~196 shards),
+    floored at 4 so the sharded code path is always exercised."""
+    total_bytes = max(1, n_keys * bits_per_key // 8)
+    return max(4, int(math.ceil(total_bytes / target_bytes)))
+
+
+def _shard_file(dir_: str, shard: int) -> str:
+    return os.path.join(dir_, f"shard={shard:05d}.npy")
+
+
+def _fresh_dir(dir_: str) -> None:
+    """Start a build from an empty directory: a crashed earlier attempt
+    may have left shard files (valid only with a header, which is written
+    last) — rebuilding over them must not mix epochs."""
+    import shutil
+
+    if os.path.exists(dir_):
+        shutil.rmtree(dir_)
+    os.makedirs(dir_)
+
+
+def is_committed(dir_: str) -> bool:
+    """A sharded filter exists only once its header does (written last)."""
+    return os.path.exists(os.path.join(dir_, HEADER))
+
+
+def _atomic_save(path: str, arr: np.ndarray) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+def load_header(dir_: str) -> dict:
+    with open(os.path.join(dir_, HEADER)) as f:
+        return json.load(f)
+
+
+def _write_header(dir_: str, header: dict) -> None:
+    tmp = os.path.join(dir_, HEADER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(header, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(dir_, HEADER))
+
+
+def build_sharded_bloom(
+    seen: DataFrame,
+    out_dir: str,
+    key_col: str = "seen_key",
+    bits_per_key: int = 10,
+    n_shards: int | None = None,
+) -> dict:
+    """Build the sharded Bloom under ``out_dir``. Executor tasks write
+    their shard files directly (the store root is shared storage — it is
+    the Iceberg-warehouse stand-in); the driver writes the header last.
+    Returns the header dict (plus per-shard build stats)."""
+    n_keys = seen.count()
+    if n_shards is None:
+        n_shards = default_n_shards(n_keys, bits_per_key)
+    per_shard = _padded_per_shard(n_keys, n_shards)
+    m = max(64, per_shard * bits_per_key)  # bits per shard, uniform
+    k = max(1, round(bits_per_key * math.log(2)))
+    n_bytes = (m + 7) // 8
+    _fresh_dir(out_dir)
+
+    route_udf = pandas_udf(
+        lambda s: pd.Series(_route(s.to_numpy(dtype=np.int64), n_shards)),
+        "long",
+    )
+    routed = seen.select(F.col(key_col).alias("k")).withColumn(
+        "_shard", route_udf(F.col("k"))
+    )
+
+    def per_partition(batches):
+        # accumulate per shard across the task's Arrow batches, write
+        # each shard once at the end (this task owns its shards whole —
+        # repartition(_shard) hash-clusters a shard into one partition)
+        acc: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for shard, grp in pdf.groupby("_shard"):
+                bits = acc.setdefault(
+                    int(shard), np.zeros(n_bytes, dtype=np.uint8)
+                )
+                keys = grp["k"].to_numpy(dtype=np.int64)
+                idx = _indices(keys, m, k).ravel()
+                np.bitwise_or.at(
+                    bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8)
+                )
+                counts[int(shard)] = counts.get(int(shard), 0) + len(keys)
+        for shard, bits in acc.items():
+            _atomic_save(_shard_file(out_dir, shard), bits)
+        if acc:
+            yield pd.DataFrame(
+                {"shard": list(acc), "n": [counts[s] for s in acc]}
+            )
+
+    stats = (
+        routed.repartition(n_shards, "_shard")
+        .mapInPandas(per_partition, "shard long, n long")
+        .collect()  # ≤ n_shards tiny rows — the only driver-side data
+    )
+    header = {
+        "kind": "bloom",
+        "n_shards": n_shards,
+        "n_keys": n_keys,
+        "m": m,
+        "k": k,
+        "bits_per_key": bits_per_key,
+        "shard_bytes": n_bytes,
+        "nonempty_shards": len(stats),
+    }
+    _write_header(out_dir, header)
+    return header
+
+
+def build_sharded_cuckoo(
+    seen: DataFrame,
+    out_dir: str,
+    key_col: str = "seen_key",
+    n_shards: int | None = None,
+    load_target: float = 0.8,
+) -> dict:
+    """Sharded deletable cuckoo filter: one partial-key cuckoo table per
+    shard (16-bit fingerprints, 4 slots/bucket — frontier/cuckoo.py's
+    table layout), each built and written by the task that owns the
+    shard's keys."""
+    n_keys = seen.count()
+    if n_shards is None:
+        # cuckoo spends 16 bits/key at SLOTS×buckets/load — size shards
+        # off that footprint so a shard file stays cache-friendly
+        n_shards = default_n_shards(n_keys, bits_per_key=20)
+    per_shard = _padded_per_shard(n_keys, n_shards)
+    need = max(1, int(math.ceil(per_shard / (SLOTS * load_target))))
+    n_buckets = 1 << int(math.ceil(math.log2(need)))
+    _fresh_dir(out_dir)
+
+    route_udf = pandas_udf(
+        lambda s: pd.Series(_route(s.to_numpy(dtype=np.int64), n_shards)),
+        "long",
+    )
+    routed = seen.select(F.col(key_col).alias("k")).withColumn(
+        "_shard", route_udf(F.col("k"))
+    )
+
+    def per_partition(batches):
+        tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for shard, grp in pdf.groupby("_shard"):
+                if int(shard) not in tables:
+                    tables[int(shard)] = (
+                        np.zeros((n_buckets, SLOTS), dtype=np.uint16),
+                        np.zeros(n_buckets, dtype=np.int64),
+                    )
+                table, fill = tables[int(shard)]
+                u = grp["k"].to_numpy(dtype=np.int64).view(np.uint64)
+                _insert_keys(table, fill, u, n_buckets)
+        for shard, (table, _) in tables.items():
+            _atomic_save(_shard_file(out_dir, shard), table)
+        if tables:
+            yield pd.DataFrame({"shard": list(tables)})
+
+    stats = (
+        routed.repartition(n_shards, "_shard")
+        .mapInPandas(per_partition, "shard long")
+        .collect()
+    )
+    header = {
+        "kind": "cuckoo",
+        "n_shards": n_shards,
+        "n_keys": n_keys,
+        "n_buckets": n_buckets,
+        "slots": SLOTS,
+        "shard_bytes": n_buckets * SLOTS * 2,
+        "nonempty_shards": len(stats),
+    }
+    _write_header(out_dir, header)
+    return header
+
+
+def _load_shard(dir_: str, shard: int) -> np.ndarray | None:
+    """Load one shard array through the process cache (mtime-keyed, so a
+    rewritten shard self-invalidates). None = empty shard (no file)."""
+    path = _shard_file(dir_, shard)
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:
+        return None
+    key = (path, st.st_mtime_ns)
+    hit = _SHARD_CACHE.get(key)
+    if hit is None:
+        cap = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "0"))
+        if cap and len(_SHARD_CACHE) >= cap:
+            # FIFO evict, and drop stale versions of this path as we go
+            for k in list(_SHARD_CACHE)[: max(1, len(_SHARD_CACHE) - cap + 1)]:
+                del _SHARD_CACHE[k]
+        for k in [k for k in _SHARD_CACHE if k[0] == path]:
+            del _SHARD_CACHE[k]  # stale mtime version
+        with open(path, "rb") as f:
+            hit = np.load(f)
+        _SHARD_CACHE[key] = hit
+    return hit
+
+
+def _bloom_hits(bits: np.ndarray, keys: np.ndarray, m: int, k: int
+                ) -> np.ndarray:
+    idx = _indices(keys, m, k)
+    hit = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+    return hit.all(axis=1)
+
+
+def _cuckoo_hits(table: np.ndarray, keys: np.ndarray, n_buckets: int
+                 ) -> np.ndarray:
+    u = keys.astype(np.int64).view(np.uint64)
+    fps = _fingerprint(u)
+    b1 = _bucket1(u, n_buckets)
+    b2 = _alt_bucket(b1, fps, n_buckets)
+    hit1 = (table[b1] == fps[:, None]).any(axis=1)
+    hit2 = (table[b2] == fps[:, None]).any(axis=1)
+    return hit1 | hit2
+
+
+def contains_shards(dir_: str, keys: np.ndarray) -> np.ndarray:
+    """Driver/test-side membership over a sharded filter, one shard
+    resident at a time (True = maybe present)."""
+    h = load_header(dir_)
+    keys = keys.astype(np.int64)
+    shard = _route(keys, h["n_shards"])
+    out = np.zeros(len(keys), dtype=bool)
+    for s in np.unique(shard):
+        arr = _load_shard(dir_, int(s))
+        if arr is None:
+            continue
+        msk = shard == s
+        if h["kind"] == "bloom":
+            out[msk] = _bloom_hits(arr, keys[msk], h["m"], h["k"])
+        else:
+            out[msk] = _cuckoo_hits(arr, keys[msk], h["n_buckets"])
+    return out
+
+
+def might_contain_udf(spark: SparkSession, dir_: str):
+    """Arrow-batched membership test over a sharded filter directory —
+    signature-identical to bloom/cuckoo.might_contain_udf, so the
+    scheduler's size-gated prefilter seam accepts any of the three. No
+    broadcast: each executor process lazily caches only the shard files
+    its batches touch (the whole point at 10^10 keys)."""
+    h = load_header(dir_)
+    kind, n_shards = h["kind"], h["n_shards"]
+    m, k = h.get("m"), h.get("k")
+    n_buckets = h.get("n_buckets")
+
+    @pandas_udf("boolean")
+    def _might(keys: pd.Series) -> pd.Series:
+        arr = keys.to_numpy(dtype=np.int64)
+        if len(arr) == 0:
+            return pd.Series([], dtype=bool)
+        shard = _route(arr, n_shards)
+        out = np.zeros(len(arr), dtype=bool)
+        for s in np.unique(shard):
+            bits = _load_shard(dir_, int(s))
+            if bits is None:
+                continue
+            msk = shard == s
+            if kind == "bloom":
+                out[msk] = _bloom_hits(bits, arr[msk], m, k)
+            else:
+                out[msk] = _cuckoo_hits(bits, arr[msk], n_buckets)
+        return pd.Series(out)
+
+    return _might
+
+
+def delete_keys_sharded(
+    spark: SparkSession, dir_: str, keys: DataFrame,
+    key_col: str = "seen_key",
+) -> int:
+    """Shard-local cuckoo deletion as a Spark job: reopen keys
+    repartition by shard id and each task edits + atomically rewrites
+    only the shard files it owns. The driver sees per-shard removed
+    counts only — an unbounded robots-drift reopen never assembles
+    anywhere. Returns total keys removed."""
+    h = load_header(dir_)
+    if h["kind"] != "cuckoo":
+        raise ValueError("only cuckoo shards support deletion")
+    n_shards, n_buckets = h["n_shards"], h["n_buckets"]
+
+    route_udf = pandas_udf(
+        lambda s: pd.Series(_route(s.to_numpy(dtype=np.int64), n_shards)),
+        "long",
+    )
+    routed = keys.select(F.col(key_col).alias("k")).withColumn(
+        "_shard", route_udf(F.col("k"))
+    )
+
+    def per_partition(batches):
+        per_shard: dict[int, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for shard, grp in pdf.groupby("_shard"):
+                per_shard.setdefault(int(shard), []).append(
+                    grp["k"].to_numpy(dtype=np.int64)
+                )
+        removed: dict[int, int] = {}
+        for shard, chunks in per_shard.items():
+            path = _shard_file(dir_, shard)
+            if not os.path.exists(path):
+                removed[shard] = 0
+                continue
+            with open(path, "rb") as f:
+                table = np.load(f).copy()
+            got = 0
+            for ks in chunks:
+                u = ks.view(np.uint64)
+                fps = _fingerprint(u)
+                b1 = _bucket1(u, n_buckets)
+                b2 = _alt_bucket(b1, fps, n_buckets)
+                for i in range(len(ks)):
+                    for b in (b1[i], b2[i]):
+                        slots = np.flatnonzero(table[b] == fps[i])
+                        if slots.size:
+                            table[b, slots[0]] = 0
+                            got += 1
+                            break
+            _atomic_save(path, table)
+            removed[shard] = got
+        if removed:
+            yield pd.DataFrame(
+                {"shard": list(removed), "removed": list(removed.values())}
+            )
+
+    stats = (
+        routed.repartition(min(n_shards, 32), "_shard")
+        .mapInPandas(per_partition, "shard long, removed long")
+        .collect()
+    )
+    return int(sum(r.removed for r in stats))

@@ -175,17 +175,28 @@ class SnapshotStore:
         )
         pf = self.prefilter_path(rnd)
         if pf is not None and pf[0] == "cuckoo":
-            import numpy as np
+            if os.path.isdir(pf[1]):
+                # sharded layout: deletion is a Spark job that edits and
+                # atomically rewrites only the affected shard files — the
+                # reopen list never assembles on the driver, so an
+                # unbounded robots-drift reopen stays executor-bounded
+                # (frontier/shardedfilter.py)
+                from .shardedfilter import delete_keys_sharded
 
-            from .cuckoo import delete_keys, load_cuckoo, save_cuckoo
+                delete_keys_sharded(spark, pf[1], keys)
+            else:
+                # legacy single-file store (pre-sharding rounds)
+                import numpy as np
 
-            f = load_cuckoo(pf[1])
-            arr = np.array(
-                [r.seen_key for r in keys.select("seen_key").collect()],
-                dtype=np.int64,
-            )
-            delete_keys(f, arr)
-            save_cuckoo(f, pf[1])
+                from .cuckoo import delete_keys, load_cuckoo, save_cuckoo
+
+                f = load_cuckoo(pf[1])
+                arr = np.array(
+                    [r.seen_key for r in keys.select("seen_key").collect()],
+                    dtype=np.int64,
+                )
+                delete_keys(f, arr)
+                save_cuckoo(f, pf[1])
 
     def read_seen_deltas(
         self, spark: SparkSession, from_rnd: int, upto_rnd: int
@@ -334,18 +345,25 @@ class SnapshotStore:
         seen.repartition(n_partitions, "seen_key").write.mode(
             "overwrite"
         ).parquet(tmp)
+        # prefilters are SHARDED (frontier/shardedfilter.py): each Spark
+        # task builds and writes its own key-range shard file; the filter
+        # never exists as one driver/broadcast object (the 10^10-key
+        # frame makes a single blob ~12.5 GB — SURVEY §7 hard part 6)
         if prefilter == "cuckoo":
-            from .cuckoo import build_cuckoo, save_cuckoo
+            from .shardedfilter import build_sharded_cuckoo
 
-            ck = build_cuckoo(spark.read.parquet(tmp))
-            save_cuckoo(ck, os.path.join(rdir, "url_seen_cuckoo.npy"))
-        else:
-            from .bloom import build_bloom, save_bloom
-
-            bloom = build_bloom(
-                spark.read.parquet(tmp), bits_per_key=bloom_bits_per_key
+            build_sharded_cuckoo(
+                spark.read.parquet(tmp),
+                os.path.join(rdir, "url_seen_cuckoo.d"),
             )
-            save_bloom(bloom, os.path.join(rdir, "url_seen_bloom.npy"))
+        else:
+            from .shardedfilter import build_sharded_bloom
+
+            build_sharded_bloom(
+                spark.read.parquet(tmp),
+                os.path.join(rdir, "url_seen_bloom.d"),
+                bits_per_key=bloom_bits_per_key,
+            )
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
@@ -362,7 +380,12 @@ class SnapshotStore:
         "blocked",
     )
     _OUTPUT_TABLES = ("round_stats", "fetched")
-    _PREFILTER_FILES = ("url_seen_bloom.npy", "url_seen_cuckoo.npy")
+    _PREFILTER_FILES = (
+        "url_seen_bloom.npy",
+        "url_seen_cuckoo.npy",
+        "url_seen_bloom.d",
+        "url_seen_cuckoo.d",
+    )
 
     def expire_rounds(
         self, upto_rnd: int, include_outputs: bool = False
@@ -407,32 +430,53 @@ class SnapshotStore:
                     removed.append(p)
             for fname in self._PREFILTER_FILES:
                 p = os.path.join(rdir, fname)
-                if os.path.exists(p):
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                    removed.append(p)
+                elif os.path.exists(p):
                     os.remove(p)
                     removed.append(p)
         return removed
 
     def bloom_path(self, upto_rnd: int) -> str | None:
-        """Path of the newest materialized Bloom filter ≤ upto_rnd."""
+        """Path of the newest materialized Bloom filter ≤ upto_rnd —
+        the sharded directory (current format) or the legacy .npy blob."""
         base = self.seen_base_round(upto_rnd)
         if base is None:
             return None
-        p = os.path.join(self._round_dir(base), "url_seen_bloom.npy")
-        return p if os.path.exists(p) else None
+        for fname in ("url_seen_bloom.d", "url_seen_bloom.npy"):
+            p = os.path.join(self._round_dir(base), fname)
+            if os.path.isdir(p):
+                from .shardedfilter import is_committed
+
+                if is_committed(p):
+                    return p
+            elif os.path.exists(p):
+                return p
+        return None
 
     def prefilter_path(self, upto_rnd: int) -> tuple[str, str] | None:
         """(kind, path) of the newest materialized seen-set prefilter ≤
-        upto_rnd — whichever of cuckoo/bloom the compaction wrote."""
+        upto_rnd — whichever of cuckoo/bloom the compaction wrote. A
+        directory path is the sharded format (frontier/shardedfilter.py);
+        a .npy file is a legacy pre-sharding store, still readable."""
         base = self.seen_base_round(upto_rnd)
         if base is None:
             return None
         rdir = self._round_dir(base)
         for kind, fname in (
+            ("cuckoo", "url_seen_cuckoo.d"),
+            ("bloom", "url_seen_bloom.d"),
             ("cuckoo", "url_seen_cuckoo.npy"),
             ("bloom", "url_seen_bloom.npy"),
         ):
             p = os.path.join(rdir, fname)
-            if os.path.exists(p):
+            if os.path.isdir(p):
+                from .shardedfilter import is_committed
+
+                if is_committed(p):
+                    return kind, p
+            elif os.path.exists(p):
                 return kind, p
         return None
 

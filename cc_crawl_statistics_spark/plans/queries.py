@@ -2196,133 +2196,131 @@ QUERIES["crawl_overlap_kmv"] = q_crawl_overlap_kmv
 # tests/test_oracle_parity.py regardless of position.
 # ---------------------------------------------------------------------------
 
+# ROUND-4 WINDOW ROTATION (VERDICT r3 "Next round" #2): rounds 1-3
+# drove 85 distinct queries through the driver's sf0.01 oracle gate, all
+# green, leaving 83 oracle pairs suite-verified only. This window draws
+# 40 of those never-driver-verified pairs (one per operator family,
+# most-distinctive first) plus 10 r3-green SENTINELS that pin the
+# families most likely to regress (the flagship entry() scan, the wire
+# roundtrips, the frontier round, and the heaviest LLM-pipeline chains).
+# Every displaced query remains oracle-tested in tests/test_oracle_parity
+# at sf0.001 and listed in _PRIORITY_NEXT for future window widening.
 _PRIORITY = [
-    # count-job aggregations (§2.4); `languages` yields its slot to
-    # events_windowed — its A2 twin-count shape is already in-window via
-    # mimetype, and the language family stays visible via primary_language
-    # + languages_floor (languages itself stays oracle-tested in pytest)
-    "crawl_size", "host_counts", "domain_counts", "tld_counts",
-    "surt_domain_counts", "mimetype", "primary_language",
-    "http_status", "url_fetch_histogram", "top_hosts",
-    # crawl-set / new-items over BOTH reference item types
-    # (url_crawl_set_registry — the same A14 operator at registry-scale
-    # ids, driver-green this round — yields its slot to the REP
-    # meta-robots census and stays oracle-tested in pytest)
-    "new_items", "new_digests", "url_crawl_set", "digest_crawl_set",
-    "meta_robots",
-    # plot-layer time series (§2.5); trailing_3 yielded its slot to the
-    # end-to-end curation verdict in r3; dup_ratio and top_mime_other
-    # (driver-green in r2, unchanged since) now yield theirs to the
-    # round-3 LM perplexity filter — both stay oracle-tested in pytest
-    # (curate_corpus — same curation family as the in-window
-    # curation_funnel — and dup_spans_exact — dedup class already
-    # represented by four in-window entries — yield their slots to the
-    # REP nofollow-honoring link graph and rel=canonical dedup; both
-    # stay oracle-tested in pytest)
-    "crawl_overlap", "domain_coverage",
-    "trailing_6", "nofollow_graph",
-    # full frequency-histogram family (A19; host_pages + digest_dup stay
-    # oracle-tested in pytest — their slots go to the robots.txt politeness
-    # pipeline and rel=canonical dedup)
-    "domain_pages_histogram", "host_urls_histogram",
-    "robots_decisions", "canonical_dedup",
-    # dimension joins (§2.6), incl. the IDN end-to-end row
-    "tld_classified", "tld_classified_idn", "tld_continent",
-    # stats-phase filters (§2.3) + S7 presentation pivot (§2.1)
-    "large_surt_domains", "mime_share_pivot", "languages_floor",
-    # sources/sinks + byte-compat (§2.1, §2.9); crawler_metrics_roundtrip
-    # (driver-green in r1 AND r2, untouched since) yields its slot to the
-    # new unit-level dedup and stays oracle-tested in pytest
-    "cdx_roundtrip", "warc_roundtrip", "stats_wire_roundtrip",
-    "cc_pages_extract",
-    # LLM-pipeline operators + frontier (north rule), incl. the
-    # iterative-graph class (pagerank), both event-window flavors, and
-    # the round-3 CCNet perplexity filter + whole-pipeline funnel
-    # (spearman_benchmark, r2-green, yielded its slot to the funnel and
-    # stays oracle-tested in pytest)
-    # (r3: unit_dedup and lm_quality_filter — both r2/r3-green and each
-    # compositionally covered in-window (dedup_exact + boilerplate-family,
-    # lm_perplexity + curation_funnel's shared scoring chain) — yield
-    # their slots to the round's two most distinctive additions: robots
-    # policy churn and consistent-hash fetcher sharding; both displaced
-    # queries stay oracle-tested in pytest)
-    # (fetcher_assignment yields its slot to fair_budget, whose oracle
-    # replays the SAME consistent-hash ring verbatim and adds the
-    # max-min water-fill on top; curate_corpus's slot above went to the
-    # REP family, and bpe_encode — the codegen replace-chain tokenizer
-    # application with a full-token-stream oracle — takes the slot of
-    # robotstxt_status, the A7 histogram's second flavor, whose routing
-    # semantics stay evidenced by http_status + pytest)
-    "dedup_exact", "robots_churn", "ngram_jaccard", "embedding_near_dup",
-    "ann_topk",
-    "token_stats", "quality_scores", "language_id", "pagerank_priority",
-    "events_windowed", "events_sessionize", "dedup_kept",
-    "lm_perplexity", "fair_budget", "curation_funnel",
-    "frontier_schedule", "bpe_encode",
-]
-
-# Second tier: positions 51+ in registry order. The driver's r1/r2
-# CORRECTNESS window covered exactly the first 50 entries; if a later
-# driver widens the window, it should meet the most DISTINCTIVE
-# remaining queries first (one per operator class), not near-duplicates
-# of in-window entries. All oracle-paired except host_hyperball.
-_PRIORITY_NEXT = [
+    # -- sentinels (r3-green, regression canaries) --------------------
+    "crawl_size",           # flagship entry() — also re-measures r3's +16%
+    "cdx_roundtrip",        # S1 gzipped CDX scan
+    "stats_wire_roundtrip", # S2/S4 JSON-KV wire + MultiCount RLE
+    "tld_classified_idn",   # dimension joins incl. IDN first-level
+    "dedup_exact",          # digest groupBy dedup
+    "token_stats",          # codegen text-stats projection family
+    "lm_perplexity",        # CCNet bigram-LM filter (broadcast model)
+    "curation_funnel",      # whole-pipeline curation verdict
+    "events_windowed",      # streaming==batch windowed aggregation
+    "frontier_schedule",    # north-rule scheduling round
+    # -- iterative graph class (never driver-verified) ----------------
     "opic_priority",        # OPIC adaptive priority (Abiteboul 2003), exact
-    "revalidation_plan",    # conditional-GET (304) bandwidth planning
     "spam_mass",            # TrustRank + spam-mass screen (Gyongyi 2004)
-    "refresh_schedule",     # composed refresh round planner (tiers+budget)
+    "hits_scores",          # HITS hubs/authorities (Kleinberg 1999)
+    "host_rank",            # weighted PageRank over the parsed host graph
+    # -- politeness / scheduling --------------------------------------
+    "revalidation_plan",    # conditional-GET (304) bandwidth planning
     "robots_cache",         # RFC 9309 robots cache TTL worklist
     "politeness_backoff",   # 429/5xx server-pressure budget shrink
-    "bpe_compression",      # per-language tokenizer fertility
+    "token_bucket",         # token-bucket gate vs recursive-CTE oracle
+    "host_fetch_gaps",      # adaptive politeness from observed gaps
+    # -- URL operators ------------------------------------------------
     "soft404",              # 200-status error-page screen (Bar-Yossef 2004)
-    "hits_scores",          # HITS hubs/authorities (Kleinberg 1999)
     "url_normalize",        # RFC 3986 alias collapse (codegen chain)
-    "host_rank",            # weighted PageRank over the parsed host graph
-    "robotstxt_status",     # displaced from the window in r3 (see above)
-    "url_crawl_set_registry",  # displaced in r3: A14 at registry-scale ids
-    "curate_corpus",        # displaced in r3: curation_funnel covers family
-    "dup_spans_exact",      # displaced in r3: spans verifier (CDC = scale path)
-    "fetcher_assignment",   # displaced in r3: fair_budget replays its ring
-    "leakage_split",        # domain-grain train/valid/test, leakage invariant
-    "round_makespan",       # fleet busy-time / straggler estimate
+    "redirect_resolve",     # bounded-walk redirect chain resolution
+    # -- dedup / curation ---------------------------------------------
+    "dup_spans_exact",      # duplicated-span verifier (CDC = scale path)
+    "unit_dedup",           # C4/RefinedWeb unit-level first-occurrence
+    "boilerplate_strip",    # CCNet §3.1 per-group template removal
+    "decontaminate",        # eval-overlap removal (broadcast shingles)
+    # -- LLM-pipeline text operators ----------------------------------
+    "lm_quality_filter",    # perplexity-banded keep/flag/drop
+    "dsir_weights",         # DSIR importance resampling (Xie 2023)
+    "bpe_compression",      # per-language tokenizer fertility
+    "vocab_coverage",       # Good-Turing missing mass per language
     "pii_redact",           # ordered placeholder rewrite, full-text hash
     "nb_calibration",       # margin-binned classifier reliability
-    "unit_dedup",           # displaced from the window in r3 (see above)
-    "lm_quality_filter",    # displaced from the window in r3 (see above)
+    "language_diversity",   # integer-exact Gini-Simpson
+    # -- sampling / packing / splits ----------------------------------
+    "pack_sequences",       # greedy first-fit sequence packing
+    "leakage_split",        # domain-grain train/valid/test, no leakage
+    "shard_summary",        # training-shard balance
+    "bitext_pairs",         # URL language-variant alignment (WMT16)
+    # -- storage formats / sources ------------------------------------
+    "wet_roundtrip",        # WET text-record extraction
+    "wat_links",            # WAT metadata link records
+    "warc_cdx_index",       # byte-addressed CDX index build
+    "cdx_zipnum_roundtrip", # ZipNum seek path
+    "sitemap_sharded",      # sitemapindex chain, arithmetic oracle
+    # -- time series / matrices ---------------------------------------
+    "histogram_matrix",     # A19 frequency-histogram matrix, full grid
+    "url_churn",            # per-crawl URL churn (appear/vanish)
+    # -- link graph / events / stats ----------------------------------
+    "host_link_graph",      # host-grain link aggregation
     "asof_capture",         # as-of join vs DuckDB native ASOF oracle
+    "host_concentration",   # exact Gini + top-decile share (permille)
+    "length_percentiles",   # exact per-group percentiles
+    "stats_accumulate",     # algebraic stats merge == direct pass
+    # -- multimodal plumbing ------------------------------------------
+    "media_resize",         # mapInPandas resize geometry (decode stubbed)
+]
+
+# Second tier: positions 51+ in registry order — first the remaining
+# never-driver-verified oracle pairs (most distinctive first), then the
+# r1-r3 driver-green queries displaced from the window, then the
+# rows-only sketch flavors. All remain exactness-verified by
+# tests/test_oracle_parity.py regardless of position.
+_PRIORITY_NEXT = [
+    # never driver-verified, next in line for a wider window
+    "refresh_schedule",     # composed refresh round planner (tiers+budget)
+    "url_crawl_set_registry",  # A14 at registry-scale ids
+    "curate_corpus",        # curation_funnel covers the family in-window
+    "fetcher_assignment",   # fair_budget replays its ring in-window
+    "round_makespan",       # fleet busy-time / straggler estimate
     "concurrent_sessions",  # bucketized range join vs DuckDB IEJoin
     "events_attribution",   # stream-stream time-range join (batch plan)
-    "host_fetch_gaps",      # adaptive politeness from observed gaps
-    "token_bucket",         # token-bucket gate vs recursive-CTE oracle
-    "boilerplate_strip",    # per-group template removal (vs unit_dedup)
     "url_templates",        # empirical trap mining (digit-collapse)
-    "host_concentration",   # exact Gini + top-decile share (permille)
-    "dsir_weights",         # DSIR importance resampling (Xie 2023)
     "adaptive_token_bucket",  # gaps->refill loop, dual-state oracle
-    "stats_accumulate",     # algebraic stats merge == direct pass
     "host_outliers",        # robust median/MAD volume outliers
-    "vocab_coverage",       # Good-Turing missing mass per language
-    "bitext_pairs",         # URL language-variant alignment (WMT16)
-    "ann_pq_topk",          # product-quantization ADC scan (rows-only)
-    "compression_ratios",   # zlib redundancy signal (rows-only)
     "sitemap_stale",        # advertised-vs-captured refresh signal
     "host_harmonic",        # recursive-graph class, exact centrality
     "host_quality",         # quality feedback loop -> blocklist
-    "shard_summary",        # training-shard balance
-    "language_diversity",   # integer-exact Gini-Simpson
     "host_components",      # second recursive-CTE oracle
-    "redirect_resolve",     # bounded-walk class
-    "warc_cdx_index",       # byte-addressed index build
-    "cdx_zipnum_roundtrip", # ZipNum seek path
-    "length_percentiles",   # exact per-group percentiles
-    "decontaminate",        # eval-overlap removal
-    "host_hyperball",       # HyperBall sketch (rows-only)
-    "sitemap_sharded",      # sitemapindex chain, arithmetic oracle
-    "warc_gzip_index",      # per-record gzip layout (rows-only)
-    "weighted_sample",      # A-ES weighted sampling (rows-only)
-    "cms_host_freq",        # count-min point frequency (rows-only)
-    "length_percentiles_approx",  # GK quantile sketch (rows-only)
-    "crawl_overlap_kmv",    # bottom-k set-op sketch (rows-only)
+    "stratified_sample",    # per-stratum rank sampling
+    "domain_weights",       # corpus reweighting factors
+    "nb_weights", "nb_classify", "nb_agreement",  # NB classifier chain
+    "lm_bigram_weights",    # trusted-slice LM estimation
+    "vocabulary",           # salted two-phase top-k vocabulary
+    "pii_counts", "repetition_scores", "tfidf_keywords",
+    "language_confusion",   # langid vs labeled-language matrix
+    "mime_matrix", "mime_drift", "language_drift",
+    "host_churn", "digest_churn",
+    "warc_revisit",         # revisit/dedup WARC records
+    "sitemap_roundtrip", "robots_sitemap_seeds",
+    "outlinks", "anchor_texts", "host_degrees", "host_degree_histogram",
+    "schedule_politeness", "schedule_domain_politeness",
+    "schedule_fairness", "retry_backoff", "recrawl_tiers", "url_filters",
+    # displaced driver-green (r1-r3) — regression tier
+    "host_counts", "domain_counts", "tld_counts", "surt_domain_counts",
+    "mimetype", "primary_language", "http_status", "url_fetch_histogram",
+    "top_hosts", "new_items", "new_digests", "url_crawl_set",
+    "digest_crawl_set", "meta_robots", "crawl_overlap", "domain_coverage",
+    "trailing_6", "nofollow_graph", "domain_pages_histogram",
+    "host_urls_histogram", "robots_decisions", "canonical_dedup",
+    "tld_classified", "tld_continent", "large_surt_domains",
+    "mime_share_pivot", "languages_floor", "warc_roundtrip",
+    "cc_pages_extract", "robots_churn", "ngram_jaccard",
+    "embedding_near_dup", "ann_topk", "quality_scores", "language_id",
+    "pagerank_priority", "events_sessionize", "dedup_kept", "fair_budget",
+    "bpe_encode", "robotstxt_status",
+    # rows-only sketch flavors (no SQL-expressible exact oracle)
+    "ann_pq_topk", "compression_ratios", "host_hyperball",
+    "warc_gzip_index", "weighted_sample", "cms_host_freq",
+    "length_percentiles_approx", "crawl_overlap_kmv",
 ]
 
 _ordered = {name: QUERIES[name] for name in _PRIORITY + _PRIORITY_NEXT}

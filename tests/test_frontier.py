@@ -199,10 +199,9 @@ def test_compaction_and_bloom_bit_identical(spark, tmp_path):
 def test_reopen_seen_for_recrawl(spark, tmp_path):
     """reopen_seen subtracts re-opened keys from the seen set (until a
     later delta re-adds them) and drops them from a materialized cuckoo
-    prefilter in place — the recrawl re-open path."""
-    from cc_crawl_statistics_spark.frontier.cuckoo import (
-        contains,
-        load_cuckoo,
+    prefilter shard-locally — the recrawl re-open path."""
+    from cc_crawl_statistics_spark.frontier.shardedfilter import (
+        contains_shards,
     )
 
     store = SnapshotStore(str(tmp_path / "s"))
@@ -228,12 +227,11 @@ def test_reopen_seen_for_recrawl(spark, tmp_path):
 
     kind, path = store.prefilter_path(2)
     assert kind == "cuckoo"
-    f = load_cuckoo(path)
-    assert not contains(f, np.array(victims, dtype=np.int64)).any()
+    assert not contains_shards(path, np.array(victims, dtype=np.int64)).any()
     remaining = np.array(
         [k for k in base_keys if k not in victims], dtype=np.int64
     )
-    assert contains(f, remaining).all()
+    assert contains_shards(path, remaining).all()
     # a later delta re-adding a reopened key wins over the reopen
     import os as _os
 
