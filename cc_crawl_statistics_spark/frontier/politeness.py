@@ -309,9 +309,9 @@ def server_pressure_backoff(
         F.broadcast(ledger.select("host", "max_per_round")), "host"
     ).withColumn(
         "pressure_permille",
-        F.floor(F.col("n_pressure") * 1000 / F.col("n_fetches")).cast(
-            "long"
-        ),
+        # BIGINT div end to end (like the oracle's //): floor(x*1000/y)
+        # detours through double and is exact only below 2^53
+        F.expr("(n_pressure * 1000) div n_fetches"),
     )
     p = F.col("pressure_permille")
     return joined.select(

@@ -58,7 +58,15 @@ def opic(
     """(node, cash_fp, hist_fp, importance_fp) after ``n_rounds`` exact
     OPIC rounds. ``fetched_sql(r)`` returns a boolean SQL expression over
     ``node`` selecting the pages fetched in round r (dialect-neutral so
-    oracles can replay it)."""
+    oracles can replay it).
+
+    TRUSTED-LITERAL CONTRACT: the returned string is interpolated into
+    ``F.expr`` verbatim and evaluated as raw SQL each round, so it must
+    be a code-authored literal (like the callables passed to ``filter``),
+    NEVER built from data or external input — a caller that assembles it
+    from row values is evaluating attacker-controlled SQL (ADVICE r3).
+    Keep expressions to the portable subset (node arithmetic/comparison)
+    so the DuckDB oracle can replay them unchanged."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     links = (

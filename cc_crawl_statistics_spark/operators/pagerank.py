@@ -244,8 +244,13 @@ def spam_mass(
     have different total mass, so the ratio is a screen, not a proof —
     exactly how the paper uses it). One extra node-keyed join over the
     two propagation results."""
+    # weight_col applies to the RANK side only: trustrank has no weighted
+    # flavor (trust deliberately propagates unweighted — the paper's
+    # uniform split-out-of-seeds model), so pop it instead of forwarding
+    # a kwarg trustrank would reject (ADVICE r3).
+    kw_tr = {k: v for k, v in kw.items() if k != "weight_col"}
     pr = pagerank(edges, nodes=nodes, n_iter=n_iter, **kw)
-    tr = trustrank(edges, seeds, nodes=nodes, n_iter=n_iter, **kw)
+    tr = trustrank(edges, seeds, nodes=nodes, n_iter=n_iter, **kw_tr)
     return (
         pr.join(tr, "node")
         .select(

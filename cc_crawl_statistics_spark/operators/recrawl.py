@@ -140,11 +140,9 @@ def revalidation_plan(
         )
         .withColumn(
             "conditional_permille",
-            F.floor(
-                (F.col("n_conditional") + F.col("n_risky"))
-                * 1000
-                / F.col("n_urls")
-            ).cast("long"),
+            # BIGINT div end to end (matches the oracle's //); the double
+            # detour of floor(x*1000/y) is exact only below 2^53
+            F.expr("((n_conditional + n_risky) * 1000) div n_urls"),
         )
         .orderBy("host")
     )

@@ -728,9 +728,9 @@ def bpe_compression(
         )
         .withColumn(
             "tokens_per_1000_words",
-            F.floor(F.col("n_tokens") * 1000 / F.col("n_words")).cast(
-                "long"
-            ),
+            # BIGINT div end to end (matches the oracle's //); the double
+            # detour of floor(x*1000/y) is exact only below 2^53
+            F.expr("(n_tokens * 1000) div n_words"),
         )
         .orderBy("lang")
     )
@@ -1362,9 +1362,9 @@ def soft404_host_rates(
         )
         .withColumn(
             "soft404_permille",
-            F.floor(F.col("n_soft404") * 1000 / F.col("n_200")).cast(
-                "long"
-            ),
+            # BIGINT div end to end (matches the oracle's //); the double
+            # detour of floor(x*1000/y) is exact only below 2^53
+            F.expr("(n_soft404 * 1000) div n_200"),
         )
         .orderBy("host")
     )

@@ -699,7 +699,11 @@ def _frontier_graph(spark: SparkSession, sf: str):
     ).union(
         ids.select("src", ((F.col("src") * 3 + 7) % n_docs).alias("dst"))
     )
-    return edges, uni.select(F.col("doc_id").alias("node"))
+    # .distinct() so the Spark node relation matches the oracles' SELECT
+    # DISTINCT by construction (doc_id = min over url group is unique
+    # today, but a duplicate would double-count in joins only on the
+    # Spark side — ADVICE r3)
+    return edges, uni.select(F.col("doc_id").alias("node")).distinct()
 
 
 def _drifted_pages(spark: SparkSession, sf: str):
