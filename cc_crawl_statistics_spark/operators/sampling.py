@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ..functions.windows import dim_window
+
 from .textstats import WS_TOKEN_RE
 
 
@@ -160,7 +162,7 @@ def domain_mixture_weights(
     w1 = Window.partitionBy("_salt").orderBy(
         F.col("_rem").desc(), F.col(group_col)
     )
-    w2 = Window.orderBy(F.col("_rem").desc(), F.col(group_col))
+    w2 = dim_window(F.col("_rem").desc(), F.col(group_col))
     topups = (
         base.withColumn(
             "_salt", F.pmod(F.xxhash64(group_col), F.lit(8))

@@ -14,6 +14,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.windows import dim_window
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -109,7 +111,7 @@ def ivf_centroids(
     )
     cents = seeds.select(
         F.row_number()
-        .over(Window.orderBy(F.xxhash64(F.col("vec_id").cast("string")), "vec_id"))
+        .over(dim_window(F.xxhash64(F.col("vec_id").cast("string")), "vec_id"))
         .alias("centroid_id"),
         F.col(vec_col).alias("centroid"),
     ).localCheckpoint(eager=True)

@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.windows import dim_window
+
 _PARTIAL_SCHEMA = (
     "key string, est long, err long, part_id long, part_min long"
 )
@@ -145,7 +147,7 @@ def heavy_hitters(
         )
     )
     # bounded single-partition window: merged has ≤ k × partitions rows
-    w_rank = Window.orderBy(F.desc("est_hi"), F.desc("est_lo"), F.asc("key"))
+    w_rank = dim_window(F.desc("est_hi"), F.desc("est_lo"), F.asc("key"))
     return (
         merged.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= top)

@@ -9,6 +9,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.windows import dim_window
+
 # BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
 TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 WS_TOKEN_RE = r"\S+"
@@ -70,7 +72,7 @@ def vocabulary(
         .filter(F.col("_sr") <= top_k)
         .drop("_salt", "_sr")
     )
-    w2 = Window.orderBy(*order)
+    w2 = dim_window(*order)
     wcum = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     total = counts.agg(F.sum("n_tokens").cast("long").alias("_total"))
     return (
@@ -828,7 +830,7 @@ def nb_train(
     tc = lt.groupBy("token").agg(F.sum("cnt").cast("long").alias("n"))
     order = (F.desc("n"), F.asc("token"))
     w1 = Window.partitionBy("_salt").orderBy(*order)
-    w2 = Window.orderBy(*order)
+    w2 = dim_window(*order)
     vocab = (
         tc.withColumn("_salt", F.pmod(F.xxhash64("token"), F.lit(n_salts)))
         .withColumn("_sr", F.row_number().over(w1))

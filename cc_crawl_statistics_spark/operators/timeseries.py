@@ -13,13 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.windows import dim_window
+
 from .counts import page_rows
 
 
 def cumulative_size(size: DataFrame) -> DataFrame:
     """W1: running totals over crawls ordered by crawl id
     (crawl_size.py:92-97)."""
-    w = Window.orderBy("crawl").rowsBetween(Window.unboundedPreceding, 0)
+    w = dim_window("crawl").rowsBetween(Window.unboundedPreceding, 0)
     return size.select(
         "crawl",
         "fetches",
@@ -110,7 +112,7 @@ def trailing_union(size_by_crawl: DataFrame, n: int) -> DataFrame:
     """W4/W5: trailing-N-crawl page sums (crawl_size.py:121-155). The
     reference emits 'nan' until N crawls exist; we emit 0 (kept non-null so
     cross-engine comparisons never hit NULL→NaN pandas coercion)."""
-    w = Window.orderBy("crawl").rowsBetween(-(n - 1), 0)
+    w = dim_window("crawl").rowsBetween(-(n - 1), 0)
     cnt = F.count("*").over(w)
     return size_by_crawl.select(
         "crawl",
@@ -149,7 +151,7 @@ def trailing_distinct_union(
             F.sum(F.lit(1)).alias("pages"),
         )
     )
-    w = Window.orderBy("crawl").rowsBetween(-(n - 1), 0)
+    w = dim_window("crawl").rowsBetween(-(n - 1), 0)
     cnt = F.count("*").over(w)
     est = F.hll_sketch_estimate(F.hll_union_agg("sk").over(w))
     est_digest = F.hll_sketch_estimate(F.hll_union_agg("sk_digest").over(w))
@@ -310,7 +312,7 @@ def top_n_with_other(
         counts.groupBy(key)
         .agg(F.sum("pages").alias("total_pages"), F.sum("urls").alias("total_urls"))
     )
-    w = Window.orderBy(
+    w = dim_window(
         F.desc("total_pages"), F.desc("total_urls"), F.desc(key)
     )
     keep = totals.withColumn("r", F.row_number().over(w)).filter(
@@ -465,7 +467,7 @@ def cumulative_distinct_estimates(pages: DataFrame, lgk: int = 14) -> DataFrame:
             F.hll_sketch_agg("digest", F.lit(lgk)).alias("sk_digest"),
         )
     )
-    w = Window.orderBy("crawl").rowsBetween(Window.unboundedPreceding, 0)
+    w = dim_window("crawl").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_crawl.select(
         "crawl",
         F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
@@ -484,7 +486,7 @@ def cumulative_distinct_estimates(pages: DataFrame, lgk: int = 14) -> DataFrame:
         F.greatest(
             F.col("cum_urls_est")
             - F.coalesce(
-                F.lag("cum_urls_est").over(Window.orderBy("crawl")), F.lit(0)
+                F.lag("cum_urls_est").over(dim_window("crawl")), F.lit(0)
             ),
             F.lit(0),
         ).alias("new_urls_est"),
@@ -696,7 +698,7 @@ def item_churn(pages: DataFrame, item_col: str = "host") -> DataFrame:
         rows.select("crawl_id", "crawl")
         .distinct()
         .withColumn(
-            "seq", F.row_number().over(Window.orderBy("crawl_id")) - 1
+            "seq", F.row_number().over(dim_window("crawl_id")) - 1
         )
     )
     with_seq = rows.join(
@@ -720,7 +722,7 @@ def item_churn(pages: DataFrame, item_col: str = "host") -> DataFrame:
     )
     # attribute "lost" to the crawl where the item is absent: one lag over
     # the ≤126-row per-crawl aggregate
-    wseq = Window.orderBy("seq")
+    wseq = dim_window("seq")
     # first crawl: every item counts as gained (no seq -1), matching the
     # reference's new-items convention for the first crawl of a series
     return (
@@ -789,7 +791,7 @@ def distribution_drift(counts: DataFrame, key_col: str) -> DataFrame:
     )
     # bounded crawl dimension (≤126 rows) → dense index + consecutive pairs
     crawls = counts.select("crawl").distinct()
-    w = Window.orderBy("crawl")
+    w = dim_window("crawl")
     crawls = crawls.withColumn("idx", F.row_number().over(w) - F.lit(1))
     a, b = crawls.alias("a"), crawls.alias("b")
     pairs = a.join(b, F.col("b.idx") == F.col("a.idx") + 1).select(

@@ -48,4 +48,25 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _silence_benign_window_warning(spark)
     return spark
+
+
+def _silence_benign_window_warning(spark: SparkSession) -> None:
+    """Raise the WindowExec logger to ERROR: every total-order window in
+    this repo runs over a dimension-sized frame by design (declared via
+    functions/windows.dim_window — Catalyst folds the constant partition
+    key away, so the 'No Partition Defined' warning fires regardless),
+    and ~100 repeats per bench run bury real signal (VERDICT r3 #4).
+    The guard against a future genuinely-unbounded window is
+    tests/test_plan_shapes.py::test_total_order_windows_are_declared —
+    a source-level lint that forces any new bare order-only window
+    through the dim_window marker and its review contract."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments just keep the warning

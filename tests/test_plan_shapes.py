@@ -135,3 +135,34 @@ def test_host_quality_two_level_agg_no_expand(spark):
     plan = _executed(Q.QUERIES["host_quality"](spark, SF))
     assert "Expand" not in plan
     assert plan.count("Exchange hashpartitioning") >= 2  # doc_id join + aggs
+
+
+def test_total_order_windows_are_declared():
+    """Source lint replacing the silenced WindowExec warning
+    (session._silence_benign_window_warning): a total-order window is
+    legitimate in this repo ONLY over a dimension-sized frame, and must
+    say so by using functions/windows.dim_window instead of a bare
+    Window.orderBy — so a future genuinely-unbounded window can't slip
+    in silently now that the log noise is gone. Windows with a real
+    partitionBy are unaffected."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..",
+                       "cc_crawl_statistics_spark")
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            if fname == "windows.py":
+                continue  # the helper's own definition
+            src = open(path).read()
+            for m in re.finditer(r"Window\s*\.\s*orderBy", src):
+                line = src.count("\n", 0, m.start()) + 1
+                offenders.append(f"{os.path.relpath(path, pkg)}:{line}")
+    assert not offenders, (
+        "bare Window.orderBy (total-order window without the dim_window "
+        f"dimension-size declaration): {offenders}"
+    )
