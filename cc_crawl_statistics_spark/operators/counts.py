@@ -50,16 +50,24 @@ def crawl_size(pages: DataFrame) -> DataFrame:
     """A8: global per-crawl totals — the reference's ``size`` records
     (crawlstats.py:757-763, 810-828), exact flavor.
 
-    Plan shape (re-measured r2 at bench factor, interleaved best-of-3):
-    ONE scan with a multi-countDistinct agg (Catalyst Expand ×5) beats the
-    r1 five-stream plan 1.79s vs 2.04s at 1.45M rows/32 cores — and the
-    gap only widens on an IO-bound cluster, where the five-stream flavor
-    re-scans the 100 TB fact table per distinct column. Expand's extra
+    Plan shape: ONE scan with a multi-countDistinct agg (Catalyst
+    Expand ×5). A/B history at bench factor (interleaved best-of-5,
+    1.45M rows/32 cores, tmpfs): r2 measured Expand ahead (1.79s vs
+    2.04s); the r4 re-measure flipped it locally (Expand best 2.34s vs
+    five-stream 1.68s — the r3 bench regression 1.37→1.60s was this,
+    not VM noise). The flip is a tmpfs artifact: with IO ≈ free, the
+    five-stream's 5 re-scans cost nothing while Expand pays its 5× row
+    amplification through the aggregation hash maps. On the target
+    deployment the fact table is 100 TB behind object storage — scan
+    count dominates, and the five-stream flavor re-reads the table per
+    distinct column (its 5 pruned scans still touch ≥ the one wide
+    scan's bytes, plus 4 extra passes of decode). Expand's extra
     shuffle rows are one-column-each (others nulled), so total shuffle
     bytes match the sum of the per-stream shuffles; the scan count drops
-    5× (crossover documented in BENCH.md). The robots/page totals ride
-    the same scan via the separate flagged aggregate joined broadcast-
-    style on the ≤126-row crawl dimension."""
+    5×. The single-scan plan stays the default as the scale-correct
+    choice; the crossover is documented in BENCH.md. The robots/page
+    totals ride the same scan via the separate flagged aggregate joined
+    broadcast-style on the ≤126-row crawl dimension."""
     flagged = with_flags(pages)
     totals = flagged.groupBy("crawl").agg(
         F.count("*").alias("fetches"),

@@ -21,9 +21,15 @@ Guarantees (and what the tests pin):
   - the per-partition summary loop touches only batch-pre-aggregated
     (key, weight) pairs (pandas groupby first), never raw rows.
 
-The sketch output depends on the input partitioning/order (like any
-space-saving summary), so queries over it are registered rows-only —
-the error-bound tests, not a SQL oracle, are the correctness evidence.
+The space-saving sketch output depends on the input partitioning/order,
+so queries over it are registered rows-only — the error-bound tests, not
+a SQL oracle, are the correctness evidence. The hash-based sketches
+(CMS, KMV, MinHash, SimHash, HLL registers) are partitioning-invariant,
+and each also ships a *portable-hash verification flavor*
+(functions/porthash) whose construction is replayed bit-for-bit by a
+DuckDB oracle — the xxhash64 production flavors stay rows-only, the
+portable flavors are exact hash-match queries (cms_host_freq_exact,
+kmv_overlap_exact, minhash_exact, simhash_exact, hll_registers_exact).
 """
 
 from __future__ import annotations
@@ -156,14 +162,20 @@ def heavy_hitters(
     )
 
 
-def _cms_cells(key, depth: int, width: int):
+def _cms_cells(key, depth: int, width: int, hash_fn=None):
     """The d (seed, bucket) cells a key hashes to — one codegen projection,
-    no UDF: bucket_i = pmod(xxhash64(key, i), width)."""
+    no UDF: bucket_i = pmod(hash_i(key), width). ``hash_fn(key, seed)``
+    defaults to xxhash64 (production); passing
+    functions.porthash.porthash_seeded yields the cross-engine
+    verification flavor (same cell layout, exact DuckDB oracle)."""
+    if hash_fn is None:
+        def hash_fn(k, i):
+            return F.xxhash64(k, F.lit(i))
     return F.array(
         *[
             F.struct(
                 F.lit(i).cast("int").alias("seed"),
-                F.pmod(F.xxhash64(key, F.lit(i)), F.lit(width))
+                F.pmod(hash_fn(key, i), F.lit(width))
                 .cast("int")
                 .alias("bucket"),
             )
@@ -178,6 +190,7 @@ def cms_build(
     depth: int = 4,
     width: int = 8192,
     weight_col=None,
+    hash_fn=None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) as a plain bounded
     DataFrame: rows (seed, bucket, weight), ≤ depth × width of them no
@@ -202,9 +215,9 @@ def cms_build(
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     return (
         df.select(
-            F.explode(_cms_cells(key.cast("string"), depth, width)).alias(
-                "h"
-            ),
+            F.explode(
+                _cms_cells(key.cast("string"), depth, width, hash_fn)
+            ).alias("h"),
             w.alias("w"),
         )
         .groupBy(F.col("h.seed").alias("seed"), F.col("h.bucket").alias("bucket"))
@@ -230,6 +243,7 @@ def cms_lookup(
     key_col,
     depth: int = 4,
     width: int = 8192,
+    hash_fn=None,
 ) -> DataFrame:
     """Point-frequency estimates for the probe keys: est = min over the
     key's d cells. Guarantees est ≥ true weight always; est ≤ true +
@@ -241,7 +255,9 @@ def cms_lookup(
     key = F.col(key_col) if isinstance(key_col, str) else key_col
     cells = probes.select(
         key.cast("string").alias("key"),
-        F.explode(_cms_cells(key.cast("string"), depth, width)).alias("h"),
+        F.explode(
+            _cms_cells(key.cast("string"), depth, width, hash_fn)
+        ).alias("h"),
     ).select("key", F.col("h.seed").alias("seed"), F.col("h.bucket").alias("bucket"))
     return (
         cells.join(F.broadcast(sketch), ["seed", "bucket"], "left")
@@ -257,6 +273,7 @@ def kmv_sketch(
     group_cols: tuple[str, ...] = ("crawl",),
     k: int = 256,
     n_salts: int = 8,
+    hash_fn=None,
 ) -> DataFrame:
     """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et
     al. SIGMOD'07) per group: the ``k`` smallest xxhash64 values of the
@@ -283,7 +300,11 @@ def kmv_sketch(
     u = h + 2⁶³ to the unsigned estimator domain is order-preserving, so
     signed order needs no conversion until estimation time.
     """
-    h = F.xxhash64(F.col(item_col).cast("string")).alias("h")
+    h = (
+        hash_fn(F.col(item_col).cast("string"))
+        if hash_fn is not None
+        else F.xxhash64(F.col(item_col).cast("string"))
+    ).alias("h")
     sel = df.select(*group_cols, h).distinct()
     # decorrelate the salt from the rank order (low bits of h are fine,
     # but re-hashing makes the independence explicit)
@@ -300,12 +321,27 @@ def kmv_sketch(
     )
 
 
-def _kmv_distinct_est(kmv, k: int):
+def _kmv_distinct_est(kmv, k: int, domain: int | None = None):
     """Distinct-count estimate off one sorted bottom-k array: exact size
     when the sketch is under-full (it IS the distinct hash set), else the
-    classic (k−1)·2⁶⁴ / u_(k) with u = h + 2⁶³ (order-preserving unsigned
-    map). The kth value is an exact integer, so the estimate is a pure
-    deterministic function of the sketch — partitioning-invariant."""
+    classic (k−1)·D / u_(k). Default D = 2⁶⁴ over signed xxhash64 values
+    with the order-preserving unsigned map u = h + 2⁶³ (float arithmetic
+    — the product exceeds int64). An explicit ``domain`` D means hash
+    values live in [0, D) as non-negative integers (the portable
+    verification hash), and the estimate becomes a pure BIGINT div —
+    bit-reproducible in any engine. Either way the kth value is an exact
+    integer, so the estimate is a deterministic function of the sketch —
+    partitioning-invariant."""
+    if domain is not None:
+        # exact integer floor-div as (n - n%d)/d: n = (k−1)·D must stay
+        # below 2^53 so the final (exactly divisible) double division is
+        # exact — enforced here, not assumed
+        assert (k - 1) * domain < 2**53, "k·domain too large for exact div"
+        num = F.lit(k - 1).cast("long") * F.lit(domain).cast("long")
+        kth = F.element_at(kmv, k)
+        return F.when(F.size(kmv) < k, F.size(kmv).cast("long")).otherwise(
+            ((num - num % kth) / kth).cast("long")
+        )
     kth_u = (
         F.element_at(kmv, k).cast("double") + F.lit(2.0**63)
     )
@@ -326,7 +362,10 @@ def kmv_distinct_estimates(
 
 
 def kmv_overlap(
-    sketch: DataFrame, k: int = 256, group_col: str = "crawl"
+    sketch: DataFrame,
+    k: int = 256,
+    group_col: str = "crawl",
+    domain: int | None = None,
 ) -> DataFrame:
     """Pairwise set-operation estimates between group sketches.
 
@@ -366,27 +405,39 @@ def kmv_overlap(
     in2 = F.size(F.array_intersect(F.col("m"), F.col("kmv2")))
     in1 = F.size(F.array_intersect(F.col("m"), F.col("kmv1")))
     m_sz = F.size("m")
-    uni = _kmv_distinct_est(F.col("m"), k)
+    uni = _kmv_distinct_est(F.col("m"), k, domain)
+
+    if domain is not None:
+        # integer-exact scaling (portable verification flavor): every
+        # numerator ≤ k · (k−1) · domain < 2^53, so the exactly-divisible
+        # double division below is exact (same argument as
+        # _kmv_distinct_est); the DuckDB oracle replays `//` verbatim
+        def scaled(cnt, den):
+            n = cnt.cast("long") * F.col("_uni") if den is None else cnt
+            d = m_sz if den is None else den
+            n = n.cast("long")
+            return ((n - n % d) / d).cast("long")
+    else:
+        def scaled(cnt, den):
+            n = cnt * F.col("_uni") if den is None else cnt
+            d = m_sz if den is None else den
+            return F.floor(n / d).cast("long")
+
     return (
         a.join(b, F.col("c1") < F.col("c2"))
         .withColumn("m", merged)
+        .withColumn("_uni", uni)
         .select(
             "c1",
             "c2",
-            uni.alias("uni_est"),
-            F.floor(both * uni / m_sz).cast("long").alias("inter_est"),
-            F.floor((in1 - both) * uni / m_sz)
-            .cast("long")
-            .alias("only1_est"),
-            F.floor((in2 - both) * uni / m_sz)
-            .cast("long")
-            .alias("only2_est"),
-            F.floor(F.lit(1000) * both / m_sz)
-            .cast("long")
-            .alias("jaccard_permille"),
-            F.floor(F.lit(1000) * both / F.greatest(in2, F.lit(1)))
-            .cast("long")
-            .alias("containment_permille"),
+            F.col("_uni").alias("uni_est"),
+            scaled(both, None).alias("inter_est"),
+            scaled(in1 - both, None).alias("only1_est"),
+            scaled(in2 - both, None).alias("only2_est"),
+            scaled(F.lit(1000) * both, m_sz).alias("jaccard_permille"),
+            scaled(
+                F.lit(1000) * both, F.greatest(in2, F.lit(1))
+            ).alias("containment_permille"),
         )
         .orderBy("c1", "c2")
     )
@@ -407,6 +458,147 @@ def crawl_overlap_kmv(
     )
 
 
+# --------------------------------------------------------------------------
+# portable verification flavors (VERDICT r3 #5): the same sketch
+# constructions driven by the cross-engine hash (functions/porthash), so
+# the driver's DuckDB oracle can replay them bit-for-bit. Production
+# paths keep xxhash64; these exist to upgrade the sketch class from
+# rows-only to exact hash-match verification.
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures_portable(
+    docs: DataFrame, n_hashes: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document minhash signature over DISTINCT whitespace tokens:
+    sig_i = min over tokens of h_i(token), one row per (doc_id, seed).
+    Same min-per-hash-row construction as the production MinHash+LSH
+    (dedup.py minhash_lsh_pairs), portable-hash flavor — the shuffle is
+    the (doc, token) explode absorbed by a map-side min, exactly the
+    production shape."""
+    from ..functions.porthash import porthash_seeded
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("seed"),
+                            porthash_seeded(F.col("tok"), i).alias("h"),
+                        )
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id", F.col("s.seed").alias("seed"))
+        .agg(F.min("s.h").alias("minhash"))
+        .orderBy("doc_id", "seed")
+    )
+
+
+def simhash_portable(
+    docs: DataFrame, n_bits: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Per-document SimHash signature (Charikar 2002) over distinct
+    whitespace tokens, portable-hash flavor: bit j of the signature is 1
+    iff Σ_tokens (2·bit_j(h(token)) − 1) ≥ 0. 30 bits because the
+    portable hash's domain is ~2^30. Same bit-vote construction as the
+    production simhash (dedup.py), exactly SQL-expressible: the ×n_bits
+    explode lands on the (doc, bit) grid and is absorbed by the map-side
+    sum — sketch-sized shuffle, like the CMS build."""
+    from ..functions.porthash import porthash
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    h = porthash(F.col("tok"))
+    votes = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("bit"),
+                            (
+                                F.shiftright(h, j).bitwiseAND(F.lit(1))
+                                * F.lit(2)
+                                - F.lit(1)
+                            ).cast("long").alias("vote"),
+                        )
+                        for j in range(n_bits)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .groupBy("doc_id", F.col("b.bit").alias("bit"))
+        .agg(F.sum("b.vote").alias("votes"))
+    )
+    return (
+        votes.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("votes") >= 0,
+                    # shiftleft with a *column* shift amount needs the
+                    # SQL form (the Python helper takes only int bits)
+                    F.expr("shiftleft(1L, CAST(bit AS INT))"),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def hll_registers_portable(
+    pages: DataFrame,
+    n_buckets: int = 64,
+    item_col: str = "url",
+    group_cols: tuple[str, ...] = ("crawl",),
+) -> DataFrame:
+    """The HLL register table (bucket → max rho) per group, portable-hash
+    flavor — the integer half of HyperLogLog, verified exactly; only the
+    final harmonic-mean estimate (float, separately unit-tested against
+    Spark's hll_sketch_estimate) is left out. bucket = h mod m; rho =
+    position of the highest set bit gap: with h < 2^30 and m = 64, the
+    value part v = h div 64 has ≤ 24 bits and rho = 25 − bitlength(v)
+    (rho = 25 for v = 0) — bitlength via the base-2 string, integer-only
+    in both engines. Same one-scan, map-side-combined register build as
+    counts.size_estimate's sketches."""
+    from ..functions.porthash import porthash
+
+    h = porthash(F.col(item_col).cast("string"))
+    v = (h - h % n_buckets) / n_buckets
+    v = v.cast("long")
+    rho = F.when(v == 0, F.lit(25)).otherwise(
+        F.lit(25) - F.length(F.bin(v))
+    ).cast("long")
+    return (
+        pages.select(
+            *group_cols,
+            (h % n_buckets).cast("long").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+        .orderBy(*group_cols, "bucket")
+    )
+
+
 __all__ = [
     "space_saving_partials",
     "heavy_hitters",
@@ -417,6 +609,9 @@ __all__ = [
     "kmv_distinct_estimates",
     "kmv_overlap",
     "crawl_overlap_kmv",
+    "minhash_signatures_portable",
+    "simhash_portable",
+    "hll_registers_portable",
 ]
 
 # referenced semantics: the reference's bounded top-K with tie-break

@@ -2186,6 +2186,228 @@ def q_crawl_overlap_kmv(spark: SparkSession, sf: str) -> DataFrame:
 
 QUERIES["crawl_overlap_kmv"] = q_crawl_overlap_kmv
 
+
+# ---------------------------------------------------------------------------
+# portable-hash sketch verification (VERDICT r3 #5): the same CMS / KMV /
+# MinHash / SimHash / HLL-register constructions driven by the
+# cross-engine hash (functions/porthash), each with an EXACT DuckDB
+# oracle — upgrading the sketch class from rows-only to hash-match. The
+# per-seed oracle arms are generated from the shared constants, like the
+# unrolled iterative-graph oracles.
+# ---------------------------------------------------------------------------
+
+from ..functions.porthash import (  # noqa: E402
+    P as _PORT_P,
+    porthash,
+    porthash_seeded,
+    porthash_seeded_sql,
+    porthash_sql,
+)
+from ..operators import sketches as SK  # noqa: E402
+
+_CMS_W = 64  # small width forces collisions, so est>true rows are exercised
+
+
+def q_cms_host_freq_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min point frequencies of per-host fetch counts, portable
+    hash: the production cms_build/cms_lookup pair (sketches.py) with
+    depth=4, width=64 over the page rows' hosts."""
+    prows = C.page_rows(pages_df(spark, sf))
+    sk = SK.cms_build(
+        prows, "host", depth=4, width=_CMS_W, hash_fn=porthash_seeded
+    )
+    probes = prows.select("host").distinct()
+    return SK.cms_lookup(
+        sk, probes, "host", depth=4, width=_CMS_W, hash_fn=porthash_seeded
+    )
+
+
+QUERIES["cms_host_freq_exact"] = q_cms_host_freq_exact
+
+_KMV_K = 64
+
+
+def q_kmv_overlap_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV bottom-k crawl-overlap estimates, portable hash + integer
+    domain: every output column (union/intersection/difference
+    estimates, jaccard/containment permille) is exact BIGINT arithmetic
+    over the k smallest hash values — the sketch pipeline end to end."""
+    return SK.kmv_overlap(
+        SK.kmv_sketch(
+            C.page_rows(pages_df(spark, sf)),
+            item_col="url",
+            k=_KMV_K,
+            hash_fn=porthash,
+        ),
+        k=_KMV_K,
+        domain=_PORT_P,
+    )
+
+
+QUERIES["kmv_overlap_exact"] = q_kmv_overlap_exact
+
+
+def q_minhash_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 8-row MinHash signatures over distinct whitespace
+    tokens, portable hash (sketches.minhash_signatures_portable)."""
+    return SK.minhash_signatures_portable(
+        load_table(spark, sf, "documents"), n_hashes=8
+    )
+
+
+QUERIES["minhash_exact"] = q_minhash_exact
+
+
+def q_simhash_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document 30-bit SimHash signatures, portable hash
+    (sketches.simhash_portable)."""
+    return SK.simhash_portable(load_table(spark, sf, "documents"))
+
+
+QUERIES["simhash_exact"] = q_simhash_exact
+
+
+def q_hll_registers_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-crawl HLL register tables (bucket → max rho) over page URLs,
+    portable hash (sketches.hll_registers_portable) — the integer half
+    of the HLL distinct estimator, exactly verified."""
+    return SK.hll_registers_portable(
+        C.page_rows(pages_df(spark, sf)), n_buckets=64
+    )
+
+
+QUERIES["hll_registers_exact"] = q_hll_registers_exact
+
+
+def _porthash_tok_cte(src: str) -> str:
+    """Distinct (doc_id, tok) pairs of a documents-like relation."""
+    return (
+        f"toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+        f"unnest(string_split(text, ' ')) AS tok FROM {src}) "
+        "WHERE tok <> '')"
+    )
+
+
+_CMS_ARMS = "\nUNION ALL\n".join(
+    f"SELECT host, w, {i} AS seed, "
+    f"({porthash_seeded_sql('host', i)}) % {_CMS_W} AS bucket FROM hosts"
+    for i in range(4)
+)
+
+_MINHASH_ARMS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, {i} AS seed, "
+    f"({porthash_seeded_sql('tok', i)}) AS h FROM toks"
+    for i in range(8)
+)
+
+ORACLES.update(
+    {
+        "cms_host_freq_exact": _oracle(
+            f"""
+, hosts AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS w FROM prows GROUP BY host
+),
+hcells AS ({_CMS_ARMS}),
+cellsum AS (
+  SELECT seed, bucket, CAST(SUM(w) AS BIGINT) AS weight
+  FROM hcells GROUP BY seed, bucket
+)
+SELECT h.host AS key, CAST(MIN(c.weight) AS BIGINT) AS est
+FROM hcells h JOIN cellsum c USING (seed, bucket)
+GROUP BY h.host ORDER BY est DESC, key
+"""
+        ),
+        "kmv_overlap_exact": _oracle(
+            f"""
+, items AS (
+  SELECT DISTINCT crawl, ({porthash_sql('url')}) AS h FROM prows
+),
+rk AS (
+  SELECT crawl, h,
+         row_number() OVER (PARTITION BY crawl ORDER BY h) AS r
+  FROM items
+),
+sk AS (SELECT crawl, h FROM rk WHERE r <= {_KMV_K}),
+pair AS (
+  SELECT a.crawl AS c1, b.crawl AS c2
+  FROM (SELECT DISTINCT crawl FROM sk) a,
+       (SELECT DISTINCT crawl FROM sk) b
+  WHERE a.crawl < b.crawl
+),
+md AS (
+  SELECT DISTINCT p.c1, p.c2, s.h
+  FROM pair p JOIN sk s ON s.crawl IN (p.c1, p.c2)
+),
+mr AS (
+  SELECT c1, c2, h,
+         row_number() OVER (PARTITION BY c1, c2 ORDER BY h) AS r
+  FROM md
+),
+m AS (SELECT c1, c2, h FROM mr WHERE r <= {_KMV_K}),
+flags AS (
+  SELECT m.c1, m.c2, m.h,
+         CASE WHEN s1.h IS NOT NULL THEN 1 ELSE 0 END AS i1,
+         CASE WHEN s2.h IS NOT NULL THEN 1 ELSE 0 END AS i2
+  FROM m
+  LEFT JOIN sk s1 ON s1.crawl = m.c1 AND s1.h = m.h
+  LEFT JOIN sk s2 ON s2.crawl = m.c2 AND s2.h = m.h
+),
+agg AS (
+  SELECT c1, c2, COUNT(*) AS m_sz, MAX(h) AS kth,
+         SUM(i1 * i2) AS nboth, SUM(i1) AS in1, SUM(i2) AS in2
+  FROM flags GROUP BY c1, c2
+),
+est AS (
+  SELECT *, CASE WHEN m_sz < {_KMV_K} THEN m_sz
+                 ELSE (CAST({_KMV_K - 1} AS BIGINT) * {_PORT_P}) // kth
+            END AS uni
+  FROM agg
+)
+SELECT c1, c2, CAST(uni AS BIGINT) AS uni_est,
+  CAST((nboth * uni) // m_sz AS BIGINT) AS inter_est,
+  CAST(((in1 - nboth) * uni) // m_sz AS BIGINT) AS only1_est,
+  CAST(((in2 - nboth) * uni) // m_sz AS BIGINT) AS only2_est,
+  CAST((1000 * nboth) // m_sz AS BIGINT) AS jaccard_permille,
+  CAST((1000 * nboth) // GREATEST(in2, 1) AS BIGINT)
+    AS containment_permille
+FROM est ORDER BY c1, c2
+"""
+        ),
+        "minhash_exact": f"""
+WITH {_porthash_tok_cte('documents')},
+arms AS ({_MINHASH_ARMS})
+SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+       CAST(MIN(h) AS BIGINT) AS minhash
+FROM arms GROUP BY doc_id, seed ORDER BY doc_id, seed
+""",
+        "simhash_exact": f"""
+WITH {_porthash_tok_cte('documents')},
+th AS (SELECT doc_id, ({porthash_sql('tok')}) AS h FROM toks),
+votes AS (
+  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS v
+  FROM th, generate_series(0, 29) AS g(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j)
+            ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id ORDER BY doc_id
+""",
+        "hll_registers_exact": _oracle(
+            f"""
+, hh AS (SELECT crawl, ({porthash_sql('url')}) AS h FROM prows),
+reg AS (
+  SELECT crawl, h % 64 AS bucket, h // 64 AS v FROM hh
+)
+SELECT crawl, CAST(bucket AS BIGINT) AS bucket,
+  CAST(MAX(CASE WHEN v = 0 THEN 25
+            ELSE 25 - LENGTH(bin(v)) END) AS BIGINT) AS max_rho
+FROM reg GROUP BY crawl, bucket ORDER BY crawl, bucket
+"""
+        ),
+    }
+)
+
 # ---------------------------------------------------------------------------
 # registry ordering: the driver's CORRECTNESS gate records the FIRST 50
 # entries in insertion order, so the 50 most coverage-distinctive
@@ -2276,6 +2498,10 @@ _PRIORITY = [
 # tests/test_oracle_parity.py regardless of position.
 _PRIORITY_NEXT = [
     # never driver-verified, next in line for a wider window
+    # (the five portable-hash sketch verifications lead: they are the
+    # r4 upgrade of the sketch class from rows-only to exact hash-match)
+    "cms_host_freq_exact", "kmv_overlap_exact", "minhash_exact",
+    "simhash_exact", "hll_registers_exact",
     "refresh_schedule",     # composed refresh round planner (tiers+budget)
     "url_crawl_set_registry",  # A14 at registry-scale ids
     "curate_corpus",        # curation_funnel covers the family in-window
