@@ -803,7 +803,25 @@ def run_round(
             )
             base_rnd = store.seen_base_round(latest)
             recent = store.read_seen_deltas(spark, base_rnd + 1, latest)
-            cand = discovered.withColumn(
+            cand = discovered
+            if os.path.isdir(pf_path):
+                # sharded filter: cluster candidates by their shard id
+                # first, so each task — and so each executor's lazy
+                # shard cache — touches ~one shard file instead of all
+                # of them (at 10^10 keys: ~64 MiB resident per executor
+                # instead of the full filter). The shuffle is bounded by
+                # the round's discovery delta and only happens past the
+                # bloom_min_seen gate, where it is noise next to the
+                # anti-join it saves.
+                from .shardedfilter import load_header, shard_route_udf
+
+                n_shards = load_header(pf_path)["n_shards"]
+                route = shard_route_udf(n_shards)
+                cand = cand.repartition(
+                    min(n_shards, n_partitions * 4),
+                    route(seen_key(F.col("url"))),
+                )
+            cand = cand.withColumn(
                 "_maybe", might(seen_key(F.col("url")))
             )
             clean = cand.filter(~F.col("_maybe")).join(

@@ -332,6 +332,19 @@ def contains_shards(dir_: str, keys: np.ndarray) -> np.ndarray:
     return out
 
 
+def shard_route_udf(n_shards: int):
+    """Arrow-batched shard-id column for a seen-key column — the same
+    routing mix the filters use. The scheduler clusters prefilter
+    candidates by this before the membership UDF, so each task (and so
+    each executor's shard cache) touches ~one shard instead of all of
+    them — the difference between ~64 MiB and the full filter footprint
+    per executor at 10^10 keys."""
+    return pandas_udf(
+        lambda s: pd.Series(_route(s.to_numpy(dtype=np.int64), n_shards)),
+        "long",
+    )
+
+
 def might_contain_udf(spark: SparkSession, dir_: str):
     """Arrow-batched membership test over a sharded filter directory —
     signature-identical to bloom/cuckoo.might_contain_udf, so the
