@@ -191,3 +191,36 @@ def test_bloom_delete_rejected(spark, bloom_dir):  # noqa: F811
         SH.delete_keys_sharded(
             spark, d, spark.createDataFrame([(1,)], "seen_key bigint")
         )
+
+
+def test_shard_route_udf_matches_numpy_and_clusters(spark):  # noqa: F811
+    """The Arrow route column equals the build-side numpy routing, and
+    repartitioning on it puts each shard's keys in exactly one partition
+    (the property the scheduler's prefilter seam relies on to keep one
+    shard per executor cache)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    keys = _keys(spark, 5000)
+    df = spark.createDataFrame(
+        pd.DataFrame({"seen_key": keys})
+    )
+    route = SH.shard_route_udf(8)
+    got = (
+        df.withColumn("shard", route(F.col("seen_key")))
+        .toPandas()
+        .set_index("seen_key")["shard"]
+    )
+    want = SH._route(keys, 8)
+    assert (got.loc[keys].to_numpy() == want).all()
+    parts = (
+        df.repartition(8, route(F.col("seen_key")))
+        .withColumn("shard", route(F.col("seen_key")))
+        .withColumn("pid", F.spark_partition_id())
+        .select("shard", "pid")
+        .distinct()
+        .groupBy("shard")
+        .count()
+        .toPandas()
+    )
+    assert (parts["count"] == 1).all()  # one partition per shard
