@@ -479,9 +479,11 @@ _BLOOM_UDF_CACHE: dict = {}
 
 
 def _cached_prefilter_udf(spark, kind: str, path: str):
+    from .shardedfilter import is_sharded
+
     key = (spark.sparkContext.applicationId, path)
     if key not in _BLOOM_UDF_CACHE:
-        if os.path.isdir(path):
+        if is_sharded(path):
             # sharded filter (current format): nothing to load or
             # broadcast here — the UDF closure carries only the header
             # params, and executors lazily cache the shard files their
@@ -803,8 +805,10 @@ def run_round(
             )
             base_rnd = store.seen_base_round(latest)
             recent = store.read_seen_deltas(spark, base_rnd + 1, latest)
+            from .shardedfilter import is_sharded
+
             cand = discovered
-            if os.path.isdir(pf_path):
+            if is_sharded(pf_path):
                 # sharded filter: cluster candidates by their shard id
                 # first, so each task — and so each executor's lazy
                 # shard cache — touches ~one shard file instead of all

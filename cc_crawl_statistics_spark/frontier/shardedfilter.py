@@ -56,11 +56,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from .bloom import _C1, _C2, _indices, _mix
-from .cuckoo import SLOTS, _alt_bucket, _bucket1, _fingerprint, _insert_keys
+from .bloom import _indices, _mix
+from .cuckoo import (
+    _C3,  # the one routing-mix constant, shared with the cuckoo tables
+    SLOTS,
+    _alt_bucket,
+    _bucket1,
+    _fingerprint,
+    _insert_keys,
+)
 
 HEADER = "_FILTER.json"
-_C3 = np.uint64(0xD6E8FEB86659FD93)  # routing mix constant (≠ index mixes)
 
 # Per-executor-process shard cache: (file path, mtime_ns) -> ndarray.
 # mtime in the key makes a cuckoo-deletion rewrite self-invalidating.
@@ -113,6 +119,15 @@ def is_committed(dir_: str) -> bool:
     return os.path.exists(os.path.join(dir_, HEADER))
 
 
+def is_sharded(path: str) -> bool:
+    """Format predicate for a ``prefilter_path`` result — THE one place
+    that knows sharded filters live in directories and legacy blobs in
+    .npy files. Every consumer (scheduler UDF seam, shard-clustering
+    block, reopen deletion) dispatches through this instead of sniffing
+    the filesystem itself, so a future format change is one edit."""
+    return os.path.isdir(path)
+
+
 def _atomic_save(path: str, arr: np.ndarray) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
@@ -152,10 +167,7 @@ def build_sharded_bloom(
     n_bytes = (m + 7) // 8
     _fresh_dir(out_dir)
 
-    route_udf = pandas_udf(
-        lambda s: pd.Series(_route(s.to_numpy(dtype=np.int64), n_shards)),
-        "long",
-    )
+    route_udf = shard_route_udf(n_shards)
     routed = seen.select(F.col(key_col).alias("k")).withColumn(
         "_shard", route_udf(F.col("k"))
     )
@@ -226,10 +238,7 @@ def build_sharded_cuckoo(
     n_buckets = 1 << int(math.ceil(math.log2(need)))
     _fresh_dir(out_dir)
 
-    route_udf = pandas_udf(
-        lambda s: pd.Series(_route(s.to_numpy(dtype=np.int64), n_shards)),
-        "long",
-    )
+    route_udf = shard_route_udf(n_shards)
     routed = seen.select(F.col(key_col).alias("k")).withColumn(
         "_shard", route_udf(F.col("k"))
     )
@@ -391,10 +400,7 @@ def delete_keys_sharded(
         raise ValueError("only cuckoo shards support deletion")
     n_shards, n_buckets = h["n_shards"], h["n_buckets"]
 
-    route_udf = pandas_udf(
-        lambda s: pd.Series(_route(s.to_numpy(dtype=np.int64), n_shards)),
-        "long",
-    )
+    route_udf = shard_route_udf(n_shards)
     routed = keys.select(F.col(key_col).alias("k")).withColumn(
         "_shard", route_udf(F.col("k"))
     )

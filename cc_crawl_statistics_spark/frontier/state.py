@@ -175,7 +175,9 @@ class SnapshotStore:
         )
         pf = self.prefilter_path(rnd)
         if pf is not None and pf[0] == "cuckoo":
-            if os.path.isdir(pf[1]):
+            from .shardedfilter import is_sharded
+
+            if is_sharded(pf[1]):
                 # sharded layout: deletion is a Spark job that edits and
                 # atomically rewrites only the affected shard files — the
                 # reopen list never assembles on the driver, so an

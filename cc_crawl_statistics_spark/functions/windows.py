@@ -3,13 +3,19 @@
 Every total-order window in this repo runs over a *dimension* relation
 (the ≤126-row crawl dimension, a bounded vocabulary order, per-group
 remainder ranks) — single-partition execution is the correct and
-intended plan. Spark still logs ``WindowExec: No Partition Defined``
-for any empty partition spec, and at ~100 warnings per bench run that
-noise can hide a real unbounded window sneaking in (VERDICT r3
-"What's wrong" #4). ``dim_window`` makes the single-partition choice
-explicit with a constant partition key: identical semantics and plan
-placement, non-empty partition spec, silent logs — so any remaining
-WindowExec warning in a log tail is a genuine bug."""
+intended plan, but Spark logs ``WindowExec: No Partition Defined`` for
+each, ~100 repeats per bench run (VERDICT r3 "What's wrong" #4).
+
+Note the constant partition key does NOT silence that warning on this
+Spark (4.x folds foldable partition expressions away, so the executed
+spec is empty again) — the logs are quieted by the log4j override in
+``session._silence_benign_window_warning``, which also mutes a
+genuinely unbounded window. The watchdog role therefore moves entirely
+to the source lint (tests/test_plan_shapes.py::
+test_total_order_windows_are_declared): a bare order-only window fails
+CI, and ``dim_window`` is the reviewed declaration that the frame is
+dimension-sized. Treat a dim_window call on corpus-sized data as a bug
+regardless of logs."""
 
 from __future__ import annotations
 

@@ -409,9 +409,15 @@ def kmv_overlap(
 
     if domain is not None:
         # integer-exact scaling (portable verification flavor): every
-        # numerator ≤ k · (k−1) · domain < 2^53, so the exactly-divisible
-        # double division below is exact (same argument as
-        # _kmv_distinct_est); the DuckDB oracle replays `//` verbatim
+        # numerator ≤ max(k, 1000) · (k−1) · domain, so the exactly-
+        # divisible double division below is exact only under THIS
+        # bound — enforce it here (it is k·1000 times stronger than
+        # _kmv_distinct_est's own guard); the DuckDB oracle replays
+        # `//` verbatim
+        assert max(k, 1000) * (k - 1) * domain < 2**53, (
+            "k·domain too large for exact integer scaling"
+        )
+
         def scaled(cnt, den):
             n = cnt.cast("long") * F.col("_uni") if den is None else cnt
             d = m_sz if den is None else den

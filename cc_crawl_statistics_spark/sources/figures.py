@@ -210,14 +210,26 @@ def domain_counts_figure(pages: DataFrame) -> FigureSpec:
     meta) rather than the reference's chained in-place mutation."""
     from ..operators.counts import crawl_size
 
-    pdf = _bounded_pandas(crawl_size(pages), 100_000)
+    from ..operators.counts import page_rows
+
+    # crawl_size carries url/host/domain distincts; the tld series the
+    # reference chart also plots is one extra dimension-sized aggregate
+    size = crawl_size(pages)
+    tlds = (
+        page_rows(pages)
+        .groupBy("crawl")
+        .agg(F.countDistinct("tld").alias("tlds"))
+    )
+    pdf = _bounded_pandas(size.join(tlds, "crawl"), 100_000)
     # fixture-scale counts fit one axis unscaled; at site scale the
     # reference divides each series by a power of ten and carries the
     # exponent in the label ('host e+07') — record the divisors in meta
     # so a renderer can apply them without mutating the frame
-    scales = {"url": 1.0, "host": 1.0, "domain": 1.0}
+    scales = {"url": 1.0, "host": 1.0, "domain": 1.0, "tld": 1.0}
     frame = _melt(
-        pdf, "crawl", {"urls": "url", "hosts": "host", "domains": "domain"}
+        pdf,
+        "crawl",
+        {"urls": "url", "hosts": "host", "domains": "domain", "tlds": "tld"},
     )
     return FigureSpec(
         name="crawlsize/domain",
@@ -409,6 +421,11 @@ def render_figure(spec: FigureSpec, img_path: str, dpi: int = 120):
     if spec.kind in ("line", "bar"):
         colors = spec.colors()
         groups = list(spec.frame.groupby(spec.series))
+        # stacked bars need one shared category axis: sparse groups
+        # (pseudo-log histogram bins differ per crawl) reindex onto the
+        # union with 0-fill, else the bottom accumulation would add
+        # arrays of different lengths / misaligned categories
+        all_x = sorted(spec.frame[spec.x].unique())
         bottom = None
         for i, (name, g) in enumerate(groups):
             color = colors[i] if colors else None
@@ -416,9 +433,14 @@ def render_figure(spec: FigureSpec, img_path: str, dpi: int = 120):
                 ax.plot(g[spec.x], g[spec.y], "o-", label=str(name),
                         color=color, linewidth=1.5, markersize=4)
             else:
-                vals = g.set_index(spec.x)[spec.y]
-                ax.bar(vals.index, vals.values, label=str(name),
-                       color=color, bottom=bottom)
+                vals = (
+                    g.set_index(spec.x)[spec.y]
+                    .reindex(all_x, fill_value=0)
+                )
+                ax.bar(
+                    [str(x) for x in all_x], vals.values, label=str(name),
+                    color=color, bottom=bottom,
+                )
                 bottom = vals.values if bottom is None else bottom + vals.values
         step = spec.y_tick_step()
         ax.yaxis.set_major_locator(plt.MultipleLocator(step))

@@ -81,10 +81,17 @@ def main() -> None:
         from cc_crawl_statistics_spark.frontier.state import SnapshotStore
         from cc_crawl_statistics_spark.session import get_spark
 
-        cores = args.master.split("[")[1].rstrip("]")
+        # local[N] → N in-process cores; any other master shape (bare
+        # 'local', a cluster URL) just uses the default-core session for
+        # the in-process twin — the comparison is value-, not time-based
+        cores = None
+        if "[" in args.master:
+            n = args.master.split("[", 1)[1].rstrip("]")
+            if n.isdigit():
+                cores = int(n)
         spark = get_spark(
             app_name="submitcheck",
-            cores=int(cores) if cores != "*" else None,
+            cores=cores,
             shuffle_partitions=8,
         )
         t1 = time.time()
