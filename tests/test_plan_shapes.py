@@ -91,6 +91,7 @@ _BOUNDED_BNLJ_OK = {
     "crawl_overlap_hll",  # crawl-pair a<b non-equi join, ≤126-row dim
     "crawl_overlap_hll_digest",  # same shape, digest sketches
     "crawl_overlap_kmv",  # same crawl-pair a<b shape, bottom-k arrays
+    "kmv_overlap_exact",  # same crawl-pair a<b shape, portable hash
     "ann_ivf_topk",  # probe joins the ≤n_centroids broadcast table
     "vocabulary",  # token share vs 1-row corpus-total aggregate
     "domain_weights",  # per-domain share vs 1-row total
