@@ -370,6 +370,105 @@ def overlap_matrix_figure(pages: DataFrame) -> FigureSpec:
     )
 
 
+def _share_figure(
+    pages: DataFrame, key: str, counts_fn, name: str, title: str,
+    top_n: int = 5,
+) -> FigureSpec:
+    """Shared percent-of-crawl share chart builder (table.py:121-160
+    save_data_percentage — the shape behind the mimetype/charset/language
+    plots). Integer permille end to end."""
+    from ..operators.timeseries import share_of_total
+
+    counts = counts_fn(pages)
+    shares = share_of_total(counts, key)
+    top = (
+        counts.groupBy(key)
+        .agg(F.sum("pages").alias("p"))
+        .orderBy(F.desc("p"), key)
+        .limit(top_n)
+        .select(key)
+    )
+    pdf = _bounded_pandas(
+        shares.join(F.broadcast(top), key).select(
+            "crawl", key, "share_permille"
+        ),
+        100_000,
+    )
+    frame = pdf.rename(
+        columns={key: "type", "share_permille": "size"}
+    ).sort_values(["type", "crawl"], ignore_index=True)
+    return FigureSpec(
+        name=name,
+        title=title,
+        kind="line",
+        frame=frame,
+        x="crawl",
+        y="size",
+        series="type",
+        ylabel="permille of crawled pages",
+    )
+
+
+def charset_share_figure(pages: DataFrame, top_n: int = 5) -> FigureSpec:
+    """Charset shares (plot/charset.py — same save_data_percentage
+    shape)."""
+    from ..operators.counts import dim_counts
+
+    return _share_figure(
+        pages,
+        "charset",
+        lambda p: dim_counts(p.filter(F.col("charset").isNotNull()),
+                             "charset"),
+        "charsets",
+        "Character Sets (share of pages, permille)",
+        top_n,
+    )
+
+
+def language_share_figure(pages: DataFrame, top_n: int = 5) -> FigureSpec:
+    """Primary-language shares (plot/language.py)."""
+    from ..operators.counts import primary_language_counts
+
+    return _share_figure(
+        pages,
+        "primary_language",
+        primary_language_counts,
+        "languages",
+        "Languages (share of pages, permille)",
+        top_n,
+    )
+
+
+def tld_continent_figure(pages: DataFrame) -> FigureSpec:
+    """Pages per continent per crawl (plot/tld_by_continent.py — the
+    cc-TLD → continent rollup, stacked)."""
+    from ..dims import tld_continent_dim
+    from ..operators.counts import tld_counts
+    from ..operators.timeseries import continent_rollup
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    pdf = _bounded_pandas(
+        continent_rollup(tld_counts(pages), tld_continent_dim(spark)),
+        100_000,
+    )
+    frame = (
+        pdf.rename(columns={"continent": "type", "pages": "size"})
+        .loc[:, ["crawl", "type", "size"]]
+        .sort_values(["type", "crawl"], ignore_index=True)
+    )
+    return FigureSpec(
+        name="tld/continents",
+        title="Pages per Continent (cc-TLD rollup)",
+        kind="bar",
+        frame=frame,
+        x="crawl",
+        y="size",
+        series="type",
+        ylabel="Pages",
+    )
+
+
 ALL_FIGURES = (
     crawl_size_figure,
     cumulative_size_figure,
@@ -378,6 +477,9 @@ ALL_FIGURES = (
     domain_counts_figure,
     url_status_figure,
     mime_share_figure,
+    charset_share_figure,
+    language_share_figure,
+    tld_continent_figure,
     histogram_figure,
     overlap_matrix_figure,
 )

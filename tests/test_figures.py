@@ -161,3 +161,23 @@ def test_render_without_matplotlib_raises(spark, pages, tmp_path):  # noqa: F811
     else:
         with pytest.raises(NotImplementedError):
             FG.render_figure(spec, out)
+
+
+def test_share_family_and_continent_figures(spark, pages):  # noqa: F811
+    """The charset/language share charts follow the same permille
+    partition rule as mimetype; the continent rollup is a partition of
+    each crawl's TLD pages (with '(other)' fallback)."""
+    for fig in (
+        FG.charset_share_figure(pages, top_n=3),
+        FG.language_share_figure(pages, top_n=3),
+    ):
+        assert fig.frame["type"].nunique() <= 3
+        assert (fig.frame.groupby("crawl")["size"].sum() <= 1000).all()
+    cont = FG.tld_continent_figure(pages)
+    per_crawl = cont.frame.groupby("crawl")["size"].sum()
+    for crawl, n in _duck(
+        "SELECT crawl, COUNT(*) FROM pages WHERE status = 200 "
+        "AND NOT regexp_matches(warc_filename, '/robotstxt/') "
+        "GROUP BY crawl"
+    ):
+        assert int(per_crawl[crawl]) == n
