@@ -439,6 +439,40 @@ def language_share_figure(pages: DataFrame, top_n: int = 5) -> FigureSpec:
     )
 
 
+def fetch_status_figure(pages: DataFrame) -> FigureSpec:
+    """Fetcher outcome counts per crawl (plot/crawler_metrics.py's
+    fetcher-counter charts): the same success/temp_moved/notfound/
+    exception classification the S5 side-input roundtrip renders,
+    charted as stacked bars."""
+    from ..operators.counts import with_flags
+
+    p = with_flags(pages).filter(~F.col("is_robotstxt"))
+    ctr = (
+        p.groupBy(
+            "crawl",
+            F.when(F.col("status") == 200, "success")
+            .when(F.col("status") == 301, "temp_moved")
+            .when(F.col("status") == 404, "notfound")
+            .otherwise("exception")
+            .alias("type"),
+        )
+        .agg(F.count("*").cast("long").alias("size"))
+    )
+    frame = _bounded_pandas(ctr, 100_000).sort_values(
+        ["type", "crawl"], ignore_index=True
+    )
+    return FigureSpec(
+        name="crawler/fetch_status",
+        title="Fetcher Outcomes per Crawl",
+        kind="bar",
+        frame=frame,
+        x="crawl",
+        y="size",
+        series="type",
+        ylabel="Fetches",
+    )
+
+
 def tld_continent_figure(pages: DataFrame) -> FigureSpec:
     """Pages per continent per crawl (plot/tld_by_continent.py — the
     cc-TLD → continent rollup, stacked)."""
@@ -479,6 +513,7 @@ ALL_FIGURES = (
     mime_share_figure,
     charset_share_figure,
     language_share_figure,
+    fetch_status_figure,
     tld_continent_figure,
     histogram_figure,
     overlap_matrix_figure,

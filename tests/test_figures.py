@@ -181,3 +181,18 @@ def test_share_family_and_continent_figures(spark, pages):  # noqa: F811
         "GROUP BY crawl"
     ):
         assert int(per_crawl[crawl]) == n
+
+
+def test_fetch_status_figure_partition(spark, pages):  # noqa: F811
+    """success/temp_moved/notfound/exception partition the non-robots
+    fetches per crawl (plot/crawler_metrics.py's counter chart)."""
+    spec = FG.fetch_status_figure(pages)
+    per_crawl = spec.frame.groupby("crawl")["size"].sum()
+    for crawl, n in _duck(
+        "SELECT crawl, COUNT(*) FROM pages WHERE NOT "
+        "regexp_matches(warc_filename, '/robotstxt/') GROUP BY crawl"
+    ):
+        assert int(per_crawl[crawl]) == n
+    assert set(spec.frame["type"]) <= {
+        "success", "temp_moved", "notfound", "exception"
+    }
