@@ -326,6 +326,40 @@ def histogram_figure(pages: DataFrame) -> FigureSpec:
     )
 
 
+def mime_detected_figure(pages: DataFrame) -> FigureSpec:
+    """Declared-vs-detected media-type heatmap (plot/mimetype_detected.py
+    — the comparison the reference invites by publishing both columns):
+    pages per (declared, detected) pair summed over crawls, annotated
+    with the exact counts."""
+    from ..operators.counts import mime_agreement_matrix
+
+    pdf = _bounded_pandas(
+        mime_agreement_matrix(pages)
+        .groupBy("mimetype", "mimetype_detected")
+        .agg(F.sum("pages").cast("long").alias("pages")),
+        100_000,
+    ).fillna({"mimetype": "(none)", "mimetype_detected": "(none)"})
+    frame = pd.DataFrame(
+        {
+            "declared": pdf["mimetype"],
+            "detected": pdf["mimetype_detected"],
+            "similarity_permille": pdf["pages"],  # heatmap cell value
+            "cell_text": pdf["pages"].astype(str),
+        }
+    ).sort_values(["declared", "detected"], ignore_index=True)
+    return FigureSpec(
+        name="mimetypes_detected",
+        title="Declared vs Detected Media Type (pages)",
+        kind="heatmap",
+        frame=frame,
+        x="detected",
+        y="declared",
+        series=None,
+        annotations="cell_text",
+        meta={"colorbar": "pages"},
+    )
+
+
 def overlap_matrix_figure(pages: DataFrame) -> FigureSpec:
     """Crawl-overlap Jaccard heatmap (plot/overlap.py:150-281): pivot of
     pairwise similarity with the reference's cell-text rounding — spread
@@ -516,6 +550,7 @@ ALL_FIGURES = (
     fetch_status_figure,
     tld_continent_figure,
     histogram_figure,
+    mime_detected_figure,
     overlap_matrix_figure,
 )
 

@@ -196,3 +196,17 @@ def test_fetch_status_figure_partition(spark, pages):  # noqa: F811
     assert set(spec.frame["type"]) <= {
         "success", "temp_moved", "notfound", "exception"
     }
+
+
+def test_mime_detected_figure_totals(spark, pages):  # noqa: F811
+    """The declared-vs-detected matrix cells partition the page fetches
+    (plot/mimetype_detected.py's comparison)."""
+    spec = FG.mime_detected_figure(pages)
+    total = int(spec.frame["similarity_permille"].sum())
+    (expected,) = _duck(
+        "SELECT COUNT(*) FROM pages WHERE status = 200 "
+        "AND NOT regexp_matches(warc_filename, '/robotstxt/')"
+    )[0]
+    assert total == expected
+    assert (spec.frame["cell_text"] ==
+            spec.frame["similarity_permille"].astype(str)).all()
