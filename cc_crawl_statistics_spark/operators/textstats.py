@@ -339,6 +339,65 @@ def fingerprint(
     ).orderBy("doc_id")
 
 
+def fingerprint_portable(
+    docs: DataFrame, text_col: str = "text", k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing fingerprint, portable-hash verification flavor: the SAME
+    staged construction as ``fingerprint`` (k-gram hashes → sliding-window
+    min → distinct → count + XOR rollup) with the cross-engine hash
+    (functions/porthash) instead of xxhash64, so a DuckDB oracle replays
+    it bit-for-bit (fingerprint_exact) — upgrading the winnowing class
+    from rows-only to exact hash-match. Input is trimmed before the
+    whitespace split: Java's split drops trailing empty fragments where
+    other engines keep them, and trimming removes the divergence at the
+    definition instead of in every oracle."""
+    from ..functions.porthash import porthash
+
+    def positions(n):
+        return F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    words = F.col("_fp_words")
+    kgrams = F.col("_fp_kgrams")
+    mins = F.col("_fp_mins")
+    staged = (
+        docs.select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col(text_col))), "\\s+").alias(
+                "_fp_words"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                positions(F.size(words) - (k - 1)),
+                lambda i: porthash(
+                    F.concat_ws(" ", F.slice(words, i + 1, k))
+                ),
+            ).alias("_fp_kgrams"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                positions(F.size(kgrams) - (window - 1)),
+                lambda i: F.array_min(F.slice(kgrams, i + 1, window)),
+            ).alias("_fp_mins"),
+        )
+        .select("doc_id", F.array_distinct(mins).alias("_fp_set"))
+    )
+    fp_set = F.col("_fp_set")
+    return staged.select(
+        "doc_id",
+        F.size(fp_set).cast("long").alias("n_fingerprints"),
+        F.aggregate(
+            fp_set,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc.bitwiseXOR(x),
+        ).alias("fingerprint64"),
+    ).orderBy("doc_id")
+
+
 def curate_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -2279,6 +2279,17 @@ def q_hll_registers_exact(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["hll_registers_exact"] = q_hll_registers_exact
 
 
+def q_fingerprint_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (k-gram → window-min → distinct →
+    XOR rollup), portable hash (textstats.fingerprint_portable)."""
+    from ..operators.textstats import fingerprint_portable
+
+    return fingerprint_portable(load_table(spark, sf, "documents"))
+
+
+QUERIES["fingerprint_exact"] = q_fingerprint_exact
+
+
 def _porthash_tok_cte(src: str) -> str:
     """Distinct (doc_id, tok) pairs of a documents-like relation."""
     return (
@@ -2393,6 +2404,39 @@ SELECT doc_id,
             ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id ORDER BY doc_id
 """,
+        "fingerprint_exact": f"""
+WITH words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents
+),
+ks AS (
+  SELECT doc_id, w, unnest(range(0, len(w) - 4)) AS i
+  FROM words WHERE len(w) >= 5
+),
+kg AS (
+  SELECT doc_id, i,
+         ({porthash_sql("array_to_string(w[i+1:i+5], ' ')")}) AS h
+  FROM ks
+),
+mins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM kg
+),
+sel AS (SELECT DISTINCT doc_id, m FROM mins WHERE i <= n - 4),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_fp, bit_xor(m) AS x
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_fp, 0) AS BIGINT) AS n_fingerprints,
+  CAST(COALESCE(a.x, 0) AS BIGINT) AS fingerprint64
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+""",
         "hll_registers_exact": _oracle(
             f"""
 , hh AS (SELECT crawl, ({porthash_sql('url')}) AS h FROM prows),
@@ -2501,7 +2545,7 @@ _PRIORITY_NEXT = [
     # (the five portable-hash sketch verifications lead: they are the
     # r4 upgrade of the sketch class from rows-only to exact hash-match)
     "cms_host_freq_exact", "kmv_overlap_exact", "minhash_exact",
-    "simhash_exact", "hll_registers_exact",
+    "simhash_exact", "hll_registers_exact", "fingerprint_exact",
     "refresh_schedule",     # composed refresh round planner (tiers+budget)
     "url_crawl_set_registry",  # A14 at registry-scale ids
     "curate_corpus",        # curation_funnel covers the family in-window
