@@ -570,6 +570,55 @@ def simhash_portable(
     )
 
 
+def lsh_band_pairs_portable(
+    docs: DataFrame,
+    n_hashes: int = 8,
+    band_rows: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Banded-LSH candidate pairs over portable MinHash signatures — the
+    SAME band→bucket→within-bucket-pair shape as the production
+    MinHash+LSH dedup (dedup.py minhash_lsh_pairs), exactly verifiable:
+    band key = the signature rows of the band folded mod P, pairs =
+    equi-join on (band, key) with doc_a < doc_b, output the shared-band
+    count per candidate pair. The shuffle is (doc, band) keyed — no
+    all-pairs stage, the scale property the production operator owns."""
+    from ..functions.porthash import P
+
+    assert n_hashes % band_rows == 0
+    sigs = minhash_signatures_portable(docs, n_hashes, text_col)
+    band = (F.col("seed") / band_rows).cast("int")
+    # fold the band's rows in seed order: acc*31 + mh (mod P); exactly
+    # one signature row exists per (doc, seed), so conditional-max
+    # selects it (band_rows is small and fixed — codegen per row)
+    folded = None
+    bk = sigs.groupBy("doc_id", band.alias("band")).agg(
+        *[
+            F.max(
+                F.when(F.col("seed") % band_rows == r, F.col("minhash"))
+            ).alias(f"_r{r}")
+            for r in range(band_rows)
+        ]
+    )
+    key = F.lit(0).cast("long")
+    for r in range(band_rows):
+        key = (key * 31 + F.col(f"_r{r}")) % F.lit(P)
+    bk = bk.select("doc_id", "band", key.alias("band_key"))
+    a = bk.select(
+        F.col("doc_id").alias("doc_a"), "band", "band_key"
+    )
+    b = bk.select(
+        F.col("doc_id").alias("doc_b"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def hll_registers_portable(
     pages: DataFrame,
     n_buckets: int = 64,

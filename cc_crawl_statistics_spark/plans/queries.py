@@ -2279,6 +2279,16 @@ def q_hll_registers_exact(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES["hll_registers_exact"] = q_hll_registers_exact
 
 
+def q_lsh_pairs_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-LSH candidate pairs (8 hashes × 2-row bands) over portable
+    MinHash signatures (sketches.lsh_band_pairs_portable) — verifies the
+    band→bucket→pair machinery of the production MinHash+LSH dedup."""
+    return SK.lsh_band_pairs_portable(load_table(spark, sf, "documents"))
+
+
+QUERIES["lsh_pairs_exact"] = q_lsh_pairs_exact
+
+
 def q_fingerprint_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing document fingerprints (k-gram → window-min → distinct →
     XOR rollup), portable hash (textstats.fingerprint_portable)."""
@@ -2403,6 +2413,25 @@ SELECT doc_id,
   CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j)
             ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id ORDER BY doc_id
+""",
+        "lsh_pairs_exact": f"""
+WITH {_porthash_tok_cte('documents')},
+arms AS ({_MINHASH_ARMS}),
+sig AS (SELECT doc_id, seed, MIN(h) AS mh FROM arms GROUP BY doc_id, seed),
+band AS (
+  SELECT doc_id, seed // 2 AS band,
+         (MAX(CASE WHEN seed % 2 = 0 THEN mh END) * 31
+          + MAX(CASE WHEN seed % 2 = 1 THEN mh END)) % {_PORT_P}
+           AS band_key
+  FROM sig GROUP BY doc_id, seed // 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+FROM band a
+JOIN band b ON a.band = b.band AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+ORDER BY doc_a, doc_b
 """,
         "fingerprint_exact": f"""
 WITH words AS (
@@ -2546,6 +2575,7 @@ _PRIORITY_NEXT = [
     # r4 upgrade of the sketch class from rows-only to exact hash-match)
     "cms_host_freq_exact", "kmv_overlap_exact", "minhash_exact",
     "simhash_exact", "hll_registers_exact", "fingerprint_exact",
+    "lsh_pairs_exact",
     "refresh_schedule",     # composed refresh round planner (tiers+budget)
     "url_crawl_set_registry",  # A14 at registry-scale ids
     "curate_corpus",        # curation_funnel covers the family in-window
