@@ -288,6 +288,64 @@ def bounded_harmonic_centrality(
     )
 
 
+def hyperball_registers_portable(
+    edges: DataFrame,
+    radius: int = 2,
+    n_buckets: int = 64,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """HyperBall's register propagation, portable-hash verification
+    flavor: per-node (bucket, max rho) registers seeded from the node's
+    own hash, then ``radius`` iterations of R_d(v) = max(R_{d-1}(v),
+    max_{(v,w)∈E} R_{d-1}(w)) — the exact integer half of
+    ``hyperball_harmonic`` (same ball recurrence, same edge-keyed
+    join + max-combine per level), replayed bit-for-bit by an unrolled
+    DuckDB oracle (hyperball_registers_exact). Only the float harmonic
+    estimate on top of the registers is left to the sketch-agreement
+    tests."""
+    from ..functions.porthash import porthash
+
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = porthash(F.col("node"))
+    v = ((h - h % n_buckets) / n_buckets).cast("long")
+    rho = (
+        F.when(v == 0, F.lit(25)).otherwise(F.lit(25) - F.length(F.bin(v)))
+    ).cast("long")
+    r = nodes.select(
+        "node",
+        (h % n_buckets).cast("long").alias("bucket"),
+        rho.alias("max_rho"),
+    )
+    for _ in range(radius):
+        contrib = (
+            r.alias("r")
+            .join(e.alias("e"), F.col("r.node") == F.col("e.dst"))
+            .select(
+                F.col("e.src").alias("node"),
+                F.col("r.bucket").alias("bucket"),
+                F.col("r.max_rho").alias("max_rho"),
+            )
+        )
+        r = (
+            r.unionByName(contrib)
+            .groupBy("node", "bucket")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .localCheckpoint(eager=True)
+        )
+    return r.orderBy("node", "bucket")
+
+
 def hyperball_harmonic(
     edges: DataFrame,
     radius: int = 4,

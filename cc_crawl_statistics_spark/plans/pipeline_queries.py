@@ -1970,6 +1970,20 @@ def q_host_hyperball(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hyperball_registers_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperBall's register propagation verified exactly: portable-hash
+    per-node registers max-combined over the same reversed-edge ball
+    recurrence as q_host_hyperball, radius 2
+    (linkgraph.hyperball_registers_portable); the oracle unrolls the two
+    iterations as CTEs."""
+    edges = LG.host_link_graph(
+        LG.page_outlinks(cc_pages_linked_df(spark, sf))
+    )
+    return LG.hyperball_registers_portable(
+        edges, radius=2, src_col="dst_host", dst_col="src_host"
+    )
+
+
 def q_anchor_texts(spark: SparkSession, sf: str) -> DataFrame:
     """Anchor-text aggregation driver-checked end-to-end: each page's html
     is synthesized in codegen with two labeled anchors (nav-/rec- of the
@@ -2171,6 +2185,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "warc_gzip_index": q_warc_gzip_index,
     "host_harmonic": q_host_harmonic,
     "host_hyperball": q_host_hyperball,
+    "hyperball_registers_exact": q_hyperball_registers_exact,
     "redirect_resolve": q_redirect_resolve,
     "anchor_texts": q_anchor_texts,
     "host_degrees": q_host_degrees,
@@ -2280,7 +2295,46 @@ _LINK_PLOG_BIN = (
     "ELSE 1 END) * p10 AS BIGINT)"
 )
 
+def _hyperball_registers_oracle() -> str:
+    """Unrolled 2-iteration HyperBall register recurrence over the
+    reversed host graph (q_hyperball_registers_exact): r0 = each node's
+    own portable-hash register; r_{d} = max(r_{d-1}, in-neighbors'
+    r_{d-1}) per bucket."""
+    from ..functions.porthash import porthash_sql
+
+    h = porthash_sql("node")
+    step = """
+r{d} AS (
+  SELECT node, bucket, MAX(mr) AS mr FROM (
+    SELECT node, bucket, mr FROM r{p}
+    UNION ALL
+    SELECT e.src AS node, r.bucket, r.mr
+    FROM e JOIN r{p} r ON r.node = e.dst
+  ) GROUP BY node, bucket
+)"""
+    return oracle_cte(
+        _EDGES_CTE
+        + f"""
+, e AS (
+  SELECT DISTINCT dst_host AS src, src_host AS dst FROM edges
+  WHERE src_host <> dst_host
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, ({h}) AS h FROM nodes),
+r0 AS (
+  SELECT node, h % 64 AS bucket,
+         CASE WHEN h // 64 = 0 THEN 25
+              ELSE 25 - LENGTH(bin(h // 64)) END AS mr
+  FROM h0
+),{step.format(d=1, p=0)},{step.format(d=2, p=1)}
+SELECT node, CAST(bucket AS BIGINT) AS bucket, CAST(mr AS BIGINT) AS max_rho
+FROM r2 ORDER BY node, bucket
+"""
+    )
+
+
 _LINKGRAPH_ORACLES: dict[str, str] = {
+    "hyperball_registers_exact": _hyperball_registers_oracle(),
     "outlinks": oracle_cte(
         _LINKS_CTE + "SELECT url, outlink FROM dlinks ORDER BY url, outlink"
     ),

@@ -2575,7 +2575,7 @@ _PRIORITY_NEXT = [
     # r4 upgrade of the sketch class from rows-only to exact hash-match)
     "cms_host_freq_exact", "kmv_overlap_exact", "minhash_exact",
     "simhash_exact", "hll_registers_exact", "fingerprint_exact",
-    "lsh_pairs_exact",
+    "lsh_pairs_exact", "hyperball_registers_exact",
     "refresh_schedule",     # composed refresh round planner (tiers+budget)
     "url_crawl_set_registry",  # A14 at registry-scale ids
     "curate_corpus",        # curation_funnel covers the family in-window
