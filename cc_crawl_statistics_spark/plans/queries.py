@@ -2491,136 +2491,97 @@ FROM reg GROUP BY crawl, bucket ORDER BY crawl, bucket
 # tests/test_oracle_parity.py regardless of position.
 # ---------------------------------------------------------------------------
 
-# ROUND-4 WINDOW ROTATION (VERDICT r3 "Next round" #2): rounds 1-3
-# drove 85 distinct queries through the driver's sf0.01 oracle gate, all
-# green, leaving 83 oracle pairs suite-verified only. This window draws
-# 40 of those never-driver-verified pairs (one per operator family,
-# most-distinctive first) plus 10 r3-green SENTINELS that pin the
-# families most likely to regress (the flagship entry() scan, the wire
-# roundtrips, the frontier round, and the heaviest LLM-pipeline chains).
-# Every displaced query remains oracle-tested in tests/test_oracle_parity
-# at sf0.001 and listed in _PRIORITY_NEXT for future window widening.
+# ROUND-5 WINDOW ROTATION (VERDICT r4 "Next round" #1): rounds 1-4
+# drove 125 distinct queries through the driver's sf0.01 oracle gate,
+# all green, leaving 51 oracle pairs suite-verified only. This final
+# window takes 48 of those never-driver-verified pairs — ALL of them
+# except three same-shape family duplicates (nb_agreement next to
+# nb_weights/nb_classify; language_drift next to mime_drift;
+# host_degree_histogram next to host_degrees + r4's histogram_matrix)
+# — plus 2 SENTINELS: the flagship entry() scan and the north-rule
+# frontier round. After this round every oracle-paired query except
+# those three duplicates has an independent driver parity row; the
+# three remain exactness-verified in tests/test_oracle_parity at
+# sf0.001/sf0.01, as does every displaced driver-green query below.
 _PRIORITY = [
-    # -- sentinels (r3-green, regression canaries) --------------------
-    "crawl_size",           # flagship entry() — also re-measures r3's +16%
-    "cdx_roundtrip",        # S1 gzipped CDX scan
-    "stats_wire_roundtrip", # S2/S4 JSON-KV wire + MultiCount RLE
-    "tld_classified_idn",   # dimension joins incl. IDN first-level
-    "dedup_exact",          # digest groupBy dedup
-    "token_stats",          # codegen text-stats projection family
-    "lm_perplexity",        # CCNet bigram-LM filter (broadcast model)
-    "curation_funnel",      # whole-pipeline curation verdict
-    "events_windowed",      # streaming==batch windowed aggregation
+    # -- sentinels (green r1-r4, regression canaries) -----------------
+    "crawl_size",           # flagship entry() — single-scan Expand plan
     "frontier_schedule",    # north-rule scheduling round
-    # -- iterative graph class (never driver-verified) ----------------
-    "opic_priority",        # OPIC adaptive priority (Abiteboul 2003), exact
-    "spam_mass",            # TrustRank + spam-mass screen (Gyongyi 2004)
-    "hits_scores",          # HITS hubs/authorities (Kleinberg 1999)
-    "host_rank",            # weighted PageRank over the parsed host graph
-    # -- politeness / scheduling --------------------------------------
-    "revalidation_plan",    # conditional-GET (304) bandwidth planning
-    "robots_cache",         # RFC 9309 robots cache TTL worklist
-    "politeness_backoff",   # 429/5xx server-pressure budget shrink
-    "token_bucket",         # token-bucket gate vs recursive-CTE oracle
-    "host_fetch_gaps",      # adaptive politeness from observed gaps
-    # -- URL operators ------------------------------------------------
-    "soft404",              # 200-status error-page screen (Bar-Yossef 2004)
-    "url_normalize",        # RFC 3986 alias collapse (codegen chain)
-    "redirect_resolve",     # bounded-walk redirect chain resolution
-    # -- dedup / curation ---------------------------------------------
-    "dup_spans_exact",      # duplicated-span verifier (CDC = scale path)
-    "unit_dedup",           # C4/RefinedWeb unit-level first-occurrence
-    "boilerplate_strip",    # CCNet §3.1 per-group template removal
-    "decontaminate",        # eval-overlap removal (broadcast shingles)
-    # -- LLM-pipeline text operators ----------------------------------
-    "lm_quality_filter",    # perplexity-banded keep/flag/drop
-    "dsir_weights",         # DSIR importance resampling (Xie 2023)
-    "bpe_compression",      # per-language tokenizer fertility
-    "vocab_coverage",       # Good-Turing missing mass per language
-    "pii_redact",           # ordered placeholder rewrite, full-text hash
-    "nb_calibration",       # margin-binned classifier reliability
-    "language_diversity",   # integer-exact Gini-Simpson
-    # -- sampling / packing / splits ----------------------------------
-    "pack_sequences",       # greedy first-fit sequence packing
-    "leakage_split",        # domain-grain train/valid/test, no leakage
-    "shard_summary",        # training-shard balance
-    "bitext_pairs",         # URL language-variant alignment (WMT16)
-    # -- storage formats / sources ------------------------------------
-    "wet_roundtrip",        # WET text-record extraction
-    "wat_links",            # WAT metadata link records
-    "warc_cdx_index",       # byte-addressed CDX index build
-    "cdx_zipnum_roundtrip", # ZipNum seek path
-    "sitemap_sharded",      # sitemapindex chain, arithmetic oracle
-    # -- time series / matrices ---------------------------------------
-    "histogram_matrix",     # A19 frequency-histogram matrix, full grid
-    "url_churn",            # per-crawl URL churn (appear/vanish)
-    # -- link graph / events / stats ----------------------------------
-    "host_link_graph",      # host-grain link aggregation
-    "asof_capture",         # as-of join vs DuckDB native ASOF oracle
-    "host_concentration",   # exact Gini + top-decile share (permille)
-    "length_percentiles",   # exact per-group percentiles
-    "stats_accumulate",     # algebraic stats merge == direct pass
-    # -- multimodal plumbing ------------------------------------------
-    "media_resize",         # mapInPandas resize geometry (decode stubbed)
-]
-
-# Second tier: positions 51+ in registry order — first the remaining
-# never-driver-verified oracle pairs (most distinctive first), then the
-# r1-r3 driver-green queries displaced from the window, then the
-# rows-only sketch flavors. All remain exactness-verified by
-# tests/test_oracle_parity.py regardless of position.
-_PRIORITY_NEXT = [
-    # never driver-verified, next in line for a wider window
-    # (the five portable-hash sketch verifications lead: they are the
-    # r4 upgrade of the sketch class from rows-only to exact hash-match)
+    # -- portable-hash sketch verifications (exact twins, r4 upgrade) -
     "cms_host_freq_exact", "kmv_overlap_exact", "minhash_exact",
     "simhash_exact", "hll_registers_exact", "fingerprint_exact",
     "lsh_pairs_exact", "hyperball_registers_exact",
-    "refresh_schedule",     # composed refresh round planner (tiers+budget)
-    "url_crawl_set_registry",  # A14 at registry-scale ids
-    "curate_corpus",        # curation_funnel covers the family in-window
-    "fetcher_assignment",   # fair_budget replays its ring in-window
-    "round_makespan",       # fleet busy-time / straggler estimate
-    "concurrent_sessions",  # bucketized range join vs DuckDB IEJoin
-    "events_attribution",   # stream-stream time-range join (batch plan)
-    "url_templates",        # empirical trap mining (digit-collapse)
-    "adaptive_token_bucket",  # gaps->refill loop, dual-state oracle
-    "host_outliers",        # robust median/MAD volume outliers
-    "sitemap_stale",        # advertised-vs-captured refresh signal
-    "host_harmonic",        # recursive-graph class, exact centrality
-    "host_quality",         # quality feedback loop -> blocklist
-    "host_components",      # second recursive-CTE oracle
-    "stratified_sample",    # per-stratum rank sampling
-    "domain_weights",       # corpus reweighting factors
-    "nb_weights", "nb_classify", "nb_agreement",  # NB classifier chain
-    "lm_bigram_weights",    # trusted-slice LM estimation
-    "vocabulary",           # salted two-phase top-k vocabulary
+    # -- scheduling / frontier policy ---------------------------------
+    "refresh_schedule", "url_crawl_set_registry", "curate_corpus",
+    "fetcher_assignment", "round_makespan", "concurrent_sessions",
+    "events_attribution", "url_templates", "adaptive_token_bucket",
+    # -- web-graph / host-signal class --------------------------------
+    "host_outliers", "sitemap_stale", "host_harmonic", "host_quality",
+    "host_components", "stratified_sample", "domain_weights",
+    # -- NB classifier chain + LM -------------------------------------
+    "nb_weights", "nb_classify", "lm_bigram_weights", "vocabulary",
+    # -- text statistics ----------------------------------------------
     "pii_counts", "repetition_scores", "tfidf_keywords",
-    "language_confusion",   # langid vs labeled-language matrix
-    "mime_matrix", "mime_drift", "language_drift",
-    "host_churn", "digest_churn",
-    "warc_revisit",         # revisit/dedup WARC records
-    "sitemap_roundtrip", "robots_sitemap_seeds",
-    "outlinks", "anchor_texts", "host_degrees", "host_degree_histogram",
-    "schedule_politeness", "schedule_domain_politeness",
-    "schedule_fairness", "retry_backoff", "recrawl_tiers", "url_filters",
-    # displaced driver-green (r1-r3) — regression tier
-    "host_counts", "domain_counts", "tld_counts", "surt_domain_counts",
-    "mimetype", "primary_language", "http_status", "url_fetch_histogram",
-    "top_hosts", "new_items", "new_digests", "url_crawl_set",
-    "digest_crawl_set", "meta_robots", "crawl_overlap", "domain_coverage",
-    "trailing_6", "nofollow_graph", "domain_pages_histogram",
-    "host_urls_histogram", "robots_decisions", "canonical_dedup",
-    "tld_classified", "tld_continent", "large_surt_domains",
-    "mime_share_pivot", "languages_floor", "warc_roundtrip",
-    "cc_pages_extract", "robots_churn", "ngram_jaccard",
+    "language_confusion",
+    # -- matrices / churn ---------------------------------------------
+    "mime_matrix", "mime_drift", "host_churn", "digest_churn",
+    "warc_revisit",
+    # -- storage formats / link records -------------------------------
+    "sitemap_roundtrip", "robots_sitemap_seeds", "outlinks", "anchor_texts",
+    "host_degrees",
+    # -- scheduling policy tail ---------------------------------------
+    "schedule_politeness", "schedule_domain_politeness", "schedule_fairness",
+    "retry_backoff", "recrawl_tiers", "url_filters",
+]
+
+# Second tier: positions 51+ in registry order — first the three
+# family-duplicate oracle pairs left out of the final window, then the
+# rows-only sketch flavors that have never had a driver run, then every
+# r1-r4 driver-green query (regression tier). All oracle pairs remain
+# exactness-verified by tests/test_oracle_parity.py regardless of
+# position.
+_PRIORITY_NEXT = [
+    # oracle-paired family duplicates (suite-verified, never windowed)
+    "nb_agreement", "language_drift", "host_degree_histogram",
+    # rows-only sketch flavors (no SQL-expressible exact oracle)
+    "ann_pq_topk", "compression_ratios", "host_hyperball", "warc_gzip_index",
+    "weighted_sample", "cms_host_freq", "length_percentiles_approx",
+    "crawl_overlap_kmv", "dup_spans_cdc", "ann_ivf_topk", "semdedup",
+    "bpe_merges", "surt_hll", "top_hosts_sketch",
+    # displaced driver-green (r1-r4) — regression tier
+    "cdx_roundtrip", "stats_wire_roundtrip", "tld_classified_idn",
+    "dedup_exact", "token_stats", "lm_perplexity", "curation_funnel",
+    "events_windowed", "opic_priority", "spam_mass", "hits_scores",
+    "host_rank", "revalidation_plan", "robots_cache", "politeness_backoff",
+    "token_bucket", "host_fetch_gaps", "soft404", "url_normalize",
+    "redirect_resolve", "dup_spans_exact", "unit_dedup", "boilerplate_strip",
+    "decontaminate", "lm_quality_filter", "dsir_weights", "bpe_compression",
+    "vocab_coverage", "pii_redact", "nb_calibration", "language_diversity",
+    "pack_sequences", "leakage_split", "shard_summary", "bitext_pairs",
+    "wet_roundtrip", "wat_links", "warc_cdx_index", "cdx_zipnum_roundtrip",
+    "sitemap_sharded", "histogram_matrix", "url_churn", "host_link_graph",
+    "asof_capture", "host_concentration", "length_percentiles",
+    "stats_accumulate", "media_resize", "host_counts", "domain_counts",
+    "tld_counts", "surt_domain_counts", "mimetype", "primary_language",
+    "http_status", "url_fetch_histogram", "top_hosts", "new_items",
+    "new_digests", "url_crawl_set", "digest_crawl_set", "meta_robots",
+    "crawl_overlap", "domain_coverage", "trailing_6", "nofollow_graph",
+    "domain_pages_histogram", "host_urls_histogram", "robots_decisions",
+    "canonical_dedup", "tld_classified", "tld_continent",
+    "large_surt_domains", "mime_share_pivot", "languages_floor",
+    "warc_roundtrip", "cc_pages_extract", "robots_churn", "ngram_jaccard",
     "embedding_near_dup", "ann_topk", "quality_scores", "language_id",
     "pagerank_priority", "events_sessionize", "dedup_kept", "fair_budget",
-    "bpe_encode", "robotstxt_status",
-    # rows-only sketch flavors (no SQL-expressible exact oracle)
-    "ann_pq_topk", "compression_ratios", "host_hyperball",
-    "warc_gzip_index", "weighted_sample", "cms_host_freq",
-    "length_percentiles_approx", "crawl_overlap_kmv",
+    "bpe_encode", "robotstxt_status", "scheme_counts", "mimetype_detected",
+    "charset", "languages", "cumulative_size", "dup_ratio", "size_estimate",
+    "top_mime_other", "mime_share", "pages_by_year", "spearman_tld",
+    "trailing_2", "trailing_3", "trailing_hll_2", "trailing_hll_3",
+    "crawl_overlap_hll", "crawl_overlap_hll_digest", "host_pages_histogram",
+    "cumulative_distinct", "digest_dup_histogram", "url_status",
+    "charset_top_unknown", "crawl_registry_lookup", "url_parse_parity",
+    "surt_parity", "spearman_benchmark", "frequent_hosts",
+    "crawler_metrics_roundtrip", "minhash_lsh", "simhash", "simhash_pairs",
+    "ann_lsh_topk", "fingerprint", "media_features",
 ]
 
 _ordered = {name: QUERIES[name] for name in _PRIORITY + _PRIORITY_NEXT}
