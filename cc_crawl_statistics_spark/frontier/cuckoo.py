@@ -1,10 +1,10 @@
-"""Partitioned cuckoo filter over the URL-seen key set — the deletable
-sibling of the Bloom prefilter (frontier/bloom.py), completing the north
-rule's "bloom/cuckoo URL-seen" pair at the same seam.
+"""Partial-key cuckoo-filter kernels for the sharded URL-seen prefilter
+— the deletable sibling of the Bloom (frontier/bloom.py), completing the
+north rule's "bloom/cuckoo URL-seen" pair at the same seam.
 
 Same contract as the Bloom: the exact seen anti-join stays the source of
-truth; this only PREFILTERS (False = definitely not in the compacted
-base). What the cuckoo adds is **deletion**: when the recrawl scheduler
+truth; the prefilter only short-circuits definitely-absent keys. What
+the cuckoo adds is **deletion**: when the recrawl scheduler
 (operators/recrawl.py) re-opens URLs for refetch, their keys can be
 removed from the prefilter in place — a Bloom would have to be rebuilt
 or would permanently over-filter. Standard partial-key cuckoo hashing
@@ -12,26 +12,20 @@ or would permanently over-filter. Standard partial-key cuckoo hashing
 bucket pair i1 and i2 = i1 XOR hash(fp), so membership and deletion need
 only the stored fingerprint.
 
-Partitioned build (the north rule's "partitioned bloom/cuckoo"): keys
-route to one of ``n_tables`` independent tables by a hash of the key;
-each Spark partition builds the tables for its routed keys with a
-VECTORIZED two-pass placement (rank-within-bucket via argsort) and only
-the rare overflow tail goes through the sequential eviction loop. At
-10^10 keys the tables shard naturally — one per seen-set range
-partition — and each is built where its keys live.
-
-Membership is an Arrow-batched pandas UDF over broadcast tables,
-signature-identical to bloom.might_contain_udf, so the scheduler's
-size-gated prefilter seam (scheduler.py:581-599) accepts either.
+This module holds only the vectorized per-table math: fingerprint/bucket
+mixes, the two-pass argsort placement kernel (only the rare overflow
+tail goes through the sequential eviction loop), and in-memory
+membership. Everything stateful — build, storage, membership UDF,
+deletion as a Spark job — lives in frontier/shardedfilter.py, where the
+filter exists ONLY as independent key-range shard files: there is
+deliberately no code anywhere that builds, loads, or broadcasts a whole
+filter as one object (legacy single-blob stores migrate on touch,
+SnapshotStore.migrate_prefilter).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from .bloom import _C1, _C2, _mix
 
@@ -130,74 +124,6 @@ def _insert_keys(
             )
 
 
-def build_cuckoo(
-    seen: DataFrame,
-    key_col: str = "seen_key",
-    n_tables: int = 8,
-    load_target: float = 0.8,
-) -> dict:
-    """Partition-parallel build: keys repartition by routed table id (all
-    of a table's keys land in one Spark partition), each partition builds
-    its tables vectorized, the driver assembles the table dict."""
-    n_keys = seen.count()
-    keys_per_table = max(1, (n_keys + n_tables - 1) // n_tables)
-    n_buckets = _n_buckets_for(keys_per_table, load_target)
-
-    # routing must use the SAME mix as the lookup UDF — compute it in
-    # pandas, not Spark SQL, to keep one hash definition
-    route_udf = pandas_udf(
-        lambda s: pd.Series(
-            _route(s.to_numpy(dtype=np.int64).view(np.uint64), n_tables)
-        ),
-        "long",
-    )
-    routed = seen.select(F.col(key_col).alias("k")).withColumn(
-        "_tbl", route_udf(F.col("k"))
-    )
-
-    def per_partition(batches):
-        tables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            for tbl, grp in pdf.groupby("_tbl"):
-                if tbl not in tables:
-                    tables[tbl] = (
-                        np.zeros((n_buckets, SLOTS), dtype=np.uint16),
-                        np.zeros(n_buckets, dtype=np.int64),
-                    )
-                table, fill = tables[tbl]
-                u = grp["k"].to_numpy(dtype=np.int64).view(np.uint64)
-                _insert_keys(table, fill, u, n_buckets)
-        if tables:
-            yield pd.DataFrame(
-                {
-                    "tbl": list(tables),
-                    "buckets": [t.tobytes() for t, _ in tables.values()],
-                }
-            )
-
-    parts = (
-        routed.repartition(n_tables, "_tbl")
-        .mapInPandas(per_partition, "tbl long, buckets binary")
-        .collect()
-    )
-    tables = [
-        np.zeros((n_buckets, SLOTS), dtype=np.uint16)
-        for _ in range(n_tables)
-    ]
-    for row in parts:
-        tables[row.tbl] = np.frombuffer(
-            row.buckets, dtype=np.uint16
-        ).reshape(n_buckets, SLOTS).copy()
-    return {
-        "tables": tables,
-        "n_buckets": n_buckets,
-        "n_tables": n_tables,
-        "n_keys": n_keys,
-    }
-
-
 def contains(f: dict, keys: np.ndarray) -> np.ndarray:
     """Vectorized membership over int64 keys (True = maybe present)."""
     u = keys.astype(np.int64).view(np.uint64)
@@ -213,77 +139,3 @@ def contains(f: dict, keys: np.ndarray) -> np.ndarray:
         hit2 = (table[b2[m]] == fps[m][:, None]).any(axis=1)
         out[m] = hit1 | hit2
     return out
-
-
-def delete_keys(f: dict, keys: np.ndarray) -> int:
-    """Remove keys in place (one fingerprint slot each); returns how many
-    were found. Only ever called with keys that were inserted (recrawl
-    re-open lists, bounded per round), per cuckoo-filter semantics —
-    deleting a never-inserted key could evict a colliding sibling."""
-    u = keys.astype(np.int64).view(np.uint64)
-    tbl = _route(u, f["n_tables"])
-    fps = _fingerprint(u)
-    b1 = _bucket1(u, f["n_buckets"])
-    b2 = _alt_bucket(b1, fps, f["n_buckets"])
-    removed = 0
-    for i in range(len(keys)):
-        table = f["tables"][tbl[i]]
-        for b in (b1[i], b2[i]):
-            slots = np.flatnonzero(table[b] == fps[i])
-            if slots.size:
-                table[b, slots[0]] = 0
-                removed += 1
-                break
-    return removed
-
-
-def save_cuckoo(f: dict, path: str) -> None:
-    header = np.array(
-        [f["n_tables"], f["n_buckets"], f["n_keys"]], dtype=np.int64
-    )
-    with open(path, "wb") as fh:
-        np.save(fh, header)
-        np.save(fh, np.stack(f["tables"]))
-
-
-def load_cuckoo(path: str) -> dict:
-    with open(path, "rb") as fh:
-        header = np.load(fh)
-        stacked = np.load(fh)
-    return {
-        "tables": [stacked[i].copy() for i in range(int(header[0]))],
-        "n_tables": int(header[0]),
-        "n_buckets": int(header[1]),
-        "n_keys": int(header[2]),
-    }
-
-
-def might_contain_udf(spark, f: dict):
-    """Arrow-batched membership test, signature-identical to
-    bloom.might_contain_udf — the scheduler's prefilter seam takes
-    either. Tables ride as one broadcast per executor."""
-    b = spark.sparkContext.broadcast(
-        (
-            np.stack(f["tables"]).tobytes(),
-            f["n_tables"],
-            f["n_buckets"],
-        )
-    )
-
-    @pandas_udf("boolean")
-    def _might(keys: pd.Series) -> pd.Series:
-        blob, n_tables, n_buckets = b.value
-        tables = np.frombuffer(blob, dtype=np.uint16).reshape(
-            n_tables, n_buckets, SLOTS
-        )
-        arr = keys.to_numpy(dtype=np.int64)
-        if len(arr) == 0:
-            return pd.Series([], dtype=bool)
-        local = {
-            "tables": [tables[i] for i in range(n_tables)],
-            "n_tables": n_tables,
-            "n_buckets": n_buckets,
-        }
-        return pd.Series(contains(local, arr))
-
-    return _might

@@ -470,11 +470,11 @@ def fetch_extract(sched: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
-# One broadcast of the (immutable, written-once) Bloom bit array per
-# compaction epoch per driver process — not one per round: at 10^10 seen
-# keys rebuilding the broadcast every round re-serializes gigabytes of bit
-# array through the driver as pure serial cost. Keyed by file path; a new
-# compaction writes a new path, which evicts the old entry.
+# One membership UDF per compaction epoch per driver process — not one
+# per round (the UDF object itself is cheap, but constructing it reads
+# the filter header and re-registering it every round defeats plan
+# caching). Keyed by file path; a new compaction writes a new path,
+# which evicts the old entry.
 _BLOOM_UDF_CACHE: dict = {}
 
 
@@ -483,23 +483,20 @@ def _cached_prefilter_udf(spark, kind: str, path: str):
 
     key = (spark.sparkContext.applicationId, path)
     if key not in _BLOOM_UDF_CACHE:
-        if is_sharded(path):
-            # sharded filter (current format): nothing to load or
-            # broadcast here — the UDF closure carries only the header
-            # params, and executors lazily cache the shard files their
-            # batches touch (mtime-keyed, so a cuckoo-deletion rewrite
-            # self-invalidates; frontier/shardedfilter.py)
-            from .shardedfilter import might_contain_udf
+        # sharded filter (the only format — legacy blobs migrate on
+        # touch, store.migrate_prefilter): nothing to load or broadcast
+        # here — the UDF closure carries only the header params, and
+        # executors lazily cache the shard files their batches touch
+        # (mtime-keyed, so a cuckoo-deletion rewrite self-invalidates;
+        # frontier/shardedfilter.py)
+        if not is_sharded(path):
+            raise ValueError(
+                f"legacy single-blob prefilter at {path}; callers must "
+                "go through SnapshotStore.migrate_prefilter"
+            )
+        from .shardedfilter import might_contain_udf
 
-            udf = might_contain_udf(spark, path)
-        elif kind == "cuckoo":
-            from .cuckoo import load_cuckoo, might_contain_udf
-
-            udf = might_contain_udf(spark, load_cuckoo(path))
-        else:
-            from .bloom import load_bloom, might_contain_udf
-
-            udf = might_contain_udf(spark, load_bloom(path))
+        udf = might_contain_udf(spark, path)
         # evict only stale entries for the SAME store (a new compaction
         # writes a new path under the same root) — clearing everything
         # would force two interleaved stores (A/B runs, bloom-vs-cuckoo
@@ -793,7 +790,11 @@ def run_round(
             sched_materialized, universe, n_docs
         )
         pf = (
-            store.prefilter_path(latest)
+            # migrate-on-touch: a legacy single-blob store is rebuilt
+            # sharded here, the one read seam — so the sharded layout is
+            # an invariant past this line and no whole-filter object is
+            # ever loaded or broadcast anywhere
+            store.migrate_prefilter(spark, latest)
             if prev_seen >= bloom_min_seen
             else None
         )
@@ -805,26 +806,21 @@ def run_round(
             )
             base_rnd = store.seen_base_round(latest)
             recent = store.read_seen_deltas(spark, base_rnd + 1, latest)
-            from .shardedfilter import is_sharded
+            # cluster candidates by their shard id first, so each task —
+            # and so each executor's lazy shard cache — touches ~one
+            # shard file instead of all of them (at 10^10 keys: ~64 MiB
+            # resident per executor instead of the full filter). The
+            # shuffle is bounded by the round's discovery delta and only
+            # happens past the bloom_min_seen gate, where it is noise
+            # next to the anti-join it saves.
+            from .shardedfilter import load_header, shard_route_udf
 
-            cand = discovered
-            if is_sharded(pf_path):
-                # sharded filter: cluster candidates by their shard id
-                # first, so each task — and so each executor's lazy
-                # shard cache — touches ~one shard file instead of all
-                # of them (at 10^10 keys: ~64 MiB resident per executor
-                # instead of the full filter). The shuffle is bounded by
-                # the round's discovery delta and only happens past the
-                # bloom_min_seen gate, where it is noise next to the
-                # anti-join it saves.
-                from .shardedfilter import load_header, shard_route_udf
-
-                n_shards = load_header(pf_path)["n_shards"]
-                route = shard_route_udf(n_shards)
-                cand = cand.repartition(
-                    min(n_shards, n_partitions * 4),
-                    route(seen_key(F.col("url"))),
-                )
+            n_shards = load_header(pf_path)["n_shards"]
+            route = shard_route_udf(n_shards)
+            cand = discovered.repartition(
+                min(n_shards, n_partitions * 4),
+                route(seen_key(F.col("url"))),
+            )
             cand = cand.withColumn(
                 "_maybe", might(seen_key(F.col("url")))
             )

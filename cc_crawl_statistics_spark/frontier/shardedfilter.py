@@ -23,9 +23,12 @@ anywhere:
     whose tasks only ever see a key subrange only ever holds those
     shards (at 10^10 keys: ~12 MiB/shard at 1024 shards, not 12.5 GB).
   * **Deletion** (cuckoo only) is a Spark job: reopen keys repartition
-    by shard id and each task loads, edits, and atomically rewrites only
-    its own shard files — the driver never holds more than the per-shard
-    removed-counts. Max resident set anywhere = one shard.
+    by shard id and each task loads the committed (pre-deletion) shard
+    snapshot, edits it, and writes a job-unique temp sibling; the driver
+    renames the edited shards into place only after the job succeeds —
+    so a retried/speculative task can never double-apply a deletion
+    (delete_keys_sharded). The driver never holds more than the
+    per-shard removed-counts. Max resident set anywhere = one shard.
 
 Both kinds share the routing and the wire layout::
 
@@ -70,11 +73,14 @@ HEADER = "_FILTER.json"
 
 # Per-executor-process shard cache: (file path, mtime_ns) -> ndarray.
 # mtime in the key makes a cuckoo-deletion rewrite self-invalidating.
-# Bounded via SPARK_GRAFT_SHARD_CACHE (entries; 0 = unbounded — sandbox
-# default, where all shards together are < a MiB). FIFO eviction is
-# enough: the scheduler repartitions candidates so a task's batches
-# cluster on few shards.
+# Bounded via SPARK_GRAFT_SHARD_CACHE (entries; default 8 — at the
+# 64 MiB shard-sizing target that caps a long-lived executor at ~512 MiB
+# resident even when its tasks touch many shards over the process
+# lifetime; 0 is the explicit unbounded opt-in). FIFO eviction is
+# enough: the scheduler clusters a task's candidates by shard id, so its
+# batches touch ~one shard and the working set stays far below the cap.
 _SHARD_CACHE: dict = {}
+_SHARD_CACHE_DEFAULT = 8
 
 
 def _route(keys: np.ndarray, n_shards: int) -> np.ndarray:
@@ -291,7 +297,9 @@ def _load_shard(dir_: str, shard: int) -> np.ndarray | None:
     key = (path, st.st_mtime_ns)
     hit = _SHARD_CACHE.get(key)
     if hit is None:
-        cap = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "0"))
+        cap = int(
+            os.environ.get("SPARK_GRAFT_SHARD_CACHE", _SHARD_CACHE_DEFAULT)
+        )
         if cap and len(_SHARD_CACHE) >= cap:
             # FIFO evict, and drop stale versions of this path as we go
             for k in list(_SHARD_CACHE)[: max(1, len(_SHARD_CACHE) - cap + 1)]:
@@ -386,19 +394,93 @@ def might_contain_udf(spark: SparkSession, dir_: str):
     return _might
 
 
+def _delete_from_table(
+    table: np.ndarray, u: np.ndarray, n_buckets: int
+) -> int:
+    """Vectorized cuckoo deletion kernel: clear one stored fingerprint
+    per key (bucket b1 first, else the alt bucket), in place. Returns how
+    many keys were found.
+
+    Bit-identical to the per-key reference loop it replaces: a key whose
+    two candidate (bucket, fingerprint) pairs are shared by NO other key
+    in the batch commutes with every other deletion (clearing a slot only
+    affects matches of the SAME fingerprint in the SAME bucket, and
+    fingerprints are nonzero so a cleared slot never re-matches) — those
+    keys clear via pure array ops against one table snapshot. Only the
+    rare keys that share a candidate pair (duplicate reopen keys or
+    fingerprint collisions) take the ordered sequential path."""
+    fps = _fingerprint(u)
+    b1 = _bucket1(u, n_buckets)
+    b2 = _alt_bucket(b1, fps, n_buckets)
+    # pack each candidate pair into one uint64; a key is safe iff every
+    # pack it contributes is contributed by no other key (own = 2 when
+    # b1 == b2: the key then counts twice toward its single pack)
+    p1 = (b1.astype(np.uint64) << np.uint64(16)) | fps.astype(np.uint64)
+    p2 = (b2.astype(np.uint64) << np.uint64(16)) | fps.astype(np.uint64)
+    uniq, counts = np.unique(np.concatenate([p1, p2]), return_counts=True)
+    own = 1 + (p1 == p2)
+    safe = (counts[np.searchsorted(uniq, p1)] == own) & (
+        counts[np.searchsorted(uniq, p2)] == own
+    )
+    removed = 0
+    s = np.flatnonzero(safe)
+    if s.size:
+        m1 = table[b1[s]] == fps[s][:, None]
+        has1 = m1.any(axis=1)
+        hit1 = s[has1]
+        table[b1[hit1], m1.argmax(axis=1)[has1]] = 0
+        removed += int(has1.sum())
+        r = s[~has1]
+        if r.size:
+            m2 = table[b2[r]] == fps[r][:, None]
+            has2 = m2.any(axis=1)
+            hit2 = r[has2]
+            table[b2[hit2], m2.argmax(axis=1)[has2]] = 0
+            removed += int(has2.sum())
+    for i in np.flatnonzero(~safe):
+        for b in (b1[i], b2[i]):
+            slots = np.flatnonzero(table[b] == fps[i])
+            if slots.size:
+                table[b, slots[0]] = 0
+                removed += 1
+                break
+    return removed
+
+
 def delete_keys_sharded(
     spark: SparkSession, dir_: str, keys: DataFrame,
     key_col: str = "seen_key",
 ) -> int:
     """Shard-local cuckoo deletion as a Spark job: reopen keys
-    repartition by shard id and each task edits + atomically rewrites
-    only the shard files it owns. The driver sees per-shard removed
-    counts only — an unbounded robots-drift reopen never assembles
-    anywhere. Returns total keys removed."""
+    repartition by shard id and each task edits only the shard files it
+    owns. The driver sees per-shard removed counts only — an unbounded
+    robots-drift reopen never assembles anywhere. Returns total keys
+    removed.
+
+    Two-phase commit for retry/speculation safety: tasks never touch the
+    committed ``shard=NNNNN.npy`` files. Each task reads the committed
+    (pre-deletion) snapshot, applies its deletions, and writes the result
+    to a job-unique ``shard=NNNNN.npy.del-<token>`` sibling; the DRIVER
+    renames the edited shards into place only after the whole job
+    succeeds (the same commit-last protocol as the build's header write).
+    A retried or speculative task therefore always re-reads the
+    pre-deletion snapshot and overwrites its own temp file with identical
+    bytes — re-running a deletion can never double-apply and evict a
+    colliding sibling's fingerprint (which would break the prefilter's
+    no-false-negative contract)."""
+    import uuid
+
     h = load_header(dir_)
     if h["kind"] != "cuckoo":
         raise ValueError("only cuckoo shards support deletion")
     n_shards, n_buckets = h["n_shards"], h["n_buckets"]
+    token = uuid.uuid4().hex[:12]
+    # stray .del-* files can only come from a crashed earlier job (its
+    # driver never committed them, so they are invisible to readers —
+    # _shard_file names are exact); sweep them before starting
+    for name in os.listdir(dir_):
+        if ".npy.del-" in name:
+            os.remove(os.path.join(dir_, name))
 
     route_udf = shard_route_udf(n_shards)
     routed = keys.select(F.col(key_col).alias("k")).withColumn(
@@ -415,6 +497,7 @@ def delete_keys_sharded(
                     grp["k"].to_numpy(dtype=np.int64)
                 )
         removed: dict[int, int] = {}
+        edited: dict[int, str] = {}
         for shard, chunks in per_shard.items():
             path = _shard_file(dir_, shard)
             if not os.path.exists(path):
@@ -422,29 +505,30 @@ def delete_keys_sharded(
                 continue
             with open(path, "rb") as f:
                 table = np.load(f).copy()
-            got = 0
-            for ks in chunks:
-                u = ks.view(np.uint64)
-                fps = _fingerprint(u)
-                b1 = _bucket1(u, n_buckets)
-                b2 = _alt_bucket(b1, fps, n_buckets)
-                for i in range(len(ks)):
-                    for b in (b1[i], b2[i]):
-                        slots = np.flatnonzero(table[b] == fps[i])
-                        if slots.size:
-                            table[b, slots[0]] = 0
-                            got += 1
-                            break
-            _atomic_save(path, table)
-            removed[shard] = got
+            u = np.concatenate(chunks).view(np.uint64)
+            removed[shard] = _delete_from_table(table, u, n_buckets)
+            del_path = f"{path}.del-{token}"
+            _atomic_save(del_path, table)
+            edited[shard] = os.path.basename(del_path)
         if removed:
             yield pd.DataFrame(
-                {"shard": list(removed), "removed": list(removed.values())}
+                {
+                    "shard": list(removed),
+                    "removed": list(removed.values()),
+                    "edited": [edited.get(s) for s in removed],
+                }
             )
 
     stats = (
         routed.repartition(min(n_shards, 32), "_shard")
-        .mapInPandas(per_partition, "shard long, removed long")
+        .mapInPandas(per_partition, "shard long, removed long, edited string")
         .collect()
     )
+    # commit point: the job succeeded, rename edited shards into place
+    # (bounded metadata ops, ≤ touched-shard count)
+    for r in stats:
+        if r.edited is not None:
+            os.replace(
+                os.path.join(dir_, r.edited), _shard_file(dir_, int(r.shard))
+            )
     return int(sum(r.removed for r in stats))

@@ -175,30 +175,20 @@ class SnapshotStore:
         )
         pf = self.prefilter_path(rnd)
         if pf is not None and pf[0] == "cuckoo":
-            from .shardedfilter import is_sharded
+            from .shardedfilter import delete_keys_sharded, is_sharded
 
-            if is_sharded(pf[1]):
-                # sharded layout: deletion is a Spark job that edits and
-                # atomically rewrites only the affected shard files — the
-                # reopen list never assembles on the driver, so an
-                # unbounded robots-drift reopen stays executor-bounded
-                # (frontier/shardedfilter.py)
-                from .shardedfilter import delete_keys_sharded
-
-                delete_keys_sharded(spark, pf[1], keys)
-            else:
-                # legacy single-file store (pre-sharding rounds)
-                import numpy as np
-
-                from .cuckoo import delete_keys, load_cuckoo, save_cuckoo
-
-                f = load_cuckoo(pf[1])
-                arr = np.array(
-                    [r.seen_key for r in keys.select("seen_key").collect()],
-                    dtype=np.int64,
-                )
-                delete_keys(f, arr)
-                save_cuckoo(f, pf[1])
+            if not is_sharded(pf[1]):
+                # legacy single-blob store (pre-sharding rounds):
+                # migrate-on-touch — rebuild it sharded from the base
+                # parquet, so the driver-side load/delete/save (and its
+                # unbounded keys.collect()) never runs
+                pf = self.migrate_prefilter(spark, rnd)
+            # deletion is a Spark job that edits only the affected shard
+            # files (two-phase: tasks write temp siblings, the driver
+            # renames after success) — the reopen list never assembles on
+            # the driver, so an unbounded robots-drift reopen stays
+            # executor-bounded (frontier/shardedfilter.py)
+            delete_keys_sharded(spark, pf[1], keys)
 
     def read_seen_deltas(
         self, spark: SparkSession, from_rnd: int, upto_rnd: int
@@ -461,7 +451,9 @@ class SnapshotStore:
         """(kind, path) of the newest materialized seen-set prefilter ≤
         upto_rnd — whichever of cuckoo/bloom the compaction wrote. A
         directory path is the sharded format (frontier/shardedfilter.py);
-        a .npy file is a legacy pre-sharding store, still readable."""
+        a .npy file is a legacy pre-sharding store, which the engine no
+        longer reads — it is rebuilt sharded at its next touch
+        (migrate_prefilter)."""
         base = self.seen_base_round(upto_rnd)
         if base is None:
             return None
@@ -481,6 +473,57 @@ class SnapshotStore:
             elif os.path.exists(p):
                 return kind, p
         return None
+
+    def migrate_prefilter(
+        self, spark: SparkSession, upto_rnd: int
+    ) -> tuple[str, str] | None:
+        """Migrate-on-touch for pre-sharding stores: if the newest
+        prefilter ≤ ``upto_rnd`` is a legacy single-blob ``.npy``,
+        rebuild it as a SHARDED filter from the same base round's
+        ``url_seen_base`` parquet, remove the blob, and return the new
+        (kind, dir). Already-sharded stores return unchanged, so callers
+        use this as their prefilter_path (the scheduler's UDF seam and
+        reopen deletion both do) — after which no code path anywhere
+        loads, assembles, or broadcasts a whole filter.
+
+        Crash-safe by the same header-last protocol as the build: if the
+        rebuild commits but the blob removal doesn't, prefilter_path
+        already prefers the sharded dir and the next touch sweeps the
+        dead blob. Rebuilding from the base parquet is conservative for a
+        legacy cuckoo that had deletions applied: reopened keys re-enter
+        the prefilter as "maybe seen", take the exact anti-join path, and
+        come out correctly unseen — the no-false-negative contract is
+        what migration must (and does) preserve."""
+        pf = self.prefilter_path(upto_rnd)
+        if pf is None:
+            return None
+        kind, path = pf
+        from .shardedfilter import (
+            build_sharded_bloom,
+            build_sharded_cuckoo,
+            is_sharded,
+        )
+
+        base = self.seen_base_round(upto_rnd)
+        rdir = self._round_dir(base)
+        if not is_sharded(path):
+            seen = self._read_parquet(
+                spark,
+                "url_seen_delta",
+                os.path.join(rdir, "url_seen_base"),
+            )
+            out = os.path.join(rdir, f"url_seen_{kind}.d")
+            build = (
+                build_sharded_cuckoo if kind == "cuckoo"
+                else build_sharded_bloom
+            )
+            build(seen, out)
+            path = out
+        for name in ("url_seen_cuckoo.npy", "url_seen_bloom.npy"):
+            p = os.path.join(rdir, name)
+            if os.path.exists(p):
+                os.remove(p)
+        return kind, path
 
     def manifest(self, rnd: int) -> dict:
         with open(os.path.join(self._round_dir(rnd), MANIFEST)) as f:

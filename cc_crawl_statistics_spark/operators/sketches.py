@@ -591,7 +591,6 @@ def lsh_band_pairs_portable(
     # fold the band's rows in seed order: acc*31 + mh (mod P); exactly
     # one signature row exists per (doc, seed), so conditional-max
     # selects it (band_rows is small and fixed — codegen per row)
-    folded = None
     bk = sigs.groupBy("doc_id", band.alias("band")).agg(
         *[
             F.max(

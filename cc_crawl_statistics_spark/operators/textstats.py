@@ -577,6 +577,12 @@ def word_frequency_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# merge count above which bpe_merges warns about sequential-job latency
+# (see its docstring); far below a production tokenizer's 30k+ merges,
+# far above anything a Spark-side trainer should run un-batched
+_BPE_MERGE_WARN = 256
+
+
 def bpe_merges(
     docs: DataFrame,
     n_merges: int = 12,
@@ -603,7 +609,31 @@ def bpe_merges(
     operators/pagerank.py. For a trillion-token corpus, cap the state
     with the salted top-K of `vocabulary` first (coverage loss is the
     standard BPE-trainer truncation); the fold itself never touches the
-    driver."""
+    driver.
+
+    **Job-count cost**: merge learning is inherently sequential — each
+    merge changes the pair statistics the next argmax needs — so this
+    runs TWO Spark jobs per merge (pair-count argmax + the fold's
+    checkpoint), i.e. ~2·n_merges jobs total. Over the Zipf-small word
+    table each job is seconds, but at production vocab targets
+    (n_merges ≈ 30k-50k for a 32k-64k tokenizer) the driver-side job
+    *scheduling* latency dominates: at even 2 jobs/sec that is hours of
+    fixed cost regardless of cluster size. A large-vocab trainer should
+    batch non-overlapping merges per sweep or train on a driver-local
+    sample of the word table (both standard BPE-trainer shortcuts);
+    this operator warns above ``_BPE_MERGE_WARN`` merges rather than
+    silently queueing tens of thousands of jobs."""
+    if n_merges > _BPE_MERGE_WARN:
+        import warnings
+
+        warnings.warn(
+            f"bpe_merges(n_merges={n_merges}) schedules ~{2 * n_merges} "
+            "sequential Spark jobs (two per merge); above "
+            f"{_BPE_MERGE_WARN} merges driver scheduling latency "
+            "dominates — batch merges per sweep or train on a sampled "
+            "word table instead",
+            stacklevel=2,
+        )
     # word -> character symbols: split only BETWEEN two chars (lookbehind
     # + lookahead), so no leading/trailing empty elements
     syms = F.split(F.col("word"), "(?<=.)(?=.)")

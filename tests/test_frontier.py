@@ -279,27 +279,61 @@ def test_reopen_for_recrawl_glue(spark, tmp_path):
     assert len(after) < len(before)
 
 
-def test_bloom_no_false_negatives(spark):
-    """Membership over the built Bloom: every inserted key tests positive
-    (no false negatives ever); a disjoint key set has a low positive rate
-    (~1% at 10 bits/key)."""
-    from cc_crawl_statistics_spark.frontier.bloom import (
-        build_bloom,
-        might_contain_udf,
+def test_legacy_blob_prefilter_migrates_on_touch(spark, tmp_path):
+    """A pre-sharding store (single-blob ``url_seen_*.npy`` prefilter) is
+    rebuilt as a SHARDED filter from its base parquet the first time the
+    engine touches it — via migrate_prefilter at the scheduler's UDF seam
+    and inside reopen_seen — and the blob is removed, so the retired
+    driver-merge format can never reach an executor. The rebuilt filter
+    keeps the no-false-negative contract over the base keys."""
+    import numpy as np
+
+    from cc_crawl_statistics_spark.frontier.shardedfilter import (
+        contains_shards,
+        is_sharded,
     )
 
-    keys = spark.range(0, 5000).select(
-        F.xxhash64(F.col("id").cast("string")).alias("seen_key")
+    store = SnapshotStore(str(tmp_path / "s"))
+    scheduler.run_round(
+        spark, store, SF_SMOKE, compact_every=1, bloom_min_seen=0,
+        prefilter="cuckoo",
     )
-    bloom = build_bloom(keys)
-    might = might_contain_udf(spark, bloom)
-    hits = keys.select(might(F.col("seen_key")).alias("m")).toPandas()
-    assert hits.m.all()
-    other = spark.range(10000, 20000).select(
-        F.xxhash64(F.col("id").cast("string")).alias("seen_key")
+    kind, path = store.prefilter_path(1)
+    assert kind == "cuckoo" and is_sharded(path)
+    rdir = os.path.dirname(path)
+    # simulate the legacy layout: drop the sharded dir, leave a blob
+    # (content never read — migration rebuilds from the base parquet)
+    shutil.rmtree(path)
+    legacy = os.path.join(rdir, "url_seen_cuckoo.npy")
+    with open(legacy, "wb") as f:
+        np.save(f, np.zeros(3, dtype=np.int64))
+    assert store.prefilter_path(1)[1] == legacy
+
+    kind2, path2 = store.migrate_prefilter(spark, 1)
+    assert kind2 == "cuckoo" and is_sharded(path2)
+    assert not os.path.exists(legacy)
+    base_keys = np.array(
+        sorted(r.seen_key for r in store.read_seen(spark, 1).collect()),
+        dtype=np.int64,
     )
-    fp = other.select(might(F.col("seen_key")).alias("m")).toPandas().m.mean()
-    assert fp < 0.05
+    assert contains_shards(path2, base_keys).all()
+
+    # reopen_seen on a legacy layout migrates too, then shard-deletes
+    shutil.rmtree(path2)
+    with open(legacy, "wb") as f:
+        np.save(f, np.zeros(3, dtype=np.int64))
+    victims = base_keys[:5]
+    store.reopen_seen(
+        spark, 1,
+        spark.createDataFrame([(int(k),) for k in victims],
+                              "seen_key bigint"),
+    )
+    kind3, path3 = store.prefilter_path(1)
+    assert kind3 == "cuckoo" and is_sharded(path3)
+    assert not os.path.exists(legacy)
+    assert not contains_shards(path3, victims).any()
+    rest = np.array(sorted(set(base_keys) - set(victims)), dtype=np.int64)
+    assert contains_shards(path3, rest).all()
 
 
 def test_resume_legacy_store_without_universe(spark, store):

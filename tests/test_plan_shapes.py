@@ -160,10 +160,27 @@ def test_total_order_windows_are_declared():
             if fname == "windows.py":
                 continue  # the helper's own definition
             src = open(path).read()
-            for m in re.finditer(r"Window\s*\.\s*orderBy", src):
+            # every name the Window class is bound to in this file —
+            # plain import, aliased import, or local rebinding — so an
+            # alias can't slip a total-order window past the lint
+            names = {"Window"}
+            names |= set(re.findall(r"\bWindow\s+as\s+(\w+)", src))
+            names |= set(re.findall(r"\b(\w+)\s*=\s*Window\s*$", src,
+                                    re.MULTILINE))
+            alt = "|".join(sorted(names))
+            # total-order spellings: bare .orderBy, an EMPTY
+            # .partitionBy() (Catalyst folds it to no partition), and
+            # frame-first composition (.rowsBetween/.rangeBetween on the
+            # class starts an unpartitioned spec)
+            pat = (
+                rf"\b({alt})\s*\.\s*(orderBy|partitionBy\(\s*\)"
+                r"|rowsBetween|rangeBetween)"
+            )
+            for m in re.finditer(pat, src):
                 line = src.count("\n", 0, m.start()) + 1
                 offenders.append(f"{os.path.relpath(path, pkg)}:{line}")
     assert not offenders, (
-        "bare Window.orderBy (total-order window without the dim_window "
-        f"dimension-size declaration): {offenders}"
+        "total-order window without the dim_window dimension-size "
+        f"declaration (bare orderBy / empty partitionBy / frame-first "
+        f"spec, incl. aliased Window imports): {offenders}"
     )

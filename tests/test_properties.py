@@ -130,15 +130,36 @@ def test_cuckoo_no_false_negatives_property(keys):
 @settings(max_examples=25, deadline=None)
 @given(int64_keys)
 def test_cuckoo_delete_keeps_remaining_property(keys):
+    """The vectorized deletion kernel removes every inserted victim and
+    never disturbs the remaining keys' no-false-negative guarantee —
+    and is bit-identical to the sequential per-key reference loop."""
     import numpy as np
 
     from cc_crawl_statistics_spark.frontier import cuckoo as CK
+    from cc_crawl_statistics_spark.frontier import shardedfilter as SH
 
     arr = np.array(keys, dtype=np.int64)
     table, fill, n_buckets = _fresh_table(len(arr))
     CK._insert_keys(table, fill, arr.view(np.uint64), n_buckets)
-    f = {"tables": [table], "n_tables": 1, "n_buckets": n_buckets}
     victims, rest = arr[: len(arr) // 2], arr[len(arr) // 2 :]
-    assert CK.delete_keys(f, victims) == len(victims)
+
+    ref = table.copy()
+    u = victims.view(np.uint64)
+    fps = CK._fingerprint(u)
+    b1 = CK._bucket1(u, n_buckets)
+    b2 = CK._alt_bucket(b1, fps, n_buckets)
+    ref_removed = 0
+    for i in range(len(victims)):
+        for b in (b1[i], b2[i]):
+            slots = np.flatnonzero(ref[b] == fps[i])
+            if slots.size:
+                ref[b, slots[0]] = 0
+                ref_removed += 1
+                break
+
+    got = SH._delete_from_table(table, u, n_buckets)
+    assert got == ref_removed == len(victims)
+    assert np.array_equal(table, ref)
     if len(rest):
+        f = {"tables": [table], "n_tables": 1, "n_buckets": n_buckets}
         assert CK.contains(f, rest).all()

@@ -294,3 +294,26 @@ def test_bpe_compression_counts_match_token_arrays(spark):
         r["lang"]: (r["nw"], r["nt"], r["nt"] * 1000 // r["nw"]) for r in arr
     }
     assert got == want
+
+
+def test_bpe_merges_warns_on_large_merge_count(spark):  # noqa: F811
+    """bpe_merges warns above _BPE_MERGE_WARN merges (the ~2-jobs-per-
+    merge driver scheduling cost documented in its docstring), and stays
+    silent below it. The warning fires before any job runs, so the huge
+    request is caught even though the loop breaks early on tiny input."""
+    import warnings
+
+    from cc_crawl_statistics_spark.operators.textstats import (
+        _BPE_MERGE_WARN,
+        bpe_merges,
+    )
+
+    docs = spark.createDataFrame([(1, "aa ab aa")], "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bpe_merges(docs, n_merges=_BPE_MERGE_WARN + 1).collect()
+    assert any("sequential Spark jobs" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bpe_merges(docs, n_merges=4).collect()
+    assert not any("sequential Spark jobs" in str(w.message) for w in caught)

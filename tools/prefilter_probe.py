@@ -49,12 +49,70 @@ def main() -> None:
     from cc_crawl_statistics_spark.frontier import bloom as BL
     from cc_crawl_statistics_spark.frontier import shardedfilter as SH
 
-    # legacy: driver-merged blob + broadcast membership
+    # legacy: driver-merged blob + broadcast membership. This strawman
+    # lives ONLY here, as the probe's A/B comparator — the engine's
+    # driver-OR build path was deleted in round 5 (legacy stores migrate
+    # on touch, SnapshotStore.migrate_prefilter), so the probe carries
+    # its own copy of the retired design to keep measuring against it.
+    import math as _math
+
+    import numpy as _np
+    import pandas as _pd
+
+    def _legacy_build_bloom(seen_df, bits_per_key=10):
+        n = seen_df.count()
+        m = max(64, n * bits_per_key)
+        k = max(1, round(bits_per_key * _math.log(2)))
+        n_bytes = (m + 7) // 8
+
+        def per_partition(batches):
+            bits = _np.zeros(n_bytes, dtype=_np.uint8)
+            for pdf in batches:
+                keys = pdf["seen_key"].to_numpy(dtype=_np.int64)
+                if len(keys) == 0:
+                    continue
+                idx = BL._indices(keys, m, k).ravel()
+                _np.bitwise_or.at(
+                    bits, idx >> 3,
+                    _np.uint8(1) << (idx & 7).astype(_np.uint8),
+                )
+            yield _pd.DataFrame({"bits": [bits.tobytes()]})
+
+        partials = (
+            seen_df.select("seen_key")
+            .mapInPandas(per_partition, "bits binary")
+            .collect()
+        )
+        merged = _np.zeros(n_bytes, dtype=_np.uint8)
+        for r in partials:
+            merged |= _np.frombuffer(r.bits, dtype=_np.uint8)
+        return {"bits": merged, "m": m, "k": k}
+
+    def _legacy_might_udf(spark, blob):
+        from pyspark.sql.functions import pandas_udf
+
+        b = spark.sparkContext.broadcast(
+            (blob["bits"].tobytes(), blob["m"], blob["k"])
+        )
+
+        @pandas_udf("boolean")
+        def _might(keys: _pd.Series) -> _pd.Series:
+            bits_bytes, m, k = b.value
+            bits = _np.frombuffer(bits_bytes, dtype=_np.uint8)
+            arr = keys.to_numpy(dtype=_np.int64)
+            if len(arr) == 0:
+                return _pd.Series([], dtype=bool)
+            idx = BL._indices(arr, m, k)
+            hit = (bits[idx >> 3] >> (idx & 7).astype(_np.uint8)) & 1
+            return _pd.Series(hit.all(axis=1).astype(bool))
+
+        return _might
+
     t0 = time.time()
-    blob = BL.build_bloom(seen)
+    blob = _legacy_build_bloom(seen)
     out["legacy_build_sec"] = round(time.time() - t0, 2)
     out["legacy_blob_bytes"] = int(blob["bits"].nbytes)
-    might_legacy = BL.might_contain_udf(spark, blob)
+    might_legacy = _legacy_might_udf(spark, blob)
     t0 = time.time()
     row = (
         probes.withColumn("m", might_legacy(F.col("seen_key")))
