@@ -224,3 +224,58 @@ def test_shard_route_udf_matches_numpy_and_clusters(spark):  # noqa: F811
         .toPandas()
     )
     assert (parts["count"] == 1).all()  # one partition per shard
+
+
+def test_delete_two_phase_commit_leaves_no_temps_and_sweeps_strays(
+    spark, tmp_path  # noqa: F811
+):
+    """The r5 deletion protocol: tasks write job-unique ``.del-<token>``
+    siblings, the driver renames them into place after the job succeeds.
+    Readers must never see a temp (exact shard=NNNNN.npy names only), a
+    crashed job's strays must be swept by the next deletion, and a
+    committed deletion must leave the directory temp-free."""
+    d = str(tmp_path / "c.d")
+    SH.build_sharded_cuckoo(_seen_df(spark, 8000), d, n_shards=4)
+    keys = _keys(spark, 8000)
+
+    # a crashed earlier job's stray temp: garbage content, never read
+    stray = os.path.join(d, "shard=00000.npy.del-deadbeefdead")
+    with open(stray, "wb") as f:
+        f.write(b"not a numpy file")
+    assert SH.contains_shards(d, keys).all()  # readers ignore it
+
+    victims = spark.range(500).select(
+        F.xxhash64("id").alias("seen_key")
+    )
+    removed = SH.delete_keys_sharded(spark, d, victims)
+    assert removed == 500
+    assert not os.path.exists(stray)  # swept at job start
+    leftovers = [f for f in os.listdir(d) if ".del-" in f or ".tmp." in f]
+    assert leftovers == []  # commit renamed every edited shard
+    varr = np.array(
+        [r.seen_key for r in victims.collect()], dtype=np.int64
+    )
+    assert not SH.contains_shards(d, varr).any()
+    rest = np.array(sorted(set(keys) - set(varr)), dtype=np.int64)
+    assert SH.contains_shards(d, rest).all()
+
+
+def test_shard_cache_cap_bounds_resident_entries(
+    spark, bloom_dir, monkeypatch  # noqa: F811
+):
+    """SPARK_GRAFT_SHARD_CACHE (default 8) caps the per-process shard
+    cache: touching more shards than the cap evicts FIFO instead of
+    accumulating every shard ever read (ADVICE r4: a long-lived executor
+    at 10^10 keys must stay ~cap × shard_bytes, not filter-sized)."""
+    d, header = bloom_dir
+    assert header["n_shards"] == 8
+    monkeypatch.setenv("SPARK_GRAFT_SHARD_CACHE", "2")
+    SH._SHARD_CACHE.clear()
+    keys = _keys(spark)  # spread over all 8 shards
+    assert SH.contains_shards(d, keys).all()  # correctness unaffected
+    assert len(SH._SHARD_CACHE) <= 2
+    monkeypatch.setenv("SPARK_GRAFT_SHARD_CACHE", "0")  # unbounded opt-in
+    SH._SHARD_CACHE.clear()
+    assert SH.contains_shards(d, keys).all()
+    assert len(SH._SHARD_CACHE) == 8
+    SH._SHARD_CACHE.clear()
