@@ -163,3 +163,75 @@ def test_cuckoo_delete_keeps_remaining_property(keys):
     if len(rest):
         f = {"tables": [table], "n_tables": 1, "n_buckets": n_buckets}
         assert CK.contains(f, rest).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=120,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_vectorized_delete_bit_identical_with_duplicates(keys, dup_factor):
+    """Adversarial flavor of the r5 deletion-kernel property: the victim
+    list REPEATS keys (dup_factor concatenated copies), forcing shared
+    candidate pairs into the ordered fallback path; the result must stay
+    bit-identical to the sequential reference loop — table bytes AND
+    removed count — even though duplicate deletions beyond a key's
+    inserted copies clear fingerprint-colliding residue."""
+    import numpy as np
+
+    from cc_crawl_statistics_spark.frontier import cuckoo as CK
+    from cc_crawl_statistics_spark.frontier import shardedfilter as SH
+
+    arr = np.array(keys, dtype=np.int64)
+    table, fill, n_buckets = _fresh_table(len(arr))
+    CK._insert_keys(table, fill, arr.view(np.uint64), n_buckets)
+    victims = np.concatenate([arr[: max(1, len(arr) // 2)]] * dup_factor)
+    u = victims.view(np.uint64)
+
+    ref = table.copy()
+    fps = CK._fingerprint(u)
+    b1 = CK._bucket1(u, n_buckets)
+    b2 = CK._alt_bucket(b1, fps, n_buckets)
+    ref_removed = 0
+    for i in range(len(u)):
+        for b in (b1[i], b2[i]):
+            slots = np.flatnonzero(ref[b] == fps[i])
+            if slots.size:
+                ref[b, slots[0]] = 0
+                ref_removed += 1
+                break
+
+    got = SH._delete_from_table(table, u, n_buckets)
+    assert got == ref_removed
+    assert np.array_equal(table, ref)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=300,
+        unique=True,
+    ),
+    st.integers(min_value=2, max_value=16),
+)
+def test_shard_route_total_and_stable(keys, n_shards):
+    """The shard router is a total function onto [0, n_shards) and
+    deterministic — the property both the build (each key written to
+    exactly one shard) and membership (the same shard consulted) rest
+    on; a missing shard therefore proves absence."""
+    import numpy as np
+
+    from cc_crawl_statistics_spark.frontier import shardedfilter as SH
+
+    arr = np.array(keys, dtype=np.int64)
+    r1 = SH._route(arr, n_shards)
+    r2 = SH._route(arr.copy(), n_shards)
+    assert (r1 == r2).all()
+    assert ((r1 >= 0) & (r1 < n_shards)).all()
